@@ -1,0 +1,37 @@
+import numpy as np
+
+from europarl_crawler_ray.functions.canonical import (
+    canonicalize_url,
+    hash_urls,
+    host_of,
+)
+
+
+def test_canonicalize_strips_fragment_and_sorts_query():
+    a = canonicalize_url("https://Example.com:443/path?b=2&a=1#frag")
+    b = canonicalize_url("https://example.com/path?a=1&b=2")
+    assert a == b == "https://example.com/path?a=1&b=2"
+
+
+def test_canonicalize_keeps_nondefault_port_and_empty_path():
+    assert canonicalize_url("http://h.example:8080") == "http://h.example:8080/"
+    assert canonicalize_url("http://h.example:80/x") == "http://h.example/x"
+
+
+def test_canonicalize_percent_unreserved():
+    assert canonicalize_url("https://e.com/a%2Db") == "https://e.com/a-b"
+
+
+def test_host_of():
+    assert host_of("https://EUROPARL.europa.eu/doceo/x") == "europarl.europa.eu"
+    assert host_of("not a url") == ""
+
+
+def test_hash_urls_deterministic_and_independent():
+    urls = ["https://a/1", "https://a/2", "https://a/1"]
+    h1, h2 = hash_urls(urls)
+    g1, g2 = hash_urls(urls)
+    assert h1.dtype == np.uint64 and h2.dtype == np.uint64
+    assert (h1 == g1).all() and (h2 == g2).all()
+    assert h1[0] == h1[2] and h1[0] != h1[1]
+    assert (h1 != h2).any()
