@@ -20,8 +20,16 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (smoke scale); driver checks rows>=0.
+
+    Runs the full wave engine — discovery → probe → F2 expansion → seen-set
+    dedup → politeness-gated fetch → byte-identical extraction — over the
+    deterministic synthetic web and returns the crawled pages Dataset in
+    the BASELINE.json input_hint shape (url, warc_ts, html, text, lang).
+    """
+    from europarl_crawler_ray.pipelines.flagship import run_flagship
+
+    return run_flagship(output_dir="/tmp/europarl_entry_smoke")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

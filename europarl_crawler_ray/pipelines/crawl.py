@@ -1,0 +1,361 @@
+"""Wave-based crawl driver — the Ray-Data rebuild of ``jobs/crawler.py``.
+
+The reference runs an infinite polling loop over Postgres-backed queues
+(``/root/reference/europarl/jobs/crawler.py:47-99``); the rebuild runs
+discrete WAVES, each one lazy Dataset pipeline (SURVEY §3.1):
+
+    candidate dates (F3)  →  probe session_day urls (politeness-gated)
+    →  confirmed dates × active rules unfold (F2)  →  seen-set dedup (F1)
+    →  fetch (actor pool)  →  extract (map_batches)  →  wave Parquet
+    →  manifest + seen checkpoint
+
+Reference-ordering contract (north rule): discovery batches reproduce
+``SessionDay.get_unchecked_days`` exactly — newest-first new dates with
+``limit-1`` slots, a retry branch for dates whose probes never reached
+{200,404}, final ASC order + outer LIMIT (``sessionDay.py:53-122``); url
+expansion reproduces ``URLs.get_todo_rule_and_date_combos`` —
+confirmed-dates × active-rules anti-join ordered ``dates DESC``
+(``url.py:94-137``). Equivalence is at wave granularity (same wave
+membership + same final seen-set); within-wave fetch order is parallel.
+
+Resume contract mirrors ``drop_uncrawled_urls`` (``url.py:139-156``,
+invoked on shutdown at ``crawler.py:102-109``): only durably-written wave
+partitions are in the manifest; anything in flight is re-derived.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.canonical import hash_urls
+from ..functions.rules import DOCUMENT_RULES, SESSION_DAY_RULE, RULES_BY_NAME
+from ..stages.extract import extract_batch
+from ..stages.fetch import Fetcher
+from ..state.politeness import PolitenessCoordinator
+from ..state.seen import SeenSet
+
+OK_PROBE = (200, 404)
+
+
+@dataclass
+class CrawlConfig:
+    output_dir: str
+    start_date: date = date(2021, 1, 4)
+    today: date = date(2021, 3, 1)          # injected "now" for determinism
+    offset_days: int = 30                    # reference get_unchecked_days offset
+    discovery_limit: int = 10                # dates per wave (PrefetchLimit-ish)
+    expansion_limit: int = 50                # combo rows per wave (PrefetchLimit)
+    active_rule_names: list[str] | None = None
+    seed: int = 42
+    num_seen_shards: int = 4
+    seen_bits_per_shard: int = 1 << 22
+    seen_exact: bool = True
+    min_interval: float = 3.0
+    simulated_politeness: bool = True
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 256
+    checkpoint_every: int = 1
+    max_waves: int | None = None
+
+    @property
+    def horizon(self) -> date:
+        return self.today - timedelta(days=self.offset_days)
+
+
+@dataclass
+class CrawlState:
+    """Small driver-side dimension state (the reference's session_days
+    table is ~12k rows — SURVEY §2.7: tiny side, never shuffled)."""
+
+    probed_done: set = field(default_factory=set)    # date -> reached 200/404
+    confirmed: set = field(default_factory=set)      # probe == 200
+    retry: dict = field(default_factory=dict)        # date -> attempts so far
+    expanded: set = field(default_factory=set)       # combos generated
+    wave: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "probed_done": sorted(d.isoformat() for d in self.probed_done),
+            "confirmed": sorted(d.isoformat() for d in self.confirmed),
+            "retry": {d.isoformat(): n for d, n in self.retry.items()},
+            "expanded": sorted(d.isoformat() for d in self.expanded),
+            "wave": self.wave,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "CrawlState":
+        p = lambda s: date.fromisoformat(s)
+        return cls(
+            probed_done={p(s) for s in j["probed_done"]},
+            confirmed={p(s) for s in j["confirmed"]},
+            retry={p(s): n for s, n in j["retry"].items()},
+            expanded={p(s) for s in j["expanded"]},
+            wave=j["wave"],
+        )
+
+
+def discovery_batch(cfg: CrawlConfig, st: CrawlState) -> list[date]:
+    """F3 — ``get_unchecked_days`` semantics (sessionDay.py:53-122).
+
+    (new dates DESC LIMIT limit-1)  UNION ALL  (retry dates LIMIT limit)
+    → ORDER BY ASC LIMIT limit.
+    """
+    limit = cfg.discovery_limit
+    known = st.probed_done | set(st.retry)
+    new_dates: list[date] = []
+    d = cfg.horizon
+    while d >= cfg.start_date and len(new_dates) < limit - 1:
+        if d not in known:
+            new_dates.append(d)
+        d -= timedelta(days=1)
+    retry_dates = sorted(st.retry)[:limit]
+    union = new_dates + retry_dates
+    return sorted(union)[:limit]
+
+
+def candidate_combos(st: CrawlState, rules) -> list[tuple[date, str, str]]:
+    """F2 candidates BEFORE the anti-join: confirmed dates not yet fully
+    expanded × active rules, ORDER BY dates DESC (url.py:110-127).
+    Returns (date, rulename, url) triples in reference order."""
+    todo_dates = sorted(st.confirmed - st.expanded, reverse=True)
+    out: list[tuple[date, str, str]] = []
+    for d in todo_dates:
+        for r in rules:
+            out.append((d, r.name, r.url(d)))
+    return out
+
+
+class CrawlDriver:
+    """Owns the wave loop + durable state. Ray must already be initialised."""
+
+    def __init__(self, cfg: CrawlConfig, resume: bool = True):
+        self.cfg = cfg
+        self.rules = (
+            [RULES_BY_NAME[n] for n in cfg.active_rule_names]
+            if cfg.active_rule_names is not None
+            else list(DOCUMENT_RULES)
+        )
+        from .._util import worker_runtime_env
+
+        self.coord = PolitenessCoordinator.options(
+            num_cpus=0, runtime_env=worker_runtime_env()
+        ).remote(
+            min_interval=cfg.min_interval,
+            simulated=cfg.simulated_politeness,
+        )
+        self.seen = SeenSet(
+            num_shards=cfg.num_seen_shards,
+            m_bits_per_shard=cfg.seen_bits_per_shard,
+            exact=cfg.seen_exact,
+        )
+        self.state = CrawlState()
+        self.metrics: list[dict] = []
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self._probe_fetcher = Fetcher(
+            coordinator=self.coord, seed=cfg.seed, simulated=cfg.simulated_politeness
+        )
+        if resume and os.path.exists(self._manifest_path()):
+            self._resume()
+
+    # ---------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.cfg.output_dir, "manifest.json")
+
+    def _write_manifest(self) -> None:
+        doc = {
+            "state": self.state.to_json(),
+            "metrics": self.metrics,
+            "seen_checkpoint": os.path.join(self.cfg.output_dir, "seen"),
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path())
+
+    def _resume(self) -> None:
+        with open(self._manifest_path()) as f:
+            doc = json.load(f)
+        self.state = CrawlState.from_json(doc["state"])
+        self.metrics = doc.get("metrics", [])
+        seen_dir = doc.get("seen_checkpoint")
+        if seen_dir and os.path.exists(seen_dir):
+            self.seen.restore(seen_dir)
+
+    # ---------------------------------------------------------- one wave
+    def _probe(self, dates: list[date]) -> pa.Table:
+        """Session-day probes (W2). Small batches run on the driver through
+        the same Fetcher/politeness path; the reference probes serially."""
+        urls = [SESSION_DAY_RULE.url(d) for d in dates]
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "rulename": pa.array([SESSION_DAY_RULE.name] * len(dates)),
+                "date": pa.array(dates, pa.date32()),
+                "attempt": pa.array(
+                    [self.state.retry.get(d, 0) for d in dates], pa.int32()
+                ),
+                "wave": pa.array([self.state.wave] * len(dates), pa.int32()),
+            }
+        )
+        return self._probe_fetcher(t)
+
+    def run_wave(self) -> dict | None:
+        cfg, st = self.cfg, self.state
+        dates = discovery_batch(cfg, st)
+        combos_ready = bool(st.confirmed - st.expanded)
+        if not dates and not combos_ready:
+            return None
+
+        n_confirmed_new = 0
+        probe_rows = 0
+        if dates:
+            probed = self._probe(dates)
+            probe_rows = probed.num_rows
+            # probe urls enter the seen set under their rule (the checker
+            # saves its urls too, sessiondaychecker.py:119-124); key is the
+            # (rulename, url) pair like the urls-table UNIQUE constraint
+            h1, h2 = hash_urls(
+                [SESSION_DAY_RULE.name + "\x00" + u for u in probed.column("url").to_pylist()]
+            )
+            self.seen.check_and_add(h1, h2)
+            for d, status in zip(
+                probed.column("date").to_pylist(), probed.column("status_code").to_pylist()
+            ):
+                if status in OK_PROBE:
+                    st.probed_done.add(d)
+                    st.retry.pop(d, None)
+                    if status == 200:
+                        st.confirmed.add(d)
+                        n_confirmed_new += 1
+                else:
+                    st.retry[d] = st.retry.get(d, 0) + 1
+            self._write_wave_parquet(probed, kind="probes")
+
+        frontier, fully_done_dates = self._expansion_frontier()
+        n_pages = 0
+        n_new_urls = frontier.num_rows
+        if n_new_urls:
+            n_pages = self._fetch_extract_write(frontier)
+        st.expanded.update(fully_done_dates)
+
+        st.wave += 1
+        if st.wave % cfg.checkpoint_every == 0:
+            self.seen.checkpoint(os.path.join(cfg.output_dir, "seen"))
+        m = {
+            "wave": st.wave - 1,
+            "dates_probed": probe_rows,
+            "confirmed_new": n_confirmed_new,
+            "urls_new": n_new_urls,
+            "pages": n_pages,
+        }
+        self.metrics.append(m)
+        self._write_manifest()
+        return m
+
+    def _expansion_frontier(self) -> tuple[pa.Table, set]:
+        """F2 with the anti-join BEFORE the LIMIT, like the SQL: candidate
+        (date, rule, url) triples in dates-DESC order → seen-set `contains`
+        filter (urls.id IS NULL analogue) → LIMIT expansion_limit rows →
+        add survivors to the seen set (F1 upsert).
+
+        Returns (frontier table, dates whose whole rule set is now
+        generated). With bloom-only shards a false positive can drop a url
+        (documented FPR); verification runs use exact shards."""
+        cands = candidate_combos(self.state, self.rules)
+        if not cands:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "rulename": pa.array([], pa.string()),
+                    "date": pa.array([], pa.date32()),
+                    "attempt": pa.array([], pa.int32()),
+                    "wave": pa.array([], pa.int32()),
+                }
+            ), set()
+        # dedup key is the (rulename, url) PAIR — the reference's UNIQUE
+        # (rule_id, url) constraint (url.py:45): the same url string under
+        # two rules (e.g. both named_voting rules) is two frontier entries.
+        keys = [rn + "\x00" + u for _, rn, u in cands]
+        h1, h2 = hash_urls(keys)
+        already = self.seen.contains_mask(h1, h2)
+        todo_idx = np.nonzero(~already)[0][: self.cfg.expansion_limit]
+        sel = [cands[i] for i in todo_idx]
+        if sel:
+            sh1, sh2 = hash_urls([rn + "\x00" + u for _, rn, u in sel])
+            self.seen.check_and_add(sh1, sh2)
+        # a date is fully expanded when none of its candidate urls remain
+        remaining_dates = {cands[i][0] for i in np.nonzero(~already)[0][self.cfg.expansion_limit:]}
+        fully_done = {d for d, _, _ in cands} - remaining_dates
+        return pa.table(
+            {
+                "url": pa.array([u for _, _, u in sel], pa.string()),
+                "rulename": pa.array([rn for _, rn, _ in sel], pa.string()),
+                "date": pa.array([d for d, _, _ in sel], pa.date32()),
+                "attempt": pa.array([0] * len(sel), pa.int32()),
+                "wave": pa.array([self.state.wave] * len(sel), pa.int32()),
+            }
+        ), fully_done
+
+    def _fetch_extract_write(self, frontier: pa.Table) -> int:
+        cfg = self.cfg
+        ds = ray.data.from_arrow(frontier)
+        from .._util import worker_runtime_env
+
+        renv = worker_runtime_env()
+        ds = ds.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={
+                "coordinator": self.coord,
+                "seed": cfg.seed,
+                "simulated": cfg.simulated_politeness,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+            runtime_env=renv,
+        )
+        ds = ds.map_batches(
+            extract_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            runtime_env=renv,
+        )
+        path = os.path.join(cfg.output_dir, "pages", f"wave={self.state.wave}")
+        ds.write_parquet(path)
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path).count_rows()
+
+    def _write_wave_parquet(self, table: pa.Table, kind: str) -> None:
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.cfg.output_dir, kind)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, f"wave_{self.state.wave:05d}.parquet"))
+
+    # ---------------------------------------------------------- run loop
+    def run(self, max_waves: int | None = None) -> dict:
+        limit = max_waves if max_waves is not None else self.cfg.max_waves
+        n = 0
+        while limit is None or n < limit:
+            m = self.run_wave()
+            if m is None:
+                break
+            n += 1
+        stats = self.seen.stats()
+        return {
+            "waves": len(self.metrics),
+            "pages": sum(m["pages"] for m in self.metrics),
+            "urls_new": sum(m["urls_new"] for m in self.metrics),
+            "confirmed_days": len(self.state.confirmed),
+            "seen_size": stats["n_added"],
+        }

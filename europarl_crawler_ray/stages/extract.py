@@ -1,0 +1,97 @@
+"""Extraction stage — stateless ``map_batches`` over zero-copy Arrow.
+
+Replaces the reference's ``PostProcessingWorker`` (E2-E6,
+``/root/reference/europarl/workers/postprocessingworker.py:37-65`` and
+``europarl/rules/extraction.py:27-52``): per-filetype dispatch —
+
+- ``.html``  → bs4-4.9.3-equivalent get_text (byte-identical contract)
+- ``.pdf``   → STUB: pdfminer is not available in this environment; the
+  reference runs ``pdfminer.high_level.extract_text``. The stub returns
+  None and tags the row ``pdf-extraction-stub`` so downstream can tell
+  "stubbed" from "failed". The Ray-side plumbing (schema, dispatch,
+  batching) is real and tested.
+- anything else → None (reference returns content None for unknown formats)
+
+HTML parsing cannot be vectorized (it's a per-document parse), but the
+batch loop is over an Arrow binary column with no pandas conversion, and
+filesize uses the pyarrow kernel.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.extract import html_to_text
+
+PDF_STUB_NOTE = "pdf-extraction-stub"
+
+
+def filetype_of_url(url: str) -> str:
+    tail = url.rsplit("/", 1)[-1]
+    if "." in tail:
+        return "." + tail.rsplit(".", 1)[1].split("?", 1)[0]
+    return ""
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Adds text / filesize / extract_note columns to a fetched batch.
+
+    Expects columns: url, html (binary, null for failed fetches).
+    """
+    urls = batch.column("url").to_pylist()
+    html_col = batch.column("html")
+    texts: list[str | None] = [None] * len(urls)
+    notes: list[str | None] = [None] * len(urls)
+    for i, url in enumerate(urls):
+        blob = html_col[i].as_py()
+        if blob is None:
+            continue
+        ft = filetype_of_url(url)
+        if ft == ".html":
+            texts[i] = html_to_text(blob)
+            if texts[i] is None:
+                notes[i] = "decode-error"
+        elif ft == ".pdf":
+            # STUB — reference: pdfminer.high_level.extract_text
+            # (extraction.py:44-45). Not implemented here: pdfminer absent.
+            texts[i] = None
+            notes[i] = PDF_STUB_NOTE
+        else:
+            texts[i] = None  # reference extraction.py:46-47 (unknown format)
+
+    out = batch.append_column("text", pa.array(texts, pa.string()))
+    out = out.append_column(
+        "filesize",
+        pc.cast(pc.binary_length(html_col), pa.int64()),
+    )
+    out = out.append_column("extract_note", pa.array(notes, pa.string()))
+    return out
+
+
+def to_pages(batch: pa.Table) -> pa.Table:
+    """Project a fetched+extracted batch to the PAGES_SCHEMA column set."""
+    cols = ["url", "requested_at", "html", "text", "lang"]
+    t = batch.select(cols)
+    return t.rename_columns(["url", "warc_ts", "html", "text", "lang"])
+
+
+def to_index_docs(batch: pa.Table) -> pa.Table:
+    """Assemble the flattened output-record shape (reference E5+E6: metadata
+    join + data merge, documents.py:202-240 / postprocessingworker.py:45-52).
+    All metadata is already co-located on the row — the 4-way join is gone."""
+    urls = batch.column("url").to_pylist()
+    filetypes = pa.array([filetype_of_url(u) for u in urls], pa.string())
+    t = pa.table(
+        {
+            "url": batch.column("url"),
+            "downloaded_at": batch.column("requested_at"),
+            "filesize": pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
+            "filetype": filetypes,
+            "content": batch.column("text"),
+            "language": batch.column("lang"),
+            "rulename": batch.column("rulename"),
+            "session_date": batch.column("date"),
+        }
+    )
+    return t

