@@ -39,7 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+
+    return {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -49,4 +51,6 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}

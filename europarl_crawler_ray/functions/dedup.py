@@ -1,0 +1,111 @@
+"""Near-duplicate detection kernels: shingles, MinHash, SimHash, Jaccard.
+
+Scale design: MinHash signatures are computed per batch inside
+``map_batches`` (vectorized over the permutation axis); LSH banding turns
+near-dup search into a ``groupby(band_key)`` shuffle of (band_key, doc_id)
+pairs — the only all-to-all step — followed by per-bucket pair emission.
+Exact-verification of candidate pairs is a small broadcast join (documents
+fetched per bucket, buckets are tiny).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[^ \t\n\r\f]+")
+
+# MinHash parameters: 128 permutations → 32 bands × 4 rows (t ≈ 0.42)
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    # odd multiplier → x ↦ a*x+b (mod 2^64) is a bijection of uint64 space,
+    # i.e. a genuine permutation; wraparound multiply is the hash.
+    a = rng.integers(0, np.iinfo(np.uint64).max, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Hashed k-word shingles (uint64)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        joined = " ".join(words)
+        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64) if words else np.zeros(0, np.uint64)
+    out = np.zeros(len(words) - k + 1, dtype=np.uint64)
+    for i in range(len(words) - k + 1):
+        sh = " ".join(words[i : i + k])
+        out[i] = (zlib.crc32(sh.encode()) << np.uint64(32)) | np.uint64(zlib.crc32(sh[::-1].encode()))
+    return out
+
+
+def minhash_signature(shingles: np.ndarray, n_perm: int = N_PERM) -> np.ndarray:
+    """(n_perm,) uint64 signature: min over the n_perm permutations.
+
+    Each permutation is x ↦ a*x + b over Z/2^64 (numpy uint64 wraparound;
+    a odd makes it bijective), fully vectorized: (n_shingles, n_perm)."""
+    if len(shingles) == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = shingles.astype(np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        vals = x * _PERM_A[None, :n_perm] + _PERM_B[None, :n_perm]
+    return vals.min(axis=0)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
+    """(n_bands,) uint64 band keys (hash of each band's rows)."""
+    rows = sig.reshape(n_bands, -1)
+    out = np.zeros(n_bands, dtype=np.uint64)
+    for i, band in enumerate(rows):
+        out[i] = (np.uint64(i) << np.uint64(56)) ^ np.uint64(
+            zlib.crc32(band.tobytes()) | (zlib.crc32(band.tobytes()[::-1]) << 32)
+        )
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over shingle-hash sets."""
+    sa, sb = set(a.tolist()), set(b.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(text: str, k: int = 3) -> np.uint64:
+    """64-bit SimHash over hashed word k-shingles."""
+    sh = word_shingles(text, k)
+    if len(sh) == 0:
+        return np.uint64(0)
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    score = (2 * bits - 1).sum(axis=0)
+    return np.uint64(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+def simhash_band_keys(h: np.uint64, n_bands: int = 4) -> list[int]:
+    """Split 64 bits into n_bands chunks → candidate buckets (hamming ≤
+    n_bands-1 dups share at least one chunk)."""
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    v = int(h)
+    return [(i << 60) | ((v >> (i * bits)) & mask) for i in range(n_bands)]

@@ -1,0 +1,615 @@
+"""SQL-oracled query library over the driver testdata tables.
+
+Each entry maps one operator family from SURVEY.md §2 (or a training-data
+op) onto the TPC-H-ish tables in ``/root/testdata/sf*`` so the graft
+driver can verify it against DuckDB at sf0.01. Column names and types are
+chosen to match the SQL exactly (aggregates CAST to BIGINT, dates to DATE).
+
+Idioms: ``read_parquet(columns=...)`` pruning, vectorized ``map_batches``,
+partial aggregation before ``groupby`` where the map side reduces volume,
+broadcast (ray.put) semi-/anti-joins instead of shuffle joins when one
+side is small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import date, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import rules as R
+from ..functions.textstats import fingerprints, quality_stats, token_counts
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _renv() -> dict:
+    from .._util import worker_runtime_env
+
+    return worker_runtime_env()
+
+
+# Derived per-event HTTP-ish status (deterministic from event_id) — used to
+# map the reference's requests-log operators (A1/F3) onto the events table.
+STATUS_SQL = (
+    "CASE WHEN event_id % 100 < 70 THEN 200 "
+    "WHEN event_id % 100 < 85 THEN 404 "
+    "WHEN event_id % 100 < 90 THEN 429 "
+    "WHEN event_id % 100 < 95 THEN 408 "
+    "ELSE 503 END"
+)
+
+
+def _status_np(event_id: np.ndarray) -> np.ndarray:
+    m = event_id % 100
+    return np.select(
+        [m < 70, m < 85, m < 90, m < 95], [200, 404, 429, 408], default=503
+    ).astype(np.int64)
+
+
+# =========================================================== url generation
+# M1-M8: date-range × 23-rule unfold, byte-identical urls.
+
+URLGEN_START = date(1979, 6, 1)
+URLGEN_END = date(2025, 12, 31)
+
+
+def q_url_generation(sf_dir: str):
+    n_days = (URLGEN_END - URLGEN_START).days + 1
+    base = np.datetime64(URLGEN_START.isoformat(), "D")
+
+    def unfold(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        days = base + ids.astype("timedelta64[D]")
+        parts = []
+        for rule in R.RULES:
+            urls = rule.url_vec(days)
+            parts.append(
+                pa.table(
+                    {
+                        "day": pa.array(days, pa.date32()),
+                        "rulename": pa.array([rule.name] * len(days), pa.string()),
+                        "url": pa.array(urls, pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ray.data.range(n_days).map_batches(unfold, batch_format="pyarrow", runtime_env=_renv())
+
+
+def _urlgen_sql() -> str:
+    term_case = " ".join(
+        f"WHEN day > DATE '{lo.isoformat()}' AND day < DATE '{hi.isoformat()}' THEN '{key}'"
+        for key, lo, hi in R.TERMS
+    )
+    rule_values = ", ".join(
+        f"('{r.name}', '{r.prefix}', '{r.infix}', '{r.language}', '{r.format}')"
+        for r in R.RULES
+    )
+    return f"""
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(TIMESTAMP '{URLGEN_START.isoformat()}',
+                                         TIMESTAMP '{URLGEN_END.isoformat()}',
+                                         INTERVAL 1 DAY)) AS DATE) AS day),
+    rules(rulename, prefix, infix, lang, fmt) AS (VALUES {rule_values}),
+    t AS (SELECT day, rulename, prefix, infix, lang, fmt,
+                 CASE {term_case} ELSE '0' END AS term
+          FROM days CROSS JOIN rules)
+    SELECT day, rulename,
+           'https://europarl.europa.eu/doceo/document/' || prefix || '-' || term
+           || '-' || strftime(day, '%Y-%m-%d')
+           || CASE WHEN infix = '' THEN '' ELSE '-' || infix END
+           || '_' || lang || fmt AS url
+    FROM t
+    """
+
+
+# ======================================================== F3: unchecked days
+
+
+def q_unchecked_days(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts"])
+    observed = ev.map_batches(
+        lambda t: pa.table({"day": pc.cast(t.column("ts"), pa.date32())}),
+        batch_format="pyarrow",
+    ).unique("day")
+    obs = set(observed)
+    lo, hi = min(obs), max(obs)
+    hi_ext = hi + timedelta(days=14)
+    cand = [lo + timedelta(days=i) for i in range((hi_ext - lo).days + 1)]
+    missing = sorted((d for d in cand if d not in obs), reverse=True)[:50]
+    return pa.table({"day": pa.array(missing, pa.date32())})
+
+
+UNCHECKED_DAYS_SQL = """
+WITH bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                       CAST(MAX(ts) AS DATE) + 14 AS hi FROM events),
+cand AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                            CAST(hi AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS day
+         FROM bounds),
+observed AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT c.day FROM cand c LEFT JOIN observed o ON c.day = o.day
+WHERE o.day IS NULL ORDER BY c.day DESC LIMIT 50
+"""
+
+
+# =================================== F3 retry branch: combos never succeeded
+
+
+def q_retry_pairs(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        status = _status_np(t.column("event_id").to_numpy())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.cast(t.column("ts"), pa.date32()),
+                "ok": pa.array((status == 200).astype(np.int64)),
+            }
+        )
+
+    g = (
+        ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+        .groupby(["user_id", "day"])
+        .aggregate(Max("ok", alias_name="any_ok"))
+    )
+    return g.filter(expr="any_ok == 0").select_columns(["user_id", "day"])
+
+
+RETRY_PAIRS_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS day
+FROM events GROUP BY 1, 2
+HAVING MAX(CASE WHEN ({STATUS_SQL}) = 200 THEN 1 ELSE 0 END) = 0
+"""
+
+
+# ============================= F2: todo combos (cross join minus observed)
+
+
+def q_todo_combos(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        status = _status_np(t.column("event_id").to_numpy())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.cast(t.column("ts"), pa.date32()),
+                "ok": pa.array(status == 200),
+            }
+        )
+
+    d = ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+    confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
+    users = sorted(set(d.unique("user_id")))
+    observed_tbl = d.select_columns(["day", "user_id"]).to_pandas().drop_duplicates()
+    observed_ref = ray.put(set(zip(observed_tbl["day"], observed_tbl["user_id"])))
+
+    cross = pa.table(
+        {
+            "day": pa.array([dd for dd in confirmed_days for _ in users], pa.date32()),
+            "user_id": pa.array([u for _ in confirmed_days for u in users], pa.int64()),
+        }
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        obs = ray.get(observed_ref)
+        days = t.column("day").to_pylist()
+        us = t.column("user_id").to_pylist()
+        keep = [i for i, (dd, u) in enumerate(zip(days, us)) if (dd, u) not in obs]
+        return t.take(keep)
+
+    return ray.data.from_arrow(cross).map_batches(anti, batch_format="pyarrow", runtime_env=_renv())
+
+
+TODO_COMBOS_SQL = f"""
+WITH st AS (SELECT user_id, CAST(ts AS DATE) AS day, ({STATUS_SQL}) AS status
+            FROM events),
+confirmed AS (SELECT DISTINCT day FROM st WHERE status = 200),
+users AS (SELECT DISTINCT user_id FROM events),
+observed AS (SELECT DISTINCT day, user_id FROM st)
+SELECT c.day, u.user_id
+FROM confirmed c CROSS JOIN users u
+LEFT JOIN observed o ON o.day = c.day AND o.user_id = u.user_id
+WHERE o.day IS NULL
+"""
+
+
+# ================================================== A1: status-code summary
+
+
+def q_status_summary(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        status = _status_np(t.column("event_id").to_numpy())
+        # partial pre-aggregation inside the map task (combiner) — the
+        # groupby then shuffles ≤5 rows per block instead of all rows
+        uniq, counts = np.unique(status, return_counts=True)
+        return pa.table({"status_code": uniq, "partial_n": counts.astype(np.int64)})
+
+    return (
+        ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+        .groupby("status_code")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
+STATUS_SUMMARY_SQL = f"""
+SELECT CAST(({STATUS_SQL}) AS BIGINT) AS status_code, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ============================================= ordering: top-k newest first
+
+
+def q_top_k_recent(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return (
+        ev.sort(["ts", "event_id"], descending=[True, True])
+        .limit(100)
+        .select_columns(["event_id", "ts", "user_id", "event_type"])
+    )
+
+
+TOP_K_RECENT_SQL = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# ==================================== F4: anti-join (orders never fetched)
+
+
+def q_uncrawled_orders(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    crawled = np.unique(
+        np.concatenate(
+            [b["l_orderkey"] for b in li.iter_batches(batch_format="numpy", batch_size=65536)]
+        )
+    )
+    ref = ray.put(crawled)  # broadcast once; sorted → np.isin fast path
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = ~np.isin(t.column("o_orderkey").to_numpy(), keys, assume_unique=False)
+        return t.filter(pa.array(mask))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return orders.map_batches(anti, batch_format="pyarrow", runtime_env=_renv())
+
+
+UNCRAWLED_ORDERS_SQL = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+# ================================= F5: unprocessed scan (filter+sort+limit)
+
+
+def q_unprocessed_documents(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return d.filter(expr="n_chars < 200").sort("doc_id").limit(100)
+
+
+UNPROCESSED_DOCUMENTS_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars < 200 ORDER BY doc_id LIMIT 100
+"""
+
+
+# ================================ E5: metadata enrichment (broadcast joins)
+
+
+def q_nation_order_stats(sf_dir: str):
+    # dimension sides are small → broadcast once (no shuffle join)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    order_nation = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
+    lookup_ref = ray.put(
+        (
+            order_nation["o_orderkey"].to_numpy(),
+            order_nation["n_name"].to_numpy(),
+        )
+    )
+
+    def enrich_partial(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        order_sorted = np.argsort(keys)
+        sk, sn = keys[order_sorted], names[order_sorted]
+        lk = t.column("l_orderkey").to_numpy()
+        pos = np.searchsorted(sk, lk)
+        n_name = sn[pos]
+        qty = t.column("l_quantity").to_numpy()
+        df = pd.DataFrame({"n_name": n_name, "qty": qty})
+        g = df.groupby("n_name", as_index=False).agg(
+            part_items=("qty", "size"), part_qty=("qty", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    agg = (
+        li.map_batches(enrich_partial, batch_format="pyarrow", runtime_env=_renv())
+        .groupby("n_name")
+        .aggregate(Sum("part_items", alias_name="n_items"), Sum("part_qty", alias_name="qty_d"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "sum_qty": pc.cast(pc.round(t.column("qty_d")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+NATION_ORDER_STATS_SQL = """
+SELECT n_name, COUNT(*) AS n_items, CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ========================================== F1/training: exact deduplication
+
+
+def q_dedup_exact(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
+
+    return (
+        d.map_batches(h, batch_format="pyarrow", runtime_env=_renv())
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# =============================================== token counting (per lang)
+
+
+def q_token_stats(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(part_tokens=token_counts(df["text"]), part_docs=1)
+        return df.groupby("lang", as_index=False)[["part_tokens", "part_docs"]].sum()
+
+    return (
+        d.map_batches(stats, batch_format="pandas", runtime_env=_renv())
+        .groupby("lang")
+        .aggregate(Sum("part_docs", alias_name="n_docs"), Sum("part_tokens", alias_name="total_tokens"))
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# ====================================================== quality scoring
+
+
+def q_text_quality(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_stats(df["text"])
+        q.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return q
+
+    return d.map_batches(stats, batch_format="pandas", runtime_env=_renv())
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+# ================================================= document fingerprinting
+
+
+def q_fingerprint_docs(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": fingerprints(df["text"])})
+
+    return d.map_batches(fp, batch_format="pandas", runtime_env=_renv())
+
+
+FINGERPRINT_DOCS_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ============================================ similarity search: brute topk
+
+
+def q_ann_topk(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qnorm))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qn = ray.get(qref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qn @ mat.T  # (n_query, n_batch)
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, len(df)),
+                "vec_id": np.tile(df["vec_id"].to_numpy(), len(ids)),
+                "sim": sims.ravel(),
+            }
+        )
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return (
+        emb.map_batches(score, batch_format="pandas", runtime_env=_renv())
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas", runtime_env=_renv())
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.e, d.e) DESC,
+                                     d.vec_id ASC) AS rank
+  FROM q CROSS JOIN d)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+"""
+
+
+# ================================================ windowed user aggregates
+
+
+def q_user_activity(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return ev.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+
+USER_ACTIVITY_SQL = """
+SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+# ============================================ M10: recrawl schedule unfold
+
+SPACED_ANCHOR = date(2024, 1, 30)
+
+# offsets written out from the reference loop spec (downloader.py:39-68):
+# range(0,14) step 1; multiples of 2 in [14,28); of 5 in [28,84); of 10 in
+# [84,365); then 100, 200, 300 appended AGAIN (duplicates are intentional —
+# the reference list has them too).
+SPACED_OFFSETS = (
+    list(range(0, 14))
+    + [i for i in range(14, 28) if i % 2 == 0]
+    + [i for i in range(28, 84) if i % 5 == 0]
+    + [i for i in range(84, 365) if i % 10 == 0]
+    + [100, 200, 300]
+)
+
+
+def q_spaced_out_dates(sf_dir: str):
+    days = R.spaced_out_dates(SPACED_ANCHOR)
+    offsets = [(SPACED_ANCHOR - d).days for d in days]
+    return pa.table(
+        {
+            "offset_days": pa.array(offsets, pa.int64()),
+            "day": pa.array(days, pa.date32()),
+        }
+    )
+
+
+SPACED_OUT_DATES_SQL = f"""
+SELECT CAST(i AS BIGINT) AS offset_days,
+       DATE '{SPACED_ANCHOR.isoformat()}' - CAST(i AS INTEGER) AS day
+FROM (SELECT unnest([{", ".join(str(i) for i in SPACED_OFFSETS)}]) AS i)
+"""
+
+
+# ========================================================== lang summary
+
+
+def q_lang_summary(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    g = d.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars_raw")
+    )
+    return g.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_docs": t.column("n_docs"),
+                "total_chars": pc.cast(t.column("chars_raw"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+LANG_SUMMARY_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------ registries
+
+SQL_QUERIES: dict[str, tuple] = {
+    "url_generation": (q_url_generation, _urlgen_sql()),
+    "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),
+    "retry_pairs": (q_retry_pairs, RETRY_PAIRS_SQL),
+    "todo_combos": (q_todo_combos, TODO_COMBOS_SQL),
+    "status_summary": (q_status_summary, STATUS_SUMMARY_SQL),
+    "top_k_recent": (q_top_k_recent, TOP_K_RECENT_SQL),
+    "uncrawled_orders": (q_uncrawled_orders, UNCRAWLED_ORDERS_SQL),
+    "unprocessed_documents": (q_unprocessed_documents, UNPROCESSED_DOCUMENTS_SQL),
+    "nation_order_stats": (q_nation_order_stats, NATION_ORDER_STATS_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
+    "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
+    "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
+    "spaced_out_dates": (q_spaced_out_dates, SPACED_OUT_DATES_SQL),
+    "lang_summary": (q_lang_summary, LANG_SUMMARY_SQL),
+}
