@@ -39,9 +39,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
+    from europarl_crawler_ray.pipelines.ml_queries import ML_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
 
-    return {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    out.update(ML_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -43,7 +43,7 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
     out = np.zeros(len(words) - k + 1, dtype=np.uint64)
     for i in range(len(words) - k + 1):
         sh = " ".join(words[i : i + k])
-        out[i] = (zlib.crc32(sh.encode()) << np.uint64(32)) | np.uint64(zlib.crc32(sh[::-1].encode()))
+        out[i] = (zlib.crc32(sh.encode()) << 32) | zlib.crc32(sh[::-1].encode())
     return out
 
 
@@ -86,8 +86,10 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 # ----------------------------------------------------------------- simhash
 
 
-def simhash64(text: str, k: int = 3) -> np.uint64:
-    """64-bit SimHash over hashed word k-shingles."""
+def simhash64(text: str, k: int = 1) -> np.uint64:
+    """64-bit SimHash over hashed word features (unigrams by default —
+    token-level simhash degrades gracefully on short documents, where
+    k-shingles amplify single-word edits k-fold)."""
     sh = word_shingles(text, k)
     if len(sh) == 0:
         return np.uint64(0)

@@ -1,0 +1,115 @@
+"""Dedup sketch kernels: planted near-duplicates must be found; unrelated
+texts must not collide."""
+
+import numpy as np
+import pytest
+
+from europarl_crawler_ray.functions.dedup import (
+    est_jaccard,
+    hamming64,
+    jaccard,
+    minhash_bands,
+    minhash_signature,
+    simhash64,
+    simhash_band_keys,
+    word_shingles,
+)
+
+BASE = (
+    "the european parliament met on tuesday to debate the annual budget "
+    "report and vote on seventeen amendments proposed by the committee "
+    "on regional development during the morning sitting"
+)
+NEAR = BASE.replace("seventeen", "eighteen").replace("morning", "afternoon")
+OTHER = (
+    "completely different content about machine learning pipelines and "
+    "distributed data processing with ray datasets arrow batches and "
+    "streaming execution across many worker nodes in the cluster"
+)
+
+
+def test_minhash_est_tracks_true_jaccard():
+    sa, sb = word_shingles(BASE), word_shingles(NEAR)
+    true_j = jaccard(sa, sb)
+    est = est_jaccard(minhash_signature(sa), minhash_signature(sb))
+    assert true_j > 0.6
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_unrelated_low():
+    est = est_jaccard(
+        minhash_signature(word_shingles(BASE)), minhash_signature(word_shingles(OTHER))
+    )
+    assert est < 0.1
+
+
+def test_lsh_bands_collide_for_near_dups_only():
+    ba = minhash_bands(minhash_signature(word_shingles(BASE)))
+    bb = minhash_bands(minhash_signature(word_shingles(NEAR)))
+    bo = minhash_bands(minhash_signature(word_shingles(OTHER)))
+    assert len(set(ba.tolist()) & set(bb.tolist())) > 0  # near-dups share a band
+    assert len(set(ba.tolist()) & set(bo.tolist())) == 0
+
+
+def test_simhash_hamming_near_vs_far():
+    ha, hb, ho = simhash64(BASE), simhash64(NEAR), simhash64(OTHER)
+    d_near = hamming64(np.array([ha]), np.array([hb]))[0]
+    d_far = hamming64(np.array([ha]), np.array([ho]))[0]
+    assert d_near < 12
+    assert d_far > 20
+    assert len(set(simhash_band_keys(ha)) & set(simhash_band_keys(hb))) >= 0
+
+
+def test_signature_deterministic():
+    s1 = minhash_signature(word_shingles(BASE))
+    s2 = minhash_signature(word_shingles(BASE))
+    assert (s1 == s2).all()
+    assert s1.dtype == np.uint64 and len(s1) == 128
+
+
+def test_empty_text():
+    sig = minhash_signature(word_shingles(""))
+    assert (sig == np.iinfo(np.uint64).max).all()
+    assert simhash64("") == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_pipeline_finds_planted_dups(tmp_path):
+    """End-to-end LSH pipeline over a parquet table with planted dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_minhash
+
+    texts = [BASE, NEAR, OTHER] + [
+        f"unique filler document number {i} with entirely distinct words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for i in range(50)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_dedup_minhash(str(tmp_path), threshold_pct=40).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # the planted near-dup pair
+    assert all(a == 0 and b == 1 for a, b in pairs), pairs  # and nothing else
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pipeline_finds_planted_dups(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_simhash
+
+    texts = [BASE, NEAR] + [
+        f"some other totally different text {i} about topic{i} and thing{i} "
+        f"with word{i} content{i} filler{i} material{i}"
+        for i in range(30)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_dedup_simhash(str(tmp_path), max_hamming=12).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
