@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Default: runs the headline crawl+extract pipeline on the synthetic web,
+a frontier-dedup microbench (bloom shards), and times every SQL-oracled
+query over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+--scaling: runs the headline job in two FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the
+scaling efficiency (T32/T8)/4 — the sandbox stand-in for the north rule's
+N vs 4N cluster criterion. Results land in BENCH/scaling_r*.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import date
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline crawl window: ~2900 candidate days → ~870 confirmed session days
+# × 22 rules ≈ 19k fetched pages in one big wave + small retry waves;
+# page_scale enlarges synthetic pages (~15-25 KB html) so fetch+extract
+# compute dominates scheduling overhead, as it would at real page sizes
+HEADLINE = dict(
+    start_date=date(1994, 1, 1),
+    today=date(2021, 1, 31),
+    discovery_limit=11_000,
+    expansion_limit=500_000,
+    page_scale=40,
+)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ray_session(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _warmup():
+    """Spin the Ray worker pool once so cold-start cost isn't timed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({"x": np.arange(10_000)})
+    ray.data.from_arrow(t).repartition(32).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+
+def bench_headline(num_cpus: int, out_dir: str) -> dict:
+    """Crawl+extract throughput (pages/s) over the synthetic web."""
+    import shutil
+
+    from europarl_crawler_ray.pipelines.crawl import CrawlConfig, CrawlDriver
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _warmup()
+    cfg = CrawlConfig(
+        output_dir=out_dir,
+        start_date=HEADLINE["start_date"],
+        today=HEADLINE["today"],
+        discovery_limit=HEADLINE["discovery_limit"],
+        expansion_limit=HEADLINE["expansion_limit"],
+        page_scale=HEADLINE["page_scale"],
+        num_seen_shards=8,
+        seen_exact=False,          # bloom-only at bench scale (10^10 design)
+        seen_bits_per_shard=1 << 26,
+        # fetch (render ~4ms/page) vs extract+write (~3ms/page): give the
+        # actor pool ~55% of CPUs so the downstream task stages keep up —
+        # a pool that reserves every CPU starves extract and serializes
+        fetch_concurrency=max(2, min(int(num_cpus * 0.55), num_cpus - 2)),
+        fetch_batch_size=256,
+        checkpoint_every=10**9,    # don't checkpoint inside the timed loop
+    )
+    t0 = time.perf_counter()
+    drv = CrawlDriver(cfg, resume=False)
+    summary = drv.run_streamed()
+    dt = time.perf_counter() - t0
+    pages = summary["pages"]
+    return {
+        "seconds": round(dt, 3),
+        "pages": pages,
+        "pages_per_sec": round(pages / dt, 1),
+        "waves": summary["waves"],
+        "confirmed_days": summary["confirmed_days"],
+        "seen_size": summary["seen_size"],
+    }
+
+
+def bench_dedup(n_urls: int = 4_000_000, num_shards: int = 8) -> dict:
+    """Frontier dedup ops/s: hash + sharded bloom check_and_add."""
+    import numpy as np
+
+    from europarl_crawler_ray.functions.canonical import hash_urls
+    from europarl_crawler_ray.state.seen import SeenSet
+
+    # deterministic synthetic url corpus with 25% repeats
+    base = np.arange(n_urls)
+    ids = np.where(base % 4 == 0, base // 2, base)
+    urls = np.char.add("https://host.example.org/page/", ids.astype(str)).astype(object)
+    seen = SeenSet(num_shards=num_shards, m_bits_per_shard=1 << 27, exact=False)
+    t0 = time.perf_counter()
+    n_new = 0
+    bs = 262_144
+    for i in range(0, n_urls, bs):
+        h1, h2 = hash_urls(urls[i : i + bs])
+        mask = seen.check_and_add(h1, h2)
+        n_new += int((~mask).sum())
+    dt = time.perf_counter() - t0
+    return {
+        "seconds": round(dt, 3),
+        "urls": n_urls,
+        "ops_per_sec": round(n_urls / dt, 0),
+        "unique_added": n_new,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+
+    out = {}
+    for name, (fn, _sql) in SQL_QUERIES.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+        log(f"  query {name}: {out[name]}s ({len(res)} rows)")
+    return out
+
+
+def run_full(num_cpus: int, sf_dir: str, skip_queries: bool = False) -> dict:
+    ray = ray_session(num_cpus)
+    log(f"headline crawl+extract at num_cpus={num_cpus} ...")
+    headline = bench_headline(num_cpus, f"/tmp/bench_crawl_{num_cpus}")
+    log(f"  {headline}")
+    log("dedup microbench ...")
+    dedup = bench_dedup()
+    log(f"  {dedup}")
+    queries = {} if skip_queries else bench_queries(sf_dir)
+    ray.shutdown()
+    return {
+        "metric": "crawl+extract wall time (headline synthetic crawl); "
+        "pages_per_sec + dedup ops_per_sec attached",
+        "value": headline["seconds"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "headline": headline,
+        "dedup": dedup,
+    }
+
+
+def _hardware_control(levels) -> dict:
+    """Plain-multiprocessing CPU scaling of this host — the ceiling any
+    engine can reach. This VM shows heavy core-count throttling (e.g. 32
+    workers ≈ 18.5 effective cores), so pipeline efficiency must be read
+    against this control, not against an ideal 4x."""
+    import multiprocessing as mp
+
+    def bench(workers, work=4_000_000, tasks=48):
+        with mp.Pool(workers) as p:
+            t0 = time.perf_counter()
+            p.map(_burn, [work] * tasks)
+            return time.perf_counter() - t0
+
+    out = {}
+    for w in levels:
+        out[str(w)] = round(bench(w), 3)
+    lo, hi = levels
+    out["control_efficiency"] = round((out[str(lo)] / out[str(hi)]) / (hi / lo), 3)
+    return out
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def _steal_pct() -> float:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+        return round(100.0 * vals[7] / max(1, sum(vals)), 2)
+    except Exception:
+        return -1.0
+
+
+def run_scaling(sf_dir: str, levels=None) -> dict:
+    if levels is None:
+        levels = tuple(
+            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+        )
+    results = {}
+    for n in levels:
+        log(f"--- scaling run at num_cpus={n} (fresh process) ---")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling run at {n} cpus failed")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    tp_lo = results[lo]["headline"]["pages_per_sec"]
+    tp_hi = results[hi]["headline"]["pages_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    log("hardware control (plain multiprocessing) ...")
+    control = _hardware_control(levels)
+    out = {
+        "metric": f"scaling efficiency {lo}->{hi} cpus (pages/s ratio / {hi // lo})",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "levels": {
+            str(lo): {"pages_per_sec": tp_lo, "seconds": results[lo]["headline"]["seconds"]},
+            str(hi): {"pages_per_sec": tp_hi, "seconds": results[hi]["headline"]["seconds"]},
+        },
+        "dedup_ops_per_sec": {
+            str(lo): results[lo]["dedup"]["ops_per_sec"],
+            str(hi): results[hi]["dedup"]["ops_per_sec"],
+        },
+        # the host's own scaling ceiling between the same two levels,
+        # measured with plain multiprocessing (no Ray): pipeline efficiency
+        # should be compared against this, not an ideal 1.0
+        "hardware_control": control,
+        "pipeline_vs_hardware": round(eff / max(control["control_efficiency"], 1e-9), 3),
+        "cpu_steal_pct": _steal_pct(),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling(SF_DIR)
+    else:
+        out = run_full(NUM_CPUS, SF_DIR, skip_queries=args.headline_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,10 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     checkpoint_every: int = 1
     max_waves: int | None = None
+    page_scale: int = 1          # synthetic page size multiplier (bench)
+    # waves below this row count fetch via plain tasks (fast start)
+    # instead of a fresh actor pool; waves ≤64 rows run on the driver
+    small_wave_rows: int = 8192
 
     @property
     def horizon(self) -> date:
@@ -143,11 +147,7 @@ class CrawlDriver:
             if cfg.active_rule_names is not None
             else list(DOCUMENT_RULES)
         )
-        from .._util import worker_runtime_env
-
-        self.coord = PolitenessCoordinator.options(
-            num_cpus=0, runtime_env=worker_runtime_env()
-        ).remote(
+        self.coord = PolitenessCoordinator.options(num_cpus=0).remote(
             min_interval=cfg.min_interval,
             simulated=cfg.simulated_politeness,
         )
@@ -160,7 +160,10 @@ class CrawlDriver:
         self.metrics: list[dict] = []
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._probe_fetcher = Fetcher(
-            coordinator=self.coord, seed=cfg.seed, simulated=cfg.simulated_politeness
+            coordinator=self.coord,
+            seed=cfg.seed,
+            simulated=cfg.simulated_politeness,
+            page_scale=cfg.page_scale,
         )
         if resume and os.path.exists(self._manifest_path()):
             self._resume()
@@ -192,7 +195,9 @@ class CrawlDriver:
     # ---------------------------------------------------------- one wave
     def _probe(self, dates: list[date]) -> pa.Table:
         """Session-day probes (W2). Small batches run on the driver through
-        the same Fetcher/politeness path; the reference probes serially."""
+        the same Fetcher/politeness path (the reference probes serially);
+        large discovery waves go through a Dataset actor pool so the probe
+        phase scales with the cluster instead of the driver."""
         urls = [SESSION_DAY_RULE.url(d) for d in dates]
         t = pa.table(
             {
@@ -205,7 +210,31 @@ class CrawlDriver:
                 "wave": pa.array([self.state.wave] * len(dates), pa.int32()),
             }
         )
-        return self._probe_fetcher(t)
+        cfg = self.cfg
+        if t.num_rows <= cfg.small_wave_rows:
+            return self._probe_fetcher(t)
+        # probes run as plain TASKS, not an actor pool: the probe stage owns
+        # no per-worker state (throttle/robots state lives in the politeness
+        # coordinator actor) and task pipelines start ~10x faster than actor
+        # pools — the pool is reserved for the stateful document fetch stage.
+        coord, seed, simulated, scale = (
+            self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+        )
+
+        def probe_fn(batch: pa.Table) -> pa.Table:
+            return Fetcher(
+                coordinator=coord, seed=seed, simulated=simulated, page_scale=scale
+            )(batch)
+
+        ds = ray.data.from_arrow(t).repartition(cfg.fetch_concurrency * 2)
+        ds = ds.map_batches(
+            probe_fn,
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            num_cpus=1,
+        )
+        tables = ray.get(ds.to_arrow_refs())
+        return pa.concat_tables([x for x in tables if x.num_rows])
 
     def run_wave(self) -> dict | None:
         cfg, st = self.cfg, self.state
@@ -306,30 +335,60 @@ class CrawlDriver:
 
     def _fetch_extract_write(self, frontier: pa.Table) -> int:
         cfg = self.cfg
-        ds = ray.data.from_arrow(frontier)
-        from .._util import worker_runtime_env
+        path = os.path.join(cfg.output_dir, "pages", f"wave={self.state.wave}")
+        if frontier.num_rows <= 64:
+            # tiny tail waves: any pipeline startup dwarfs the work
+            import pyarrow.parquet as pq
 
-        renv = worker_runtime_env()
-        ds = ds.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={
-                "coordinator": self.coord,
-                "seed": cfg.seed,
-                "simulated": cfg.simulated_politeness,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-            runtime_env=renv,
-        )
+            out = extract_batch(self._probe_fetcher(frontier))
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(out, os.path.join(path, "part-0.parquet"))
+            return out.num_rows
+        ds = ray.data.from_arrow(frontier)
+        # split the single in-memory block so the pool/tasks are saturated
+        n_blocks = max(1, min(frontier.num_rows // max(64, cfg.fetch_batch_size // 4), cfg.fetch_concurrency * 4))
+        if n_blocks > 1:
+            ds = ds.repartition(n_blocks)
+        if frontier.num_rows <= cfg.small_wave_rows:
+            # mid-size waves: task-based fetch (no per-worker state needed —
+            # throttle/robots live in the coordinator actor); task pipelines
+            # start ~10x faster than actor pools
+            coord, seed, simulated, scale = (
+                self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+            )
+
+            def fetch_fn(batch: pa.Table) -> pa.Table:
+                return Fetcher(
+                    coordinator=coord, seed=seed, simulated=simulated, page_scale=scale
+                )(batch)
+
+            ds = ds.map_batches(
+                fetch_fn,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                num_cpus=1,
+            )
+        else:
+            ds = ds.map_batches(
+                Fetcher,
+                fn_constructor_kwargs={
+                    "coordinator": self.coord,
+                    "seed": cfg.seed,
+                    "simulated": cfg.simulated_politeness,
+                    "page_scale": cfg.page_scale,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                # autoscaling pool: Ray releases idle fetch actors so their
+                # CPUs flow to the extract/write tasks at the stage tail
+                concurrency=(2, cfg.fetch_concurrency),
+                num_cpus=1,
+            )
         ds = ds.map_batches(
             extract_batch,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            runtime_env=renv,
         )
-        path = os.path.join(cfg.output_dir, "pages", f"wave={self.state.wave}")
         ds.write_parquet(path)
         import pyarrow.dataset as pads
 
@@ -341,6 +400,186 @@ class CrawlDriver:
         d = os.path.join(self.cfg.output_dir, kind)
         os.makedirs(d, exist_ok=True)
         pq.write_table(table, os.path.join(d, f"wave_{self.state.wave:05d}.parquet"))
+
+    # ------------------------------------------------ streamed (one pipe)
+    def run_streamed(self) -> dict:
+        """Single streaming pipeline over the whole date range:
+
+            dates → probe(+inline retry)+expand → seen-dedup → fetch
+                  → extract → Parquet
+
+        No driver-side barriers: the streaming executor pipelines every
+        stage with backpressure. Probes retry inline until the status plan
+        resolves (the wave-equivalence contract — discovery batches with
+        one retry slot — is the job of ``run()``; this mode trades the
+        reference's wave ordering for throughput while producing the SAME
+        final page set, and is what a 100 TB crawl would run)."""
+        cfg = self.cfg
+        days = []
+        d = cfg.horizon
+        while d >= cfg.start_date:
+            days.append(d)
+            d -= timedelta(days=1)
+        dates_t = pa.table({"date": pa.array(days, pa.date32())})
+
+        coord, seed, simulated, scale = (
+            self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+        )
+        rules = self.rules
+        seen = self.seen
+
+        def probe_expand(batch: pa.Table) -> pa.Table:
+            """Probe each date (inline retry until {200,404}); for 200
+            dates unfold the active-rule frontier rows."""
+            from ..sources.synth import MockHttp
+
+            http = MockHttp(seed, page_scale=scale)
+            wave = 0
+            out_dates, out_rules, out_urls, out_attempts = [], [], [], []
+            out_status, out_html, out_redir = [], [], []
+            host_statuses: list[int] = []
+            days_ = batch.column("date").to_pylist()
+            if coord is not None:
+                ray.get(coord.lease.remote("europarl.europa.eu", len(days_)))
+            for day in days_:
+                url = SESSION_DAY_RULE.url(day)
+                attempt = 0
+                while True:
+                    status, body, redir = http.fetch(url, attempt, SESSION_DAY_RULE.name)
+                    if status in OK_PROBE or attempt > 8:
+                        break
+                    attempt += 1
+                host_statuses.append(status)
+                out_dates.append(day)
+                out_rules.append(SESSION_DAY_RULE.name)
+                out_urls.append(url)
+                out_attempts.append(attempt)
+                out_status.append(status)
+                out_html.append(None)
+                out_redir.append(redir)
+                if status == 200:
+                    for r in rules:
+                        out_dates.append(day)
+                        out_rules.append(r.name)
+                        out_urls.append(r.url(day))
+                        out_attempts.append(0)
+                        out_status.append(None)  # to be fetched downstream
+                        out_html.append(None)
+                        out_redir.append(None)
+            if coord is not None and host_statuses:
+                ray.get(coord.report.remote("europarl.europa.eu", host_statuses))
+            return pa.table(
+                {
+                    "url": pa.array(out_urls, pa.string()),
+                    "rulename": pa.array(out_rules, pa.string()),
+                    "date": pa.array(out_dates, pa.date32()),
+                    "attempt": pa.array(out_attempts, pa.int32()),
+                    "wave": pa.array([wave] * len(out_urls), pa.int32()),
+                    "status_code": pa.array(out_status, pa.int32()),
+                    "html": pa.array(out_html, pa.binary()),
+                    "redirected_url": pa.array(out_redir, pa.string()),
+                }
+            )
+
+        def dedup_filter(batch: pa.Table) -> pa.Table:
+            keys = [
+                rn + "\x00" + u
+                for rn, u in zip(
+                    batch.column("rulename").to_pylist(), batch.column("url").to_pylist()
+                )
+            ]
+            h1, h2 = hash_urls(keys)
+            dup = seen.check_and_add(h1, h2)
+            return batch.filter(pa.array(~dup))
+
+        def fetch_pending(fetcher: Fetcher, batch: pa.Table) -> pa.Table:
+            """Fetch rows whose status is null; pass probe rows through."""
+            import pyarrow.compute as pc
+
+            pending_mask = pc.is_null(batch.column("status_code"))
+            pending = batch.filter(pending_mask)
+            done = batch.filter(pc.invert(pending_mask))
+            if pending.num_rows:
+                fetched = fetcher(pending.drop_columns(["status_code", "html", "redirected_url"]))
+            else:
+                fetched = None
+            # align done rows to the fetched schema
+            tables = []
+            if fetched is not None:
+                tables.append(fetched)
+            if done.num_rows:
+                import zlib as _z
+                from datetime import datetime, timezone
+
+                base = int(datetime(2021, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+                ts = [
+                    base + (_z.crc32(u.encode()) % 86_400) * 1_000_000
+                    for u in done.column("url").to_pylist()
+                ]
+                t = done.drop_columns(["status_code", "html", "redirected_url"])
+                t = t.append_column(
+                    "requested_at", pa.array(ts, pa.timestamp("us", tz="UTC"))
+                )
+                t = t.append_column("status_code", done.column("status_code"))
+                t = t.append_column("redirected_url", done.column("redirected_url"))
+                t = t.append_column("html", done.column("html"))
+                t = t.append_column(
+                    "lang",
+                    pa.array(["EN"] * done.num_rows, pa.string()),
+                )
+                tables.append(t)
+            cols = [
+                "url", "rulename", "date", "attempt", "wave",
+                "requested_at", "status_code", "redirected_url", "html", "lang",
+            ]
+            tables = [t.select(cols) for t in tables]
+            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+        # block granularity sets downstream task parallelism (operators are
+        # fused task-per-block): ~50 dates/block → ~380 output rows/block,
+        # enough tasks to fill the CPUs with a short tail. Pre-split the
+        # dates table driver-side — no repartition shuffle needed.
+        n_blocks = int(np.clip(len(days) // 50, cfg.fetch_concurrency * 4, 512))
+        step = max(1, (dates_t.num_rows + n_blocks - 1) // n_blocks)
+        ds = ray.data.from_arrow(
+            [dates_t.slice(i, step) for i in range(0, dates_t.num_rows, step)]
+        )
+        # distinct num_cpus keeps probe/dedup as their own (cheap) stages so
+        # the heavy fused fetch+extract+write stage pipelines behind them —
+        # full fusion of the whole chain measured ~2x slower (stalls on the
+        # seen-shard and politeness RPCs serialize a fused task end-to-end)
+        ds = ds.map_batches(probe_expand, batch_format="pyarrow", num_cpus=1)
+        ds = ds.map_batches(dedup_filter, batch_format="pyarrow", num_cpus=0.25)
+        fetch_kwargs = {
+            "coordinator": self.coord,
+            "seed": cfg.seed,
+            "simulated": cfg.simulated_politeness,
+            "page_scale": cfg.page_scale,
+        }
+
+        def fetch_fn(batch: pa.Table) -> pa.Table:
+            return fetch_pending(Fetcher(**fetch_kwargs), batch)
+
+        ds = ds.map_batches(fetch_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size, num_cpus=1)
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
+        path = os.path.join(cfg.output_dir, "pages", "wave=0")
+        ds.write_parquet(path)
+        self.last_stats = ds.stats()
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(path).count_rows()
+        stats = self.seen.stats()
+        self.metrics.append(
+            {"wave": 0, "dates_probed": len(days), "confirmed_new": -1, "urls_new": n, "pages": n}
+        )
+        self._write_manifest()
+        return {
+            "waves": 1,
+            "pages": n,
+            "urls_new": n,
+            "confirmed_days": -1,
+            "seen_size": stats["n_added"],
+        }
 
     # ---------------------------------------------------------- run loop
     def run(self, max_waves: int | None = None) -> dict:

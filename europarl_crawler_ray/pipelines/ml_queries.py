@@ -25,7 +25,6 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min
 
-from .._util import worker_runtime_env
 from ..functions.dedup import (
     N_BANDS,
     est_jaccard,
@@ -41,10 +40,6 @@ from ..functions.textstats import predict_lang
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _renv() -> dict:
-    return worker_runtime_env()
 
 
 # ------------------------------------------------------------ minhash-LSH
@@ -88,7 +83,7 @@ def q_dedup_minhash(sf_dir: str, threshold_pct: int = 20):
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_pct"]).astype(np.int64)
 
     pairs = (
-        docs.map_batches(sig_rows, batch_format="pyarrow", runtime_env=_renv())
+        docs.map_batches(sig_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -139,7 +134,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 6):
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(np.int64)
 
     pairs = (
-        docs.map_batches(sh_rows, batch_format="pyarrow", runtime_env=_renv())
+        docs.map_batches(sh_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -165,7 +160,7 @@ def q_langid(sf_dir: str):
             }
         )
 
-    return docs.map_batches(pred, batch_format="pandas", runtime_env=_renv())
+    return docs.map_batches(pred, batch_format="pandas")
 
 
 # ----------------------------------------------------- LSH-bucketed ANN
@@ -210,7 +205,7 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
         return g[["query_id", "vec_id", "rank"]]
 
     return (
-        emb.map_batches(score_bucketed, batch_format="pandas", runtime_env=_renv())
+        emb.map_batches(score_bucketed, batch_format="pandas")
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
@@ -247,7 +242,7 @@ def q_cosine_nn(sf_dir: str, n_queries: int = 100):
         return g.rename(columns={"cand_id": "nn_id"})[["query_id", "nn_id"]]
 
     return (
-        emb.map_batches(score, batch_format="pandas", runtime_env=_renv())
+        emb.map_batches(score, batch_format="pandas")
         .groupby("query_id")
         .map_groups(best, batch_format="pandas")
     )
@@ -267,14 +262,13 @@ def q_multimodal_meta(sf_dir: str):
             "image", pa.array([make_fake_image(str(i)) for i in ids], pa.binary())
         )
 
-    return docs.map_batches(attach, batch_format="pyarrow", runtime_env=_renv()).map_batches(
+    return docs.map_batches(attach, batch_format="pyarrow").map_batches(
         DecodeImageMeta,
         fn_constructor_kwargs={"use_stub": True},
         batch_format="pyarrow",
         batch_size=64,  # wide binary rows → small batches
         concurrency=2,
         num_cpus=1,
-        runtime_env=_renv(),
     )
 
 
@@ -339,7 +333,7 @@ def q_rewrite_links(sf_dir: str):
             )
         return batch.append_column("n_links_rewritten", pa.array(n_rewritten, pa.int64()))
 
-    return ray.data.from_arrow(t).map_batches(rw, batch_format="pyarrow", runtime_env=_renv())
+    return ray.data.from_arrow(t).map_batches(rw, batch_format="pyarrow")
 
 
 ML_QUERIES: dict = {

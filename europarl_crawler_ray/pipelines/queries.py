@@ -34,12 +34,6 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _renv() -> dict:
-    from .._util import worker_runtime_env
-
-    return worker_runtime_env()
-
-
 # Derived per-event HTTP-ish status (deterministic from event_id) — used to
 # map the reference's requests-log operators (A1/F3) onto the events table.
 STATUS_SQL = (
@@ -86,7 +80,7 @@ def q_url_generation(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
-    return ray.data.range(n_days).map_batches(unfold, batch_format="pyarrow", runtime_env=_renv())
+    return ray.data.range(n_days).map_batches(unfold, batch_format="pyarrow")
 
 
 def _urlgen_sql() -> str:
@@ -163,7 +157,7 @@ def q_retry_pairs(sf_dir: str):
         )
 
     g = (
-        ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+        ev.map_batches(derive, batch_format="pyarrow")
         .groupby(["user_id", "day"])
         .aggregate(Max("ok", alias_name="any_ok"))
     )
@@ -193,7 +187,7 @@ def q_todo_combos(sf_dir: str):
             }
         )
 
-    d = ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+    d = ev.map_batches(derive, batch_format="pyarrow")
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
     users = sorted(set(d.unique("user_id")))
     observed_tbl = d.select_columns(["day", "user_id"]).to_pandas().drop_duplicates()
@@ -213,7 +207,7 @@ def q_todo_combos(sf_dir: str):
         keep = [i for i, (dd, u) in enumerate(zip(days, us)) if (dd, u) not in obs]
         return t.take(keep)
 
-    return ray.data.from_arrow(cross).map_batches(anti, batch_format="pyarrow", runtime_env=_renv())
+    return ray.data.from_arrow(cross).map_batches(anti, batch_format="pyarrow")
 
 
 TODO_COMBOS_SQL = f"""
@@ -243,7 +237,7 @@ def q_status_summary(sf_dir: str):
         return pa.table({"status_code": uniq, "partial_n": counts.astype(np.int64)})
 
     return (
-        ev.map_batches(derive, batch_format="pyarrow", runtime_env=_renv())
+        ev.map_batches(derive, batch_format="pyarrow")
         .groupby("status_code")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
@@ -291,7 +285,7 @@ def q_uncrawled_orders(sf_dir: str):
         return t.filter(pa.array(mask))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey"])
-    return orders.map_batches(anti, batch_format="pyarrow", runtime_env=_renv())
+    return orders.map_batches(anti, batch_format="pyarrow")
 
 
 UNCRAWLED_ORDERS_SQL = """
@@ -347,7 +341,7 @@ def q_nation_order_stats(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     agg = (
-        li.map_batches(enrich_partial, batch_format="pyarrow", runtime_env=_renv())
+        li.map_batches(enrich_partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("part_items", alias_name="n_items"), Sum("part_qty", alias_name="qty_d"))
     )
@@ -384,7 +378,7 @@ def q_dedup_exact(sf_dir: str):
         return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
 
     return (
-        d.map_batches(h, batch_format="pyarrow", runtime_env=_renv())
+        d.map_batches(h, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
     )
@@ -407,7 +401,7 @@ def q_token_stats(sf_dir: str):
         return df.groupby("lang", as_index=False)[["part_tokens", "part_docs"]].sum()
 
     return (
-        d.map_batches(stats, batch_format="pandas", runtime_env=_renv())
+        d.map_batches(stats, batch_format="pandas")
         .groupby("lang")
         .aggregate(Sum("part_docs", alias_name="n_docs"), Sum("part_tokens", alias_name="total_tokens"))
     )
@@ -431,7 +425,7 @@ def q_text_quality(sf_dir: str):
         q.insert(0, "doc_id", df["doc_id"].to_numpy())
         return q
 
-    return d.map_batches(stats, batch_format="pandas", runtime_env=_renv())
+    return d.map_batches(stats, batch_format="pandas")
 
 
 TEXT_QUALITY_SQL = r"""
@@ -453,7 +447,7 @@ def q_fingerprint_docs(sf_dir: str):
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"], "fp": fingerprints(df["text"])})
 
-    return d.map_batches(fp, batch_format="pandas", runtime_env=_renv())
+    return d.map_batches(fp, batch_format="pandas")
 
 
 FINGERPRINT_DOCS_SQL = r"""
@@ -494,9 +488,9 @@ def q_ann_topk(sf_dir: str):
         return g[["query_id", "vec_id", "rank"]]
 
     return (
-        emb.map_batches(score, batch_format="pandas", runtime_env=_renv())
+        emb.map_batches(score, batch_format="pandas")
         .groupby("query_id")
-        .map_groups(topk, batch_format="pandas", runtime_env=_renv())
+        .map_groups(topk, batch_format="pandas")
     )
 
 

@@ -67,7 +67,8 @@ def _rng_for(url: str, seed: int = SEED) -> np.random.Generator:
     return np.random.default_rng(zlib.crc32(f"page:{seed}:{url}".encode()))
 
 
-def render_html(url: str, rulename: str, day: date, lang: str, seed: int = SEED) -> bytes:
+def render_html(url: str, rulename: str, day: date, lang: str, seed: int = SEED,
+                scale: int = 1) -> bytes:
     """Deterministic synthetic HTML for a document url.
 
     Includes the markup classes the extraction contract covers: entities,
@@ -82,7 +83,7 @@ def render_html(url: str, rulename: str, day: date, lang: str, seed: int = SEED)
         return " ".join(rng.choice(words, size=n)) + "."
 
     paras = []
-    for i in range(int(rng.integers(3, 12))):
+    for i in range(int(rng.integers(3, 12)) * scale):
         paras.append(f"<p>{sentence(int(rng.integers(6, 30)))}</p>")
         if rng.random() < 0.15:
             paras.append(f"<!-- item {i} -->")
@@ -162,8 +163,9 @@ class MockHttp:
     for scale benches, see ``cc_url``).
     """
 
-    def __init__(self, seed: int = SEED):
+    def __init__(self, seed: int = SEED, page_scale: int = 1):
         self.seed = seed
+        self.page_scale = page_scale
 
     def parse_doc_url(self, url: str):
         """-> (rulename_hint, date, lang, fmt) or None if not europarl-shaped."""
@@ -197,7 +199,7 @@ class MockHttp:
             rn = f"{prefix}{infix}_{lang}{fmt}"
             redirected = url + "?lang=" + lang.lower() if has_redirect(url, self.seed) else url
             if fmt == ".html":
-                return 200, render_html(url, rn, day, lang, self.seed), redirected
+                return 200, render_html(url, rn, day, lang, self.seed, self.page_scale), redirected
             if fmt == ".pdf":
                 return 200, render_pdf(url, self.seed), redirected
             return 200, render_xml(url, rn, day, self.seed), redirected

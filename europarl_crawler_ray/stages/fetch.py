@@ -51,8 +51,8 @@ class Fetcher:
     """
 
     def __init__(self, coordinator=None, seed: int = 42, simulated: bool = True,
-                 max_wait_s: float = 30.0):
-        self.http = MockHttp(seed)
+                 max_wait_s: float = 30.0, page_scale: int = 1):
+        self.http = MockHttp(seed, page_scale=page_scale)
         self.coord = coordinator
         self.simulated = simulated
         self.max_wait_s = max_wait_s

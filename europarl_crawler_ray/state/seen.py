@@ -163,12 +163,13 @@ class SeenSet:
     ):
         self.num_shards = num_shards
         self.exact = exact
-        from .._util import worker_runtime_env
-
+        # num_cpus=0: control-plane actors must never reserve data-plane
+        # CPUs — a shard pool that holds real CPU slots can starve the
+        # repartition/extract tasks into a scheduling deadlock. Shard work
+        # is short vectorized bursts; at multi-node scale place shards by
+        # memory (each ~1.5 GiB at 10^10 urls / 1024 shards) not CPU.
         self.shards = [
-            SeenShard.options(
-                num_cpus=0.25, max_concurrency=1, runtime_env=worker_runtime_env()
-            ).remote(m_bits_per_shard, k, exact)
+            SeenShard.options(num_cpus=0, max_concurrency=1).remote(m_bits_per_shard, k, exact)
             for _ in range(num_shards)
         ]
 

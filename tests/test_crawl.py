@@ -124,6 +124,23 @@ def test_kill_and_resume_reaches_same_final_state(ray_session, tmp_path):
         assert url_waves.get(i, set()) == set(w["urls"]), f"wave {i} urls"
 
 
+def test_streamed_mode_same_final_page_set(ray_session, tmp_path):
+    """run_streamed trades wave ordering for throughput but must produce
+    the identical final (rulename, url) set as the wave-equivalent run()."""
+    cfg = _cfg(tmp_path)
+    drv = CrawlDriver(cfg, resume=False)
+    s = drv.run_streamed()
+    stream_pages = pads.dataset(f"{cfg.output_dir}/pages").to_table(
+        columns=["url", "rulename"]
+    )
+    stream_pairs = set(
+        zip(stream_pages.column("rulename").to_pylist(), stream_pages.column("url").to_pylist())
+    )
+    o = _oracle()
+    assert stream_pairs == o["urls_seen"]
+    assert s["pages"] == len(stream_pairs)
+
+
 def test_politeness_throttle_state_evolves(crawl_run):
     import ray
 
