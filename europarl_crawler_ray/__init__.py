@@ -44,6 +44,8 @@ def _register_pickle_by_value() -> None:
 
     pkg = _sys.modules[__name__]
     for m in pkgutil.walk_packages(pkg.__path__, prefix=__name__ + "."):
+        if m.name.endswith(".cli"):
+            continue  # entry-point module; avoids runpy double-import warning
         try:
             importlib.import_module(m.name)
         except Exception:

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Max, Min, Sum
 
 from ..functions.dedup import (
     N_BANDS,
@@ -336,8 +336,74 @@ def q_rewrite_links(sf_dir: str):
     return ray.data.from_arrow(t).map_batches(rw, batch_format="pyarrow")
 
 
+# ------------------------------------------------- CC skew fetch demo
+
+
+def q_cc_skew_fetch(sf_dir: str):
+    """Zipf-skewed multi-host frontier → hot-host salting → one
+    groupby(part_key) shuffle → politeness-partitioned fetch. Returns the
+    per-host outcome summary (deterministic)."""
+    import pyarrow.compute as pc
+
+    from ..sources.synth import cc_urls
+    from ..state.politeness import PolitenessCoordinator
+    from .frontier_tools import politeness_partitioned_fetch, salt_hot_hosts
+
+    urls = cc_urls(4000, n_hosts=40, zipf_a=1.3)
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls.tolist(), pa.string())}))
+    coord = PolitenessCoordinator.options(num_cpus=0).remote(simulated=True)
+    ds = salt_hot_hosts(ds, hot_threshold=400, k_host=4)
+    fetched = politeness_partitioned_fetch(ds, coord)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.canonical import hosts_vec
+
+        df = df.assign(host=hosts_vec(df["url"].tolist()), ok=(df["status_code"] == 200).astype(np.int64))
+        g = df.groupby("host", as_index=False).agg(n_urls=("url", "size"), n_ok=("ok", "sum"))
+        return g
+
+    return (
+        fetched.map_batches(summarize, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("n_urls", alias_name="n_urls"), Sum("n_ok", alias_name="n_ok"))
+    )
+
+
+# -------------------------------------------------------------- backfill
+
+
+def q_backfill(sf_dir: str):
+    """Ledger-driven backfill (spaced recrawl schedule + link rewriting +
+    date-layout blob store) over a scratch dir; returns stored-file rows."""
+    import shutil
+    from datetime import date as _date
+
+    from .backfill import backfill
+
+    basedir = "/tmp/europarl_backfill_q"
+    shutil.rmtree(basedir, ignore_errors=True)
+    out = backfill(basedir, anchor=_date(2021, 3, 1), spaced=True, limit=30)
+    import os
+
+    rows = []
+    for day_dir in sorted(os.listdir(basedir)):
+        full = os.path.join(basedir, day_dir)
+        if os.path.isdir(full):
+            for fn in sorted(os.listdir(full)):
+                rows.append((day_dir, fn, os.path.getsize(os.path.join(full, fn))))
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.string()),
+            "filename": pa.array([r[1] for r in rows], pa.string()),
+            "filesize": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 ML_QUERIES: dict = {
     "dedup_minhash": q_dedup_minhash,
+    "cc_skew_fetch": q_cc_skew_fetch,
+    "backfill": q_backfill,
     "dedup_simhash": q_dedup_simhash,
     "langid_predict": q_langid,
     "ann_lsh": q_ann_lsh,

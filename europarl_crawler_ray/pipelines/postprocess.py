@@ -1,0 +1,124 @@
+"""Postprocess + index pipelines — the rebuild of ``jobs/postprocessor.py``
+and ``jobs/indexer.py``.
+
+The reference's postprocessing plane is a scheduler polling Postgres for
+unprocessed documents (F5, ``documents.py:80-115``), six workers doing
+extraction (E4-E6), and an indexer pushing to a versioned Elasticsearch
+index (F6/S7, ``workers/indexer.py``, ``elasticinterface.py:110-158``)
+with reset/unindex tombstones for recomputation (F7,
+``documents.py:270-359``). Here:
+
+- the scheduler/lock-bits/queues disappear — one lazy Dataset pipeline
+  with streaming backpressure does dispatch;
+- the ES index becomes a VERSIONED Parquet output directory
+  (``out_dir/v{N:05d}/``) with a manifest — idempotent re-runs replace a
+  version atomically (write to tmp, rename);
+- the F7 reset family becomes ``reprocess_by_rule``: recompute one rule's
+  rows against the same pages table and publish a new version (the
+  reference clears ``data``/``indexed`` bits per rule and lets the
+  pipeline re-fill them — same end state, no tombstones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.extract import extract_batch, to_index_docs
+
+
+def _versions(out_dir: str) -> list[int]:
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for name in os.listdir(out_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_version(out_dir: str) -> int | None:
+    vs = _versions(out_dir)
+    return vs[-1] if vs else None
+
+
+def _publish(ds: ray.data.Dataset, out_dir: str, version: int, meta: dict) -> str:
+    """Write a version atomically: tmp dir → rename (the idempotency the
+    reference gets from delete-then-index bulk ops, workers/indexer.py:55-75)."""
+    final = os.path.join(out_dir, f"v{version:05d}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    import pyarrow.dataset as pads
+
+    meta = dict(meta, version=version, rows=pads.dataset(tmp).count_rows())
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    # manifest lives NEXT TO the version dir so parquet readers never see it
+    with open(os.path.join(out_dir, f"v{version:05d}.manifest.json"), "w") as f:
+        json.dump(meta, f)
+    return final
+
+
+def postprocess(pages_dir: str, out_dir: str, reextract: bool = False) -> str:
+    """pages parquet → (re)extract where needed → index-doc records →
+    versioned Parquet output. F5 semantics: only fetched rows (status 200,
+    html present) produce index docs; rows already carrying text skip
+    extraction unless ``reextract``."""
+    ds = ray.data.read_parquet(pages_dir)
+
+    def ensure_text(batch: pa.Table) -> pa.Table:
+        need = reextract or ("text" not in batch.column_names)
+        if not need:
+            # re-extract only rows with html but no text (the unprocessed
+            # scan F5 — documents where data is NULL)
+            missing = pc.and_(
+                pc.is_valid(batch.column("html")), pc.is_null(batch.column("text"))
+            )
+            if pc.sum(missing).as_py() in (0, None):
+                return batch
+        cols = [c for c in ("text", "filesize", "extract_note") if c in batch.column_names]
+        return extract_batch(batch.drop_columns(cols))
+
+    ds = ds.map_batches(ensure_text, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: to_index_docs(t.filter(pc.equal(t.column("status_code"), 200))),
+        batch_format="pyarrow",
+    )
+    version = (latest_version(out_dir) or 0) + 1
+    return _publish(ds, out_dir, version, {"source": pages_dir, "kind": "postprocess"})
+
+
+def reprocess_by_rule(pages_dir: str, out_dir: str, rulename: str) -> str:
+    """F7 ``reset_postprocessing_by_rule`` analogue: recompute extraction
+    for ONE rule's pages and publish a new version where that rule's rows
+    are recomputed and all other rows are carried over from the latest
+    version untouched."""
+    prev = latest_version(out_dir)
+    rule_ds = ray.data.read_parquet(pages_dir).filter(expr=f"rulename == '{rulename}'")
+    rule_ds = rule_ds.map_batches(
+        lambda t: extract_batch(
+            t.drop_columns([c for c in ("text", "filesize", "extract_note") if c in t.column_names])
+        ),
+        batch_format="pyarrow",
+    )
+    rule_ds = rule_ds.map_batches(
+        lambda t: to_index_docs(t.filter(pc.equal(t.column("status_code"), 200))),
+        batch_format="pyarrow",
+    )
+    if prev is not None:
+        others = ray.data.read_parquet(os.path.join(out_dir, f"v{prev:05d}")).filter(
+            expr=f"rulename != '{rulename}'"
+        )
+        merged = others.union(rule_ds)
+    else:
+        merged = rule_ds
+    version = (prev or 0) + 1
+    return _publish(
+        merged, out_dir, version, {"source": pages_dir, "kind": "reprocess", "rule": rulename}
+    )
