@@ -369,6 +369,50 @@ def q_cc_skew_fetch(sf_dir: str):
     )
 
 
+# ----------------------------------------------- A3: content analytics
+
+
+def q_content_stats(sf_dir: str):
+    """Reference exploration.ipynb analytics: extracted-content length per
+    rulename per session date, over a small deterministic crawl output."""
+    import os
+    import shutil
+    from datetime import date as _date
+
+    from .crawl import CrawlConfig, CrawlDriver
+
+    out_dir = "/tmp/europarl_content_stats"
+    if not os.path.exists(os.path.join(out_dir, "manifest.json")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cfg = CrawlConfig(
+            output_dir=out_dir,
+            start_date=_date(2021, 2, 1),
+            today=_date(2021, 3, 10),
+            offset_days=5,
+            discovery_limit=40,
+            expansion_limit=2000,
+            num_seen_shards=2,
+            fetch_concurrency=2,
+        )
+        CrawlDriver(cfg, resume=False).run()
+    pages = ray.data.read_parquet(
+        os.path.join(out_dir, "pages"), columns=["rulename", "date", "status_code", "text"]
+    )
+
+    def lengths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["status_code"] == 200) & df["text"].notna()]
+        df = df.assign(content_len=df["text"].str.len().astype(np.int64))
+        return df.groupby(["rulename", "date"], as_index=False).agg(
+            content_len=("content_len", "sum"), n=("text", "size")
+        )
+
+    return (
+        pages.map_batches(lengths, batch_format="pandas")
+        .groupby(["rulename", "date"])
+        .aggregate(Sum("content_len", alias_name="total_len"), Sum("n", alias_name="n_docs"))
+    )
+
+
 # -------------------------------------------------------------- backfill
 
 
@@ -404,6 +448,7 @@ ML_QUERIES: dict = {
     "dedup_minhash": q_dedup_minhash,
     "cc_skew_fetch": q_cc_skew_fetch,
     "backfill": q_backfill,
+    "content_stats": q_content_stats,
     "dedup_simhash": q_dedup_simhash,
     "langid_predict": q_langid,
     "ann_lsh": q_ann_lsh,

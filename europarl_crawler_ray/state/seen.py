@@ -134,7 +134,16 @@ class SeenShard:
         return self.bloom.contains(h1, h2)
 
     def stats(self) -> dict:
-        return {"n_added": self.bloom.n_added, "n_checked": self.bloom.n_checked}
+        b = self.bloom
+        # surfaced FPR (SURVEY §7.3 item 4): fill ratio p → FPR ≈ p^k
+        fill = float(np.unpackbits(b.bits[:: max(1, len(b.bits) // 65536)]).mean())
+        return {
+            "n_added": b.n_added,
+            "n_checked": b.n_checked,
+            "fill_ratio": round(fill, 6),
+            "est_fpr": round(fill**b.k, 9),
+            "exact": b.exact,
+        }
 
     def checkpoint(self, path: str) -> str:
         self.bloom.save(path)
@@ -210,6 +219,7 @@ class SeenSet:
         return {
             "n_added": sum(p["n_added"] for p in per),
             "n_checked": sum(p["n_checked"] for p in per),
+            "est_fpr": max(p["est_fpr"] for p in per),
             "shards": per,
         }
 

@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis): the extractor never crashes and is
+deterministic on arbitrary input; canonicalization is idempotent; minhash
+estimates are bounded; the seen-set never false-negatives."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from europarl_crawler_ray.functions.canonical import canonicalize_url, hash_urls
+from europarl_crawler_ray.functions.dedup import (
+    est_jaccard,
+    minhash_signature,
+    word_shingles,
+)
+from europarl_crawler_ray.functions.extract import get_text, html_to_text
+from europarl_crawler_ray.state.seen import BloomSet
+
+html_fragments = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(html_fragments)
+@settings(max_examples=150, deadline=None)
+def test_get_text_total_and_deterministic(s):
+    out1 = get_text(s)
+    out2 = get_text(s)
+    assert out1 == out2
+    assert isinstance(out1, str)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_html_to_text_total_on_bytes(b):
+    out = html_to_text(b)
+    assert out is None or isinstance(out, str)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_canonicalize_idempotent(u):
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+
+
+@given(st.text(max_size=300), st.text(max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimate_bounded_and_reflexive(a, b):
+    sa, sb = word_shingles(a), word_shingles(b)
+    est = est_jaccard(minhash_signature(sa), minhash_signature(sb))
+    assert 0.0 <= est <= 1.0
+    assert est_jaccard(minhash_signature(sa), minhash_signature(sa)) == 1.0
+
+
+@given(st.lists(st.text(min_size=1, max_size=50), min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(urls):
+    b = BloomSet(m_bits=1 << 14, exact=False)
+    h1, h2 = hash_urls(urls)
+    b.check_and_add(h1, h2)
+    assert b.contains(h1, h2).all()
