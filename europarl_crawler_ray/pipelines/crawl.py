@@ -64,6 +64,7 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     checkpoint_every: int = 1
     max_waves: int | None = None
+    n_politeness_shards: int = 1  # coordinators sharded by hash(host)
     page_scale: int = 1          # synthetic page size multiplier (bench)
     # waves below this row count fetch via plain tasks (fast start)
     # instead of a fresh actor pool; waves ≤64 rows run on the driver
@@ -147,10 +148,14 @@ class CrawlDriver:
             if cfg.active_rule_names is not None
             else list(DOCUMENT_RULES)
         )
-        self.coord = PolitenessCoordinator.options(num_cpus=0).remote(
-            min_interval=cfg.min_interval,
-            simulated=cfg.simulated_politeness,
-        )
+        self.coords = [
+            PolitenessCoordinator.options(num_cpus=0).remote(
+                min_interval=cfg.min_interval,
+                simulated=cfg.simulated_politeness,
+            )
+            for _ in range(max(1, cfg.n_politeness_shards))
+        ]
+        self.coord = self.coords[0]  # single-host crawls route here
         self.seen = SeenSet(
             num_shards=cfg.num_seen_shards,
             m_bits_per_shard=cfg.seen_bits_per_shard,
@@ -160,7 +165,7 @@ class CrawlDriver:
         self.metrics: list[dict] = []
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._probe_fetcher = Fetcher(
-            coordinator=self.coord,
+            coordinator=self.coords,
             seed=cfg.seed,
             simulated=cfg.simulated_politeness,
             page_scale=cfg.page_scale,
@@ -217,13 +222,13 @@ class CrawlDriver:
         # no per-worker state (throttle/robots state lives in the politeness
         # coordinator actor) and task pipelines start ~10x faster than actor
         # pools — the pool is reserved for the stateful document fetch stage.
-        coord, seed, simulated, scale = (
-            self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+        coords, seed, simulated, scale = (
+            self.coords, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
         )
 
         def probe_fn(batch: pa.Table) -> pa.Table:
             return Fetcher(
-                coordinator=coord, seed=seed, simulated=simulated, page_scale=scale
+                coordinator=coords, seed=seed, simulated=simulated, page_scale=scale
             )(batch)
 
         ds = ray.data.from_arrow(t).repartition(cfg.fetch_concurrency * 2)
@@ -353,13 +358,13 @@ class CrawlDriver:
             # mid-size waves: task-based fetch (no per-worker state needed —
             # throttle/robots live in the coordinator actor); task pipelines
             # start ~10x faster than actor pools
-            coord, seed, simulated, scale = (
-                self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+            coords, seed, simulated, scale = (
+                self.coords, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
             )
 
             def fetch_fn(batch: pa.Table) -> pa.Table:
                 return Fetcher(
-                    coordinator=coord, seed=seed, simulated=simulated, page_scale=scale
+                    coordinator=coords, seed=seed, simulated=simulated, page_scale=scale
                 )(batch)
 
             ds = ds.map_batches(
@@ -372,7 +377,7 @@ class CrawlDriver:
             ds = ds.map_batches(
                 Fetcher,
                 fn_constructor_kwargs={
-                    "coordinator": self.coord,
+                    "coordinator": self.coords,
                     "seed": cfg.seed,
                     "simulated": cfg.simulated_politeness,
                     "page_scale": cfg.page_scale,
@@ -422,11 +427,16 @@ class CrawlDriver:
             d -= timedelta(days=1)
         dates_t = pa.table({"date": pa.array(days, pa.date32())})
 
-        coord, seed, simulated, scale = (
-            self.coord, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+        coords, seed, simulated, scale = (
+            self.coords, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
         )
         rules = self.rules
         seen = self.seen
+
+        def _coord_for(host: str):
+            import zlib as _z
+
+            return coords[_z.crc32(host.encode()) % len(coords)] if coords else None
 
         def probe_expand(batch: pa.Table) -> pa.Table:
             """Probe each date (inline retry until {200,404}); for 200
@@ -439,6 +449,7 @@ class CrawlDriver:
             out_status, out_html, out_redir = [], [], []
             host_statuses: list[int] = []
             days_ = batch.column("date").to_pylist()
+            coord = _coord_for("europarl.europa.eu")
             if coord is not None:
                 ray.get(coord.lease.remote("europarl.europa.eu", len(days_)))
             for day in days_:
@@ -551,7 +562,7 @@ class CrawlDriver:
         ds = ds.map_batches(probe_expand, batch_format="pyarrow", num_cpus=1)
         ds = ds.map_batches(dedup_filter, batch_format="pyarrow", num_cpus=0.25)
         fetch_kwargs = {
-            "coordinator": self.coord,
+            "coordinator": self.coords,
             "seed": cfg.seed,
             "simulated": cfg.simulated_politeness,
             "page_scale": cfg.page_scale,
@@ -580,6 +591,15 @@ class CrawlDriver:
             "confirmed_days": -1,
             "seen_size": stats["n_added"],
         }
+
+    def shutdown(self) -> None:
+        """Kill this driver's long-lived actors (coordinators + seen
+        shards). Call when the driver is done inside a longer session so
+        repeated pipeline invocations don't accumulate idle actors."""
+        for a in self.coords:
+            ray.kill(a, no_restart=True)
+        for a in self.seen.shards:
+            ray.kill(a, no_restart=True)
 
     # ---------------------------------------------------------- run loop
     def run(self, max_waves: int | None = None) -> dict:

@@ -37,6 +37,7 @@ def run_flagship(
     )
     driver = CrawlDriver(cfg, resume=not clean)
     driver.run()
+    driver.shutdown()
     ds = ray.data.read_parquet(f"{output_dir}/pages")
     # project to the input_hint pages shape
     return ds.map_batches(

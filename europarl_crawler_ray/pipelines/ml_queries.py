@@ -296,6 +296,7 @@ def q_crawl_sim(sf_dir: str):
     drv = CrawlDriver(cfg, resume=False)
     drv.run()
     rows = drv.metrics
+    drv.shutdown()
     return pa.table(
         {
             "wave": pa.array([m["wave"] for m in rows], pa.int64()),
@@ -394,7 +395,9 @@ def q_content_stats(sf_dir: str):
             num_seen_shards=2,
             fetch_concurrency=2,
         )
-        CrawlDriver(cfg, resume=False).run()
+        d = CrawlDriver(cfg, resume=False)
+        d.run()
+        d.shutdown()
     pages = ray.data.read_parquet(
         os.path.join(out_dir, "pages"), columns=["rulename", "date", "status_code", "text"]
     )

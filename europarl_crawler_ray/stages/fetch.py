@@ -53,30 +53,44 @@ class Fetcher:
     def __init__(self, coordinator=None, seed: int = 42, simulated: bool = True,
                  max_wait_s: float = 30.0, page_scale: int = 1):
         self.http = MockHttp(seed, page_scale=page_scale)
-        self.coord = coordinator
+        # `coordinator` is one PolitenessCoordinator handle or a LIST of
+        # them — sharded by hash(host) so no single politeness actor
+        # bottlenecks a large cluster (each coordinator owns a disjoint
+        # host set; a host always routes to the same shard).
+        self.coords = (
+            list(coordinator) if isinstance(coordinator, (list, tuple)) else
+            ([coordinator] if coordinator is not None else [])
+        )
         self.simulated = simulated
         self.max_wait_s = max_wait_s
 
+    def _coord(self, host: str):
+        if not self.coords:
+            return None
+        return self.coords[zlib.crc32(host.encode()) % len(self.coords)]
+
     # -- politeness helpers -------------------------------------------
     def _lease_all(self, host: str, n: int) -> int:
-        if self.coord is None:
+        coord = self._coord(host)
+        if coord is None:
             return n
-        granted = ray.get(self.coord.lease.remote(host, n))
+        granted = ray.get(coord.lease.remote(host, n))
         while granted < n and not self.simulated:
-            wait = ray.get(self.coord.wait_time.remote(host, n - granted))
+            wait = ray.get(coord.wait_time.remote(host, n - granted))
             time.sleep(min(wait, self.max_wait_s))
-            granted += ray.get(self.coord.lease.remote(host, n - granted))
+            granted += ray.get(coord.lease.remote(host, n - granted))
         return n if self.simulated else granted
 
     def _robots_mask(self, host: str, urls: list[str]) -> np.ndarray:
-        if self.coord is None:
+        coord = self._coord(host)
+        if coord is None:
             return np.ones(len(urls), dtype=bool)
-        if not ray.get(self.coord.robots_known.remote(host)):
+        if not ray.get(coord.robots_known.remote(host)):
             _, body, _ = self.http.fetch(f"https://{host}/robots.txt")
             txt = body.decode("utf-8", "replace") if body else None
-            ray.get(self.coord.load_robots.remote(host, txt))
+            ray.get(coord.load_robots.remote(host, txt))
         paths = ["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/" for u in urls]
-        return np.asarray(ray.get(self.coord.allowed.remote(host, paths)), dtype=bool)
+        return np.asarray(ray.get(coord.allowed.remote(host, paths)), dtype=bool)
 
     # -- the batch ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -116,8 +130,9 @@ class Fetcher:
                 bodies[t] = body
                 redirects[t] = red
                 host_statuses.append(st)
-            if self.coord is not None and host_statuses:
-                ray.get(self.coord.report.remote(host, host_statuses))
+            coord = self._coord(host)
+            if coord is not None and host_statuses:
+                ray.get(coord.report.remote(host, host_statuses))
             i = j
 
         # deterministic warc_ts: epoch + wave days + url-hash offset
