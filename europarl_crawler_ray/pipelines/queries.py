@@ -156,6 +156,10 @@ def q_retry_pairs(sf_dir: str):
             }
         )
 
+    # note: no manual map-side combiner — Ray's aggregate protocol already
+    # accumulates per block before the reduce, and a measured A/B showed a
+    # pandas pre-combine stage 5-10x SLOWER here (extra stage + pandas
+    # blocks through the sort path)
     g = (
         ev.map_batches(derive, batch_format="pyarrow")
         .groupby(["user_id", "day"])
@@ -187,10 +191,19 @@ def q_todo_combos(sf_dir: str):
             }
         )
 
-    d = ev.map_batches(derive, batch_format="pyarrow")
+    # per-batch distinct (combiner) then a distinct-pairs groupby — the
+    # driver only ever sees the small distinct set, never raw events
+    d = ev.map_batches(derive, batch_format="pyarrow").map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
     users = sorted(set(d.unique("user_id")))
-    observed_tbl = d.select_columns(["day", "user_id"]).to_pandas().drop_duplicates()
+    observed_tbl = (
+        d.groupby(["day", "user_id"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
     observed_ref = ray.put(set(zip(observed_tbl["day"], observed_tbl["user_id"])))
 
     cross = pa.table(
@@ -512,6 +525,8 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
 
 def q_user_activity(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    # direct groupby: Ray's aggregate protocol accumulates per block
+    # map-side already (see q_retry_pairs note)
     return ev.groupby("user_id").aggregate(
         Count(alias_name="n_events"),
         Min("ts", alias_name="first_ts"),

@@ -61,6 +61,22 @@ def test_acquire_refill():
     assert b.acquire(100, now=20.0) == 10  # capacity-capped
 
 
+def test_interval_evolution_through_coordinator(ray_session):
+    """End-to-end adaptive sequence through the coordinator actor: exact
+    doubling on bad statuses, halving on good, floor at min_interval."""
+    import ray
+
+    from europarl_crawler_ray.state.politeness import PolitenessCoordinator
+
+    c = PolitenessCoordinator.options(num_cpus=0).remote(min_interval=3.0, simulated=True)
+    seq = [([429], 6.0), ([500], 12.0), ([503, 200], 24.0), ([200], 12.0),
+           ([404], 6.0), ([404], 3.0), ([200], 3.0), ([301], 3.0)]
+    for statuses, expected in seq:
+        ray.get(c.report.remote("h", statuses))
+        assert ray.get(c.intervals.remote())["h"] == expected, (statuses, expected)
+    ray.kill(c)
+
+
 def test_robots_gate():
     g = RobotsGate()
     g.load("h", "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n")
