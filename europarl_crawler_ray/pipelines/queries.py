@@ -380,6 +380,65 @@ GROUP BY n_name
 """
 
 
+# ==================== large×large partitioned hash join (explicit buckets)
+
+
+def q_partitioned_join(sf_dir: str, n_buckets: int = 32):
+    """orders ⨝ lineitem with BOTH sides large: tag rows with a side
+    marker, bucket by ``key % B``, one ``groupby(bucket)`` shuffle
+    co-locates each key's rows, and the per-bucket task joins+aggregates.
+    The portable partitioned-hash-join pattern when no side fits a
+    broadcast (document B; salt hot keys into sub-buckets if skewed)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column("o_orderkey"),
+                "qty": pa.nulls(t.num_rows, pa.float64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column("l_orderkey"),
+                "qty": pc.cast(t.column("l_quantity"), pa.float64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = orders.union(items).map_batches(
+        lambda t: t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t.column("key"), n_buckets - 1), pa.int32())
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key"]].drop_duplicates()
+        right = g[g["side"] == 1]
+        agg = right.groupby("key", as_index=False).agg(
+            n_items=("qty", "size"), sum_qty=("qty", "sum")
+        )
+        out = left.merge(agg, on="key", how="inner")  # inner join semantics
+        out = out.rename(columns={"key": "o_orderkey"})
+        out["n_items"] = out["n_items"].astype(np.int64)
+        out["sum_qty"] = out["sum_qty"].round().astype(np.int64)
+        return out[["o_orderkey", "n_items", "sum_qty"]]
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+PARTITIONED_JOIN_SQL = """
+SELECT o.o_orderkey, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(l.l_quantity)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
 # ========================================== F1/training: exact deduplication
 
 
@@ -613,6 +672,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "uncrawled_orders": (q_uncrawled_orders, UNCRAWLED_ORDERS_SQL),
     "unprocessed_documents": (q_unprocessed_documents, UNPROCESSED_DOCUMENTS_SQL),
     "nation_order_stats": (q_nation_order_stats, NATION_ORDER_STATS_SQL),
+    "partitioned_join": (q_partitioned_join, PARTITIONED_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
