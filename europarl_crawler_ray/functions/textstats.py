@@ -56,6 +56,38 @@ def fingerprints(texts: pd.Series) -> list[str]:
     return [md5_hex(normalize_for_fp(t)) for t in texts]
 
 
+# BPE-ish pre-tokenization (letter runs / digit runs / single symbol),
+# the word-level split most BPE vocabularies start from; class kept
+# ASCII-explicit so RE2 (DuckDB) computes the identical count
+BPE_RE_STR = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]"
+_BPE_RE = re.compile(BPE_RE_STR)
+
+
+def bpe_token_counts(texts: pd.Series) -> np.ndarray:
+    """Count of BPE-style pre-tokens per text."""
+    return texts.str.count(_BPE_RE).fillna(0).to_numpy(dtype=np.int64)
+
+
+STOPWORDS_EN = (
+    "the and of to in is a that for it with on as are was at by an be this "
+    "from or which you not have has had but they his her its"
+).split()
+
+_STOP_RE = re.compile(r"[a-z]+")
+
+
+def stopword_counts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(n_stopwords, n_words) per text — lowercase ASCII-letter words."""
+    sw = set(STOPWORDS_EN)
+    n_stop = np.zeros(len(texts), dtype=np.int64)
+    n_words = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = _STOP_RE.findall(t.lower())
+        n_words[i] = len(words)
+        n_stop[i] = sum(1 for w in words if w in sw)
+    return n_stop, n_words
+
+
 # ----------------------------------------------------------------- lang id
 
 _STOPWORDS = {

@@ -389,6 +389,7 @@ def q_partitioned_join(sf_dir: str, n_buckets: int = 32):
     co-locates each key's rows, and the per-bucket task joins+aggregates.
     The portable partitioned-hash-join pattern when no side fits a
     broadcast (document B; salt hot keys into sub-buckets if skewed)."""
+    assert n_buckets & (n_buckets - 1) == 0, "bucketing uses a bit mask → power of two"
     orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
         lambda t: pa.table(
             {
@@ -484,6 +485,63 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
+
+
+# =============================== BPE-ish token counting + stopword quality
+
+
+def q_bpe_token_stats(sf_dir: str):
+    from ..functions.textstats import bpe_token_counts
+
+    d = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(part_tokens=bpe_token_counts(df["text"]), part_docs=1)
+        return df.groupby("lang", as_index=False)[["part_tokens", "part_docs"]].sum()
+
+    return (
+        d.map_batches(stats, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("part_docs", alias_name="n_docs"),
+            Sum("part_tokens", alias_name="total_bpe_tokens"),
+        )
+    )
+
+
+BPE_TOKEN_STATS_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'))) AS BIGINT)
+         AS total_bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_stopword_stats(sf_dir: str):
+    from ..functions.textstats import stopword_counts
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        n_stop, n_words = stopword_counts(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_stopwords": n_stop, "n_words": n_words}
+        )
+
+    return d.map_batches(stats, batch_format="pandas")
+
+
+def _stopword_sql() -> str:
+    from ..functions.textstats import STOPWORDS_EN
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                w -> w IN ({sw}))) AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words
+    FROM documents
+    """
 
 
 # ====================================================== quality scoring
@@ -675,6 +733,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "partitioned_join": (q_partitioned_join, PARTITIONED_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
+    "stopword_stats": (q_stopword_stats, _stopword_sql()),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
