@@ -53,6 +53,9 @@ def ray_session(num_cpus: int):
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # raylet/worker warnings are forwarded to the DRIVER'S STDOUT and
+        # would corrupt the single JSON line this script must emit
+        log_to_driver=False,
     )
     import ray.data
 
@@ -141,6 +144,37 @@ def bench_dedup(n_urls: int = 4_000_000, num_shards: int = 8) -> dict:
     }
 
 
+def bench_cc_ingest(num_cpus: int, n_urls: int = 60_000) -> dict:
+    """Common-Crawl-style multi-host ingest: dedup + politeness + extract
+    over a Zipf frontier with 20% duplicate urls."""
+    import shutil
+
+    from europarl_crawler_ray.pipelines.cc_ingest import CCIngest, CCIngestConfig
+
+    out = f"/tmp/bench_cc_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CCIngestConfig(
+        output_dir=out,
+        n_urls=n_urls,
+        n_hosts=2000,
+        n_partitions=4,
+        page_scale=10,
+        blocks_per_partition=max(8, num_cpus * 2),
+    )
+    ing = CCIngest(cfg)
+    t0 = time.perf_counter()
+    s = ing.run()
+    dt = time.perf_counter() - t0
+    ing.shutdown()
+    return {
+        "seconds": round(dt, 3),
+        "pages": s["pages"],
+        "pages_per_sec": round(s["pages"] / dt, 1),
+        "unique_urls": s["unique_urls"],
+        "est_fpr": s["est_fpr"],
+    }
+
+
 def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
 
@@ -163,6 +197,9 @@ def run_full(num_cpus: int, sf_dir: str, skip_queries: bool = False) -> dict:
     log("dedup microbench ...")
     dedup = bench_dedup()
     log(f"  {dedup}")
+    log("cc ingest bench ...")
+    cc = bench_cc_ingest(num_cpus)
+    log(f"  {cc}")
     queries = {} if skip_queries else bench_queries(sf_dir)
     ray.shutdown()
     return {
@@ -175,6 +212,7 @@ def run_full(num_cpus: int, sf_dir: str, skip_queries: bool = False) -> dict:
         "num_cpus": num_cpus,
         "headline": headline,
         "dedup": dedup,
+        "cc_ingest": cc,
     }
 
 
@@ -273,11 +311,22 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     args = ap.parse_args()
-    if args.scaling:
-        out = run_scaling(SF_DIR)
-    else:
-        out = run_full(NUM_CPUS, SF_DIR, skip_queries=args.headline_only)
-    print(json.dumps(out))
+    # Ray's raylet forwards warnings to the driver's fd 1 even with
+    # log_to_driver=False, which would corrupt the single JSON line this
+    # script must emit. Park the real stdout on a spare fd, point fd 1 at
+    # stderr for the whole run (child processes inherit it), and write the
+    # JSON to the saved fd at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    try:
+        if args.scaling:
+            out = run_scaling(SF_DIR)
+        else:
+            out = run_full(NUM_CPUS, SF_DIR, skip_queries=args.headline_only)
+    finally:
+        sys.stdout = sys.__stdout__
+    os.write(real_stdout, (json.dumps(out) + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -34,10 +34,14 @@ def filetype_of_url(url: str) -> str:
     return ""
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, default_filetype: str = "") -> pa.Table:
     """Adds text / filesize / extract_note columns to a fetched batch.
 
     Expects columns: url, html (binary, null for failed fetches).
+    ``default_filetype``: applied when the url has no extension — the
+    europarl rules always carry one (reference semantics: unknown format →
+    content None, extraction.py:46-47) but Common-Crawl-style urls often
+    don't; pass ".html" for generic web ingest.
     """
     urls = batch.column("url").to_pylist()
     html_col = batch.column("html")
@@ -47,7 +51,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         blob = html_col[i].as_py()
         if blob is None:
             continue
-        ft = filetype_of_url(url)
+        ft = filetype_of_url(url) or default_filetype
         if ft == ".html":
             texts[i] = html_to_text(blob)
             if texts[i] is None:
