@@ -112,6 +112,24 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_ccingest(args) -> int:
+    from .pipelines.cc_ingest import CCIngest, CCIngestConfig
+
+    ray = _ray_session(args.num_cpus)
+    ing = CCIngest(
+        CCIngestConfig(
+            output_dir=args.out,
+            n_urls=args.n_urls,
+            n_hosts=args.n_hosts,
+            n_partitions=args.partitions,
+        )
+    )
+    print(json.dumps(ing.run()))
+    ing.shutdown()
+    ray.shutdown()
+    return 0
+
+
 def cmd_rules(args) -> int:
     from .functions.rules import RULES
 
@@ -160,6 +178,13 @@ def main(argv=None) -> int:
 
     rl = sub.add_parser("rules", help="list the rule registry")
     rl.set_defaults(fn=cmd_rules)
+
+    cc = sub.add_parser("ccingest", help="Common-Crawl-style multi-host ingest")
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--n-urls", type=int, default=100_000)
+    cc.add_argument("--n-hosts", type=int, default=1000)
+    cc.add_argument("--partitions", type=int, default=16)
+    cc.set_defaults(fn=cmd_ccingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -89,17 +89,24 @@ class CCIngest:
     def _manifest_path(self) -> str:
         return os.path.join(self.cfg.output_dir, "_cc_manifest.json")
 
-    def _done(self) -> set[int]:
+    def _manifest(self) -> dict:
         if not os.path.exists(self._manifest_path()):
-            return set()
+            return {"done_partitions": [], "lineage": {}}
         with open(self._manifest_path()) as f:
-            return set(json.load(f)["done_partitions"])
+            doc = json.load(f)
+        doc.setdefault("lineage", {})
+        return doc
 
-    def _mark_done(self, p: int) -> None:
-        done = sorted(self._done() | {p})
+    def _done(self) -> set[int]:
+        return set(self._manifest()["done_partitions"])
+
+    def _mark_done(self, p: int, lineage: dict) -> None:
+        doc = self._manifest()
+        doc["done_partitions"] = sorted(set(doc["done_partitions"]) | {p})
+        doc["lineage"][str(p)] = lineage  # per-partition lineage + metrics
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"done_partitions": done}, f)
+            json.dump(doc, f)
         os.replace(tmp, self._manifest_path())
 
     # ------------------------------------------------------------ pipeline
@@ -161,8 +168,17 @@ class CCIngest:
             ds.write_parquet(part_dir)
             import pyarrow.dataset as pads
 
-            n_pages += pads.dataset(part_dir).count_rows()
-            self._mark_done(p)
+            part_rows = pads.dataset(part_dir).count_rows()
+            n_pages += part_rows
+            self._mark_done(
+                p,
+                {
+                    "input_urls": int(len(urls)),
+                    "pages": int(part_rows),
+                    "path": part_dir,
+                    "seed": cfg.seed,
+                },
+            )
             ran += 1
         stats = seen.stats()
         return {
