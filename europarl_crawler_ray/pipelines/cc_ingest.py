@@ -62,6 +62,11 @@ class CCIngest:
             for _ in range(cfg.n_politeness_shards)
         ]
         os.makedirs(cfg.output_dir, exist_ok=True)
+        # resume: restore the seen-set checkpoint so dedup is consistent
+        # across restarts (urls fetched by finished partitions stay seen)
+        seen_dir = os.path.join(cfg.output_dir, "_seen")
+        if self._done() and os.path.exists(seen_dir):
+            self.seen.restore(seen_dir)
 
     # ------------------------------------------------------------ frontier
     def _partition_urls(self, p: int) -> np.ndarray:
@@ -165,11 +170,21 @@ class CCIngest:
                 zero_copy_batch=True,
             )
             part_dir = os.path.join(cfg.output_dir, f"part={p}")
-            ds.write_parquet(part_dir)
+            # write to a tmp dir and rename: ray's write_parquet APPENDS
+            # into an existing directory, so a re-run of an uncommitted
+            # partition would otherwise duplicate rows
+            import shutil as _sh
+
+            tmp_dir = part_dir + "__tmp"
+            _sh.rmtree(tmp_dir, ignore_errors=True)
+            ds.write_parquet(tmp_dir)
+            _sh.rmtree(part_dir, ignore_errors=True)
+            os.replace(tmp_dir, part_dir)
             import pyarrow.dataset as pads
 
             part_rows = pads.dataset(part_dir).count_rows()
             n_pages += part_rows
+            self.seen.checkpoint(os.path.join(cfg.output_dir, "_seen"))
             self._mark_done(
                 p,
                 {

@@ -637,6 +637,54 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
 """
 
 
+# ========================= sessionization (gap-based streaming windows)
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(sf_dir: str):
+    """Split each user's event stream into sessions at >30-minute gaps —
+    the windowed/streaming aggregate shape. Partitioned by user via ONE
+    groupby(user_id) shuffle; the window logic runs vectorized per group."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        g["session_id"] = gap.cumsum().astype(np.int64)
+        out = g.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
 # ================================================ windowed user aggregates
 
 
@@ -739,6 +787,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "spaced_out_dates": (q_spaced_out_dates, SPACED_OUT_DATES_SQL),
     "lang_summary": (q_lang_summary, LANG_SUMMARY_SQL),
 }
