@@ -394,7 +394,16 @@ class CrawlDriver:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        ds.write_parquet(path)
+        # tmp-dir + rename: write_parquet APPENDS into an existing dir, so
+        # re-running a wave that crashed before its manifest commit would
+        # otherwise duplicate rows
+        import shutil as _sh
+
+        tmp = path + "__tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        _sh.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
         import pyarrow.dataset as pads
 
         return pads.dataset(path).count_rows()
@@ -574,7 +583,14 @@ class CrawlDriver:
         ds = ds.map_batches(fetch_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size, num_cpus=1)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
         path = os.path.join(cfg.output_dir, "pages", "wave=0")
-        ds.write_parquet(path)
+        import shutil as _sh
+
+        tmp = path + "__tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        _sh.rmtree(path, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.replace(tmp, path)
         self.last_stats = ds.stats()
         import pyarrow.dataset as pads
 
