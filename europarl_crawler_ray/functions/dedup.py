@@ -1,5 +1,12 @@
 """Near-duplicate detection kernels: shingles, MinHash, SimHash, Jaccard.
 
+Algorithms follow the published formulations: MinHash resemblance
+estimation (Broder, "On the resemblance and containment of documents",
+1997), banding-based LSH (Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch. 3), and SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002; Manku et al.,
+"Detecting near-duplicates for web crawling", WWW 2007).
+
 Scale design: MinHash signatures are computed per batch inside
 ``map_batches`` (vectorized over the permutation axis); LSH banding turns
 near-dup search into a ``groupby(band_key)`` shuffle of (band_key, doc_id)
