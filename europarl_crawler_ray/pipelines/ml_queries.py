@@ -211,6 +211,72 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     )
 
 
+# --------------------------------------------------------- IVF-style ANN
+
+
+def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 2, k: int = 10,
+              n_queries: int = 5):
+    """IVF (inverted-file) ANN: k-means centroids partition the vectors;
+    a query scores only its ``n_probe`` nearest cells. Centroids are
+    trained driver-side on a sample (at scale: minibatch k-means on
+    ``ds.random_sample``), assignment + scoring are per-batch matmuls."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # sort the training sample by id: Dataset block order is
+    # nondeterministic and k-means init indexes into the sample — without
+    # the sort, repeated calls train different centroids
+    sample = emb.random_sample(1.0, seed=42).limit(2000).to_pandas().sort_values("vec_id")
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(42)
+    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)].copy()
+    for _ in range(10):  # Lloyd iterations on the sample
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            pts = mat[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qcells = np.argsort(-(qnorm @ cent.T), axis=1)[:, :n_probe]  # probed cells
+    ref = ray.put((qids, qnorm, qcells, cent))
+
+    def score_cells(df: pd.DataFrame) -> pd.DataFrame:
+        ids_, qn, qc, ct = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = (m @ ct.T).argmax(axis=1)
+        vec_ids = df["vec_id"].to_numpy()
+        out = []
+        for qi, q, probed in zip(ids_, qn, qc):
+            mask = np.isin(cells, probed)
+            if not mask.any():
+                continue
+            sims = m[mask] @ q
+            out.append(pd.DataFrame({
+                "query_id": qi, "vec_id": vec_ids[mask],
+                "sim_1e6": (sims * 1e6).astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim_1e6": []}).astype(np.int64)
+        return pd.concat(out, ignore_index=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim_1e6", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return (
+        emb.map_batches(score_cells, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------- cosine nearest neighbor
 
 
@@ -455,6 +521,7 @@ ML_QUERIES: dict = {
     "dedup_simhash": q_dedup_simhash,
     "langid_predict": q_langid,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "cosine_nn": q_cosine_nn,
     "multimodal_meta": q_multimodal_meta,
     "crawl_sim": q_crawl_sim,
