@@ -199,10 +199,7 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
         return pd.concat(out, ignore_index=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim_1e6", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
+        return _topk_frame(g, k)
 
     return (
         emb.map_batches(score_bucketed, batch_format="pandas")
@@ -211,23 +208,33 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     )
 
 
+def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Shared rank-assignment for the ANN variants (ties broken by vec_id)."""
+    g = g.sort_values(["sim_1e6", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "vec_id", "rank"]]
+
+
 # --------------------------------------------------------- IVF-style ANN
 
 
-def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 2, k: int = 10,
+def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
               n_queries: int = 5):
     """IVF (inverted-file) ANN: k-means centroids partition the vectors;
     a query scores only its ``n_probe`` nearest cells. Centroids are
     trained driver-side on a sample (at scale: minibatch k-means on
     ``ds.random_sample``), assignment + scoring are per-batch matmuls."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # sort the training sample by id: Dataset block order is
-    # nondeterministic and k-means init indexes into the sample — without
-    # the sort, repeated calls train different centroids
-    sample = emb.random_sample(1.0, seed=42).limit(2000).to_pandas().sort_values("vec_id")
+    # deterministic random subset: seeded shuffle picks WHICH rows train
+    # the centroids (block-order limit alone would grab an arbitrary,
+    # run-varying prefix once the table exceeds the limit), and the sort
+    # fixes the order k-means init indexes into
+    sample = emb.random_shuffle(seed=42).limit(2000).to_pandas().sort_values("vec_id")
     mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(42)
+    n_centroids = min(n_centroids, len(mat))  # tiny tables: one cell per row
     cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)].copy()
     for _ in range(10):  # Lloyd iterations on the sample
         assign = (mat @ cent.T).argmax(axis=1)
@@ -265,10 +272,7 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 2, k: int = 10,
         return pd.concat(out, ignore_index=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim_1e6", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
+        return _topk_frame(g, k)
 
     return (
         emb.map_batches(score_cells, batch_format="pandas")
