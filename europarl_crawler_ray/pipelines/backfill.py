@@ -79,13 +79,23 @@ def backfill(
 
     def fetch_store(batch: pa.Table) -> pa.Table:
         http = MockHttp(seed)
+
+        def fetch_retry(url: str, rulename: str, retries: int = 3):
+            # the reference's serial path retries each request up to 3
+            # times before giving up (downloader.py scrape_document)
+            for attempt in range(retries):
+                st, body, red = http.fetch(url, attempt, rulename)
+                if st == 200:
+                    return st, body, red
+            return st, body, red
+
         stored = []
         for d in batch.column("date").to_pylist():
             n = 0
-            status, _, _ = http.fetch(SESSION_DAY_RULE.url(d), 0, SESSION_DAY_RULE.name)
+            status, _, _ = fetch_retry(SESSION_DAY_RULE.url(d), SESSION_DAY_RULE.name)
             if status == 200:
                 for rule in DOCUMENT_RULES:
-                    st, body, _ = http.fetch(rule.url(d), 0, rule.name)
+                    st, body, _ = fetch_retry(rule.url(d), rule.name)
                     if st != 200 or body is None:
                         continue
                     # store layout {basedir}/{YYYY-MM-DD}/{rulename}{format}

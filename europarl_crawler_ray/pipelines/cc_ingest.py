@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .._util import atomic_write_parquet
 from ..functions.canonical import hash_urls
 from ..sources.synth import cc_urls
 from ..stages.extract import extract_batch
@@ -62,6 +63,13 @@ class CCIngest:
             for _ in range(cfg.n_politeness_shards)
         ]
         os.makedirs(cfg.output_dir, exist_ok=True)
+        # host of url i is a pure function of i — computed ONCE, not per
+        # partition (review finding: regenerating the full zipf array per
+        # partition was O(n_urls * n_partitions))
+        self._all_hosts = np.minimum(
+            np.random.default_rng(cfg.seed).zipf(cfg.zipf_a, size=cfg.n_urls) - 1,
+            cfg.n_hosts - 1,
+        )
         # resume: restore the seen-set checkpoint so dedup is consistent
         # across restarts (urls fetched by finished partitions stay seen)
         seen_dir = os.path.join(cfg.output_dir, "_seen")
@@ -79,12 +87,7 @@ class CCIngest:
         ids = np.arange(lo, lo + chunk)
         dup_mask = rng.random(chunk) < cfg.dup_fraction
         ids[dup_mask] = rng.integers(0, cfg.n_urls, size=int(dup_mask.sum()))
-        host_rng = np.random.default_rng(cfg.seed)  # host of url i is global
-        # vectorized: host id depends only on the url id (stable across dups)
-        all_hosts = np.minimum(
-            np.random.default_rng(cfg.seed).zipf(cfg.zipf_a, size=cfg.n_urls) - 1,
-            cfg.n_hosts - 1,
-        )
+        all_hosts = self._all_hosts  # host depends only on the url id
         return np.array(
             [f"https://host{all_hosts[i]:05d}.example.org/page/{i}" for i in ids],
             dtype=object,
@@ -170,21 +173,16 @@ class CCIngest:
                 zero_copy_batch=True,
             )
             part_dir = os.path.join(cfg.output_dir, f"part={p}")
-            # write to a tmp dir and rename: ray's write_parquet APPENDS
-            # into an existing directory, so a re-run of an uncommitted
-            # partition would otherwise duplicate rows
-            import shutil as _sh
-
-            tmp_dir = part_dir + "__tmp"
-            _sh.rmtree(tmp_dir, ignore_errors=True)
-            ds.write_parquet(tmp_dir)
-            _sh.rmtree(part_dir, ignore_errors=True)
-            os.replace(tmp_dir, part_dir)
-            import pyarrow.dataset as pads
-
-            part_rows = pads.dataset(part_dir).count_rows()
+            # keep_existing_if_empty: if a restored seen-set dedups every
+            # url of a partition that is already durable on disk, the old
+            # data must NOT be replaced by an empty write (review finding)
+            part_rows = atomic_write_parquet(ds, part_dir, keep_existing_if_empty=True)
             n_pages += part_rows
-            self.seen.checkpoint(os.path.join(cfg.output_dir, "_seen"))
+            # COMMIT ORDER: durable data → manifest → seen checkpoint. A
+            # crash after _mark_done but before checkpoint can only cause
+            # bounded duplicate re-admission in LATER partitions; the old
+            # order (checkpoint before mark) could erase a durable
+            # partition on resume (review finding).
             self._mark_done(
                 p,
                 {
@@ -194,6 +192,7 @@ class CCIngest:
                     "seed": cfg.seed,
                 },
             )
+            self.seen.checkpoint(os.path.join(cfg.output_dir, "_seen"))
             ran += 1
         stats = seen.stats()
         return {

@@ -342,12 +342,21 @@ class CrawlDriver:
         cfg = self.cfg
         path = os.path.join(cfg.output_dir, "pages", f"wave={self.state.wave}")
         if frontier.num_rows <= 64:
-            # tiny tail waves: any pipeline startup dwarfs the work
+            # tiny tail waves: any pipeline startup dwarfs the work. Still
+            # atomic (tmp dir + rename) — dropping a file into a possibly
+            # pre-existing wave dir would duplicate rows next to stale
+            # parts (review finding).
+            import shutil as _sh
+
             import pyarrow.parquet as pq
 
             out = extract_batch(self._probe_fetcher(frontier))
-            os.makedirs(path, exist_ok=True)
-            pq.write_table(out, os.path.join(path, "part-0.parquet"))
+            tmp = path + "__tmp"
+            _sh.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(out, os.path.join(tmp, "part-0.parquet"))
+            _sh.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
             return out.num_rows
         ds = ray.data.from_arrow(frontier)
         # split the single in-memory block so the pool/tasks are saturated
@@ -394,19 +403,9 @@ class CrawlDriver:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        # tmp-dir + rename: write_parquet APPENDS into an existing dir, so
-        # re-running a wave that crashed before its manifest commit would
-        # otherwise duplicate rows
-        import shutil as _sh
+        from .._util import atomic_write_parquet
 
-        tmp = path + "__tmp"
-        _sh.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        _sh.rmtree(path, ignore_errors=True)
-        os.replace(tmp, path)
-        import pyarrow.dataset as pads
-
-        return pads.dataset(path).count_rows()
+        return atomic_write_parquet(ds, path)
 
     def _write_wave_parquet(self, table: pa.Table, kind: str) -> None:
         import pyarrow.parquet as pq
@@ -429,6 +428,12 @@ class CrawlDriver:
         reference's wave ordering for throughput while producing the SAME
         final page set, and is what a 100 TB crawl would run)."""
         cfg = self.cfg
+        if self.state.wave > 0:
+            raise RuntimeError(
+                "run_streamed() requires a fresh output dir (this one has "
+                "wave-mode progress); resume interrupted wave crawls with "
+                "run(), or point --out at a new directory"
+            )
         days = []
         d = cfg.horizon
         while d >= cfg.start_date:
@@ -441,6 +446,7 @@ class CrawlDriver:
         )
         rules = self.rules
         seen = self.seen
+        probe_dir = os.path.join(cfg.output_dir, "probes")
 
         def _coord_for(host: str):
             import zlib as _z
@@ -488,7 +494,7 @@ class CrawlDriver:
                         out_redir.append(None)
             if coord is not None and host_statuses:
                 ray.get(coord.report.remote("europarl.europa.eu", host_statuses))
-            return pa.table(
+            t = pa.table(
                 {
                     "url": pa.array(out_urls, pa.string()),
                     "rulename": pa.array(out_rules, pa.string()),
@@ -500,6 +506,26 @@ class CrawlDriver:
                     "redirected_url": pa.array(out_redir, pa.string()),
                 }
             )
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            import zlib as _z
+
+            probe_mask = pc.equal(t.column("rulename"), SESSION_DAY_RULE.name)
+            probes = t.filter(probe_mask)
+            if probes.num_rows:
+                # probe urls enter the seen set under their rule pair, as
+                # in wave mode (they are not re-fetchable documents)
+                ph1, ph2 = hash_urls(
+                    [SESSION_DAY_RULE.name + "\x00" + u for u in probes.column("url").to_pylist()]
+                )
+                seen.check_and_add(ph1, ph2)
+                # side-write the probe log per block (deterministic name →
+                # idempotent overwrite); probe rows NEVER enter the pages
+                # output — wave mode keeps them in probes/ too
+                os.makedirs(probe_dir, exist_ok=True)
+                key = _z.crc32(",".join(d.isoformat() for d in days_).encode())
+                pq.write_table(probes, os.path.join(probe_dir, f"streamed_{key:08x}.parquet"))
+            return t.filter(pc.invert(probe_mask))
 
         def dedup_filter(batch: pa.Table) -> pa.Table:
             keys = [
@@ -512,48 +538,6 @@ class CrawlDriver:
             dup = seen.check_and_add(h1, h2)
             return batch.filter(pa.array(~dup))
 
-        def fetch_pending(fetcher: Fetcher, batch: pa.Table) -> pa.Table:
-            """Fetch rows whose status is null; pass probe rows through."""
-            import pyarrow.compute as pc
-
-            pending_mask = pc.is_null(batch.column("status_code"))
-            pending = batch.filter(pending_mask)
-            done = batch.filter(pc.invert(pending_mask))
-            if pending.num_rows:
-                fetched = fetcher(pending.drop_columns(["status_code", "html", "redirected_url"]))
-            else:
-                fetched = None
-            # align done rows to the fetched schema
-            tables = []
-            if fetched is not None:
-                tables.append(fetched)
-            if done.num_rows:
-                import zlib as _z
-                from datetime import datetime, timezone
-
-                base = int(datetime(2021, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
-                ts = [
-                    base + (_z.crc32(u.encode()) % 86_400) * 1_000_000
-                    for u in done.column("url").to_pylist()
-                ]
-                t = done.drop_columns(["status_code", "html", "redirected_url"])
-                t = t.append_column(
-                    "requested_at", pa.array(ts, pa.timestamp("us", tz="UTC"))
-                )
-                t = t.append_column("status_code", done.column("status_code"))
-                t = t.append_column("redirected_url", done.column("redirected_url"))
-                t = t.append_column("html", done.column("html"))
-                t = t.append_column(
-                    "lang",
-                    pa.array(["EN"] * done.num_rows, pa.string()),
-                )
-                tables.append(t)
-            cols = [
-                "url", "rulename", "date", "attempt", "wave",
-                "requested_at", "status_code", "redirected_url", "html", "lang",
-            ]
-            tables = [t.select(cols) for t in tables]
-            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
         # block granularity sets downstream task parallelism (operators are
         # fused task-per-block): ~50 dates/block → ~380 output rows/block,
@@ -578,28 +562,26 @@ class CrawlDriver:
         }
 
         def fetch_fn(batch: pa.Table) -> pa.Table:
-            return fetch_pending(Fetcher(**fetch_kwargs), batch)
+            # probe rows were diverted in probe_expand: every row here is a
+            # pending document (fixes the empty-tables IndexError the old
+            # pass-through branch had on fully-deduped batches)
+            return Fetcher(**fetch_kwargs)(
+                batch.drop_columns(["status_code", "html", "redirected_url"])
+            )
 
         ds = ds.map_batches(fetch_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size, num_cpus=1)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
         path = os.path.join(cfg.output_dir, "pages", "wave=0")
-        import shutil as _sh
+        from .._util import atomic_write_parquet
 
-        tmp = path + "__tmp"
-        _sh.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        _sh.rmtree(path, ignore_errors=True)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.replace(tmp, path)
+        n = atomic_write_parquet(ds, path, keep_existing_if_empty=True)
         self.last_stats = ds.stats()
-        import pyarrow.dataset as pads
-
-        n = pads.dataset(path).count_rows()
         stats = self.seen.stats()
         self.metrics.append(
             {"wave": 0, "dates_probed": len(days), "confirmed_new": -1, "urls_new": n, "pages": n}
         )
         self._write_manifest()
+        self.seen.checkpoint(os.path.join(cfg.output_dir, "seen"))
         return {
             "waves": 1,
             "pages": n,

@@ -50,15 +50,11 @@ def latest_version(out_dir: str) -> int | None:
 def _publish(ds: ray.data.Dataset, out_dir: str, version: int, meta: dict) -> str:
     """Write a version atomically: tmp dir → rename (the idempotency the
     reference gets from delete-then-index bulk ops, workers/indexer.py:55-75)."""
-    final = os.path.join(out_dir, f"v{version:05d}")
-    tmp = final + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
-    import pyarrow.dataset as pads
+    from .._util import atomic_write_parquet
 
-    meta = dict(meta, version=version, rows=pads.dataset(tmp).count_rows())
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
+    final = os.path.join(out_dir, f"v{version:05d}")
+    rows = atomic_write_parquet(ds, final)
+    meta = dict(meta, version=version, rows=rows)
     # manifest lives NEXT TO the version dir so parquet readers never see it
     with open(os.path.join(out_dir, f"v{version:05d}.manifest.json"), "w") as f:
         json.dump(meta, f)

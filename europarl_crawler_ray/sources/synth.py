@@ -206,7 +206,8 @@ class MockHttp:
         # generic CC-style page
         rng = _rng_for(url, self.seed)
         lang = ["EN", "DE", "FR"][zlib.crc32(f"lang:{url}".encode()) % 3]
-        return 200, render_html(url, "generic", date(2020, 1, 1), lang, self.seed), url
+        return 200, render_html(url, "generic", date(2020, 1, 1), lang, self.seed,
+                                self.page_scale), url
 
 
 # ------------------------------------------------------- CC-style frontier

@@ -101,12 +101,16 @@ class BloomSet:
             if self._exact_keys is not None
             else np.zeros(0, dtype=np.uint64)
         )
+        # tmp + rename: a crash mid-save must never corrupt the checkpoint
+        # a manifest already points to
+        tmp = path + ".tmp.npz"
         np.savez_compressed(
-            path,
+            tmp,
             bits=self.bits,
             exact=exact_arr,
             meta=np.array([self.m_bits, self.k, int(self.exact), self.n_added], dtype=np.int64),
         )
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "BloomSet":

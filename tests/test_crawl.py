@@ -136,8 +136,15 @@ def test_streamed_mode_same_final_page_set(ray_session, tmp_path):
     stream_pairs = set(
         zip(stream_pages.column("rulename").to_pylist(), stream_pages.column("url").to_pylist())
     )
+    probes = pads.dataset(f"{cfg.output_dir}/probes").to_table(columns=["url", "rulename"])
+    probe_pairs = set(
+        zip(probes.column("rulename").to_pylist(), probes.column("url").to_pylist())
+    )
     o = _oracle()
-    assert stream_pairs == o["urls_seen"]
+    # probe rows stay out of the pages output (they are a fetch log, not
+    # documents); pages ∪ probes must equal the oracle's seen set exactly
+    assert not any(rn == "session_day" for rn, _ in stream_pairs)
+    assert stream_pairs | probe_pairs == o["urls_seen"]
     assert s["pages"] == len(stream_pairs)
 
 
