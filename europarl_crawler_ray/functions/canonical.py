@@ -15,7 +15,8 @@ the partitioning key (``h1 % num_shards``).
 
 from __future__ import annotations
 
-from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode, unquote, quote
+import re
+from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode
 
 import numpy as np
 import pandas as pd
@@ -25,27 +26,70 @@ _HASH_KEY_2 = "europarl_seen_k2"
 
 assert len(_HASH_KEY_1) == 16 and len(_HASH_KEY_2) == 16
 
-_DEFAULT_PORTS = {"http": 80, "https": 443}
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _normalize_pct(path: str) -> str:
+    """RFC 3986 §6.2.2: decode percent-escapes of UNRESERVED characters
+    only (never %2F etc. — an encoded slash is not a path separator) and
+    uppercase the hex of the rest. Idempotent by construction."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, path)
+
+
+def _normalize_netloc(netloc: str, scheme: str) -> str:
+    """Lowercase the HOST only; keep userinfo verbatim and IPv6 brackets
+    intact; strip a default port."""
+    userinfo, sep, hostport = netloc.rpartition("@")
+    if hostport.startswith("["):  # IPv6 literal
+        end = hostport.find("]")
+        host = hostport[: end + 1].lower() if end >= 0 else hostport.lower()
+        rest = hostport[end + 1 :] if end >= 0 else ""
+        port = rest[1:] if rest.startswith(":") else ""
+    else:
+        host, _, port = hostport.partition(":")
+        host = host.lower()
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        host = f"{host}:{port}"
+    return (userinfo + sep + host) if sep else host
+
+
+_C0_OR_SPACE = "".join(chr(i) for i in range(0x21))
+
+
+def _sanitize(url: str) -> str:
+    """WHATWG-style pre-clean (what urlsplit does internally, applied to a
+    fixed point so canonicalization stays idempotent): drop tab/CR/LF
+    anywhere, strip C0 controls / spaces / unicode whitespace at the ends."""
+    s = url.translate({9: None, 10: None, 13: None})
+    while True:
+        t = s.strip().strip(_C0_OR_SPACE)
+        if t == s:
+            return s
+        s = t
 
 
 def canonicalize_url(url: str) -> str:
     """Normalize a URL: lowercase scheme/host, strip fragment and default
-    port, sort query params, collapse empty path to '/', decode-then-encode
-    percent escapes of unreserved characters."""
+    port, sort query params, collapse empty path to '/', decode percent
+    escapes of unreserved characters only (idempotent)."""
+    url = _sanitize(url)
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(url)
     except ValueError:
-        return url.strip()
+        return url
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    netloc = host
-    try:
-        port = parts.port
-    except ValueError:
-        port = None
-    if port is not None and _DEFAULT_PORTS.get(scheme) != port:
-        netloc = f"{host}:{port}"
-    path = quote(unquote(parts.path), safe="/%:@!$&'()*+,;=~-._") or "/"
+    netloc = _normalize_netloc(parts.netloc, scheme)
+    path = _normalize_pct(parts.path) or "/"
     query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
     return urlunsplit((scheme, netloc, path, query, ""))
 

@@ -40,15 +40,34 @@ ASCII_SPACES = " \n\t\x0c\r"  # bs4 4.9.3 BeautifulSoup.ASCII_SPACES
 _PRESERVE_WS = ("pre", "textarea")  # HTMLTreeBuilder.preserve_whitespace_tags
 _CDATA_ELEMS = ("script", "style")  # html.parser CDATA_CONTENT_ELEMENTS
 
+# bs4 4.9.3 entity handling: the builder passes convert_charrefs=False and
+# BeautifulSoupHTMLParser resolves entities ITSELF from the HTML4 table
+# (html.entities.codepoint2name inverse) — HTML5-only names like &apos;
+# stay literal, unlike stdlib convert_charrefs=True (HTML5 table).
+from html.entities import codepoint2name as _cp2name
+
+HTML4_ENTITY_TO_CHARACTER = {name: chr(cp) for cp, name in _cp2name.items()}
+
+# bs4's empty-element (void) tags — never pushed on the open-tag stack
+# (HTMLTreeBuilder.empty_element_tags)
+_EMPTY_ELEMENT_TAGS = frozenset(
+    "area base br col embed hr img input keygen link menuitem meta param source track wbr "
+    "basefont bgsound command frame image isindex nextid spacer".split()
+)
+
 
 class _TextCollector(HTMLParser):
     """Collects exactly the strings bs4-4.9.3 ``get_text()`` would join."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
+        super().__init__(convert_charrefs=False)
         self.parts: list[str] = []
         self._run: list[str] = []          # consecutive data chunks buffer
         self._cdata_skip: str | None = None  # inside <script>/<style>
+        # open-tag stack mirroring bs4's tagStack/_popToTag: an end tag
+        # implicitly closes everything above its matching start tag, so an
+        # unclosed <template>/<pre> ends when an ANCESTOR closes
+        self._stack: list[str] = []
         self._template_depth = 0
         self._preserve_ws_depth = 0
 
@@ -65,32 +84,86 @@ class _TextCollector(HTMLParser):
         if self._cdata_skip is None and self._template_depth == 0:
             self.parts.append(data)
 
+    # -- bs4-style tag stack -------------------------------------------
+    def _push(self, tag: str) -> None:
+        self._stack.append(tag)
+        if tag == "template":
+            self._template_depth += 1
+        elif tag in _PRESERVE_WS:
+            self._preserve_ws_depth += 1
+
+    def _pop_one(self) -> None:
+        tag = self._stack.pop()
+        if tag == "template":
+            self._template_depth -= 1
+        elif tag in _PRESERVE_WS:
+            self._preserve_ws_depth -= 1
+
+    def _pop_to(self, tag: str) -> None:
+        """bs4 _popToTag: pop up to and including the most recent open
+        ``tag``; a stray end tag with no open match is ignored."""
+        if tag not in self._stack:
+            return
+        while self._stack:
+            top = self._stack[-1]
+            self._pop_one()
+            if top == tag:
+                break
+
     # -- parser events --------------------------------------------------
     def handle_data(self, data: str) -> None:
         self._run.append(data)
+
+    def handle_entityref(self, name: str) -> None:
+        # bs4 BeautifulSoupHTMLParser.handle_entityref: HTML4 lookup, else
+        # the reference kept verbatim
+        char = HTML4_ENTITY_TO_CHARACTER.get(name)
+        self._run.append(char if char is not None else f"&{name};")
+
+    def handle_charref(self, name: str) -> None:
+        # bs4 BeautifulSoupHTMLParser.handle_charref: numeric refs < 256
+        # decode as windows-1252 first (original_encoding is None when a
+        # str was parsed), then chr(), then U+FFFD
+        if name.lower().startswith("x"):
+            real = int(name[1:], 16)
+        else:
+            real = int(name)
+        data = None
+        if real < 256:
+            try:
+                data = bytearray([real]).decode("windows-1252")
+            except UnicodeDecodeError:
+                pass
+        if not data:
+            try:
+                data = chr(real)
+            except (ValueError, OverflowError):
+                pass
+        self._run.append(data or "\N{REPLACEMENT CHARACTER}")
 
     def handle_starttag(self, tag: str, attrs) -> None:
         self._flush()
         if tag in _CDATA_ELEMS:
             self._cdata_skip = tag
-        elif tag == "template":
-            self._template_depth += 1
-        elif tag in _PRESERVE_WS:
-            self._preserve_ws_depth += 1
+            self._push(tag)
+        elif tag not in _EMPTY_ELEMENT_TAGS:
+            self._push(tag)
 
     def handle_endtag(self, tag: str) -> None:
         self._flush()
         if self._cdata_skip is not None:
+            # inside script/style the parser only surfaces the MATCHING
+            # end tag; anything else arrived as raw data
             if tag == self._cdata_skip:
                 self._cdata_skip = None
-        elif tag == "template":
-            self._template_depth = max(0, self._template_depth - 1)
-        elif tag in _PRESERVE_WS:
-            self._preserve_ws_depth = max(0, self._preserve_ws_depth - 1)
+                self._pop_to(tag)
+        else:
+            self._pop_to(tag)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        # Self-closing <script/> etc. never enters CDATA mode; a tree event
-        # still flushes the pending run.
+        # bs4 handles <x/> as start+immediate end: no net stack change; a
+        # tree event still flushes the pending run (and never enters CDATA
+        # mode — html.parser calls this instead of set_cdata_mode)
         self._flush()
 
     def handle_comment(self, data: str) -> None:
@@ -104,11 +177,11 @@ class _TextCollector(HTMLParser):
 
     def unknown_decl(self, data: str) -> None:
         # bs4 turns <![CDATA[x]]> into CData("x"), which IS included by the
-        # 4.9.3 get_text default (types=(NavigableString, CData)); other
-        # marked sections become Declaration — excluded. CData bypasses the
-        # template/script containment because endData(CData) keeps the class.
+        # 4.9.3 get_text default (types=(NavigableString, CData)) — but
+        # string_container() overrides the class inside <template>
+        # containers, turning it into an excluded TemplateString.
         self._flush()
-        if data.startswith("CDATA["):
+        if data.startswith("CDATA[") and self._template_depth == 0:
             cdata = data[len("CDATA["):]
             if cdata:
                 if self._preserve_ws_depth == 0 and not cdata.strip(ASCII_SPACES):

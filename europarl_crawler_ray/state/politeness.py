@@ -98,15 +98,28 @@ class TokenBucket:
 
 
 class RobotsGate:
-    """Minimal robots.txt allow/deny per host (north-rule addition; the
-    reference has no robots handling). Parses only User-agent/Disallow/Allow
-    groups for '*', longest-prefix-match decision like urllib.robotparser."""
+    """robots.txt allow/deny per host (north-rule addition; the reference
+    has no robots handling). Parses User-agent/Disallow/Allow groups for
+    '*' with RFC 9309 pattern semantics: ``*`` matches any run, a trailing
+    ``$`` anchors the end, and the longest (most specific) pattern wins
+    with Allow breaking ties — the Google/RFC rule, which differs from
+    urllib.robotparser's file-order-first-match."""
 
     def __init__(self):
-        self._rules: dict[str, list[tuple[str, bool]]] = {}  # host -> [(prefix, allow)]
+        # host -> [(pattern_len, allow, compiled_regex)]
+        self._rules: dict[str, list[tuple[int, bool, "re.Pattern"]]] = {}
+
+    @staticmethod
+    def _compile(pattern: str):
+        import re
+
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+        return re.compile(rx + ("$" if anchored else ""))
 
     def load(self, host: str, robots_txt: str | None) -> None:
-        rules: list[tuple[str, bool]] = []
+        rules: list[tuple[int, bool, object]] = []
         if robots_txt:
             applies = False
             for raw in robots_txt.splitlines():
@@ -119,17 +132,18 @@ class RobotsGate:
                 if key == "user-agent":
                     applies = val == "*"
                 elif applies and key in ("disallow", "allow") and val:
-                    rules.append((val, key == "allow"))
-        # longest prefix wins -> sort once, match first
-        rules.sort(key=lambda r: len(r[0]), reverse=True)
+                    rules.append((len(val), key == "allow", self._compile(val)))
+        # most-specific (longest pattern) wins; Allow outranks Disallow on
+        # equal length → sort allow-first within a length
+        rules.sort(key=lambda r: (r[0], r[1]), reverse=True)
         self._rules[host] = rules
 
     def known(self, host: str) -> bool:
         return host in self._rules
 
     def allowed(self, host: str, path: str) -> bool:
-        for prefix, allow in self._rules.get(host, ()):
-            if path.startswith(prefix):
+        for _ln, allow, rx in self._rules.get(host, ()):
+            if rx.match(path):
                 return allow
         return True
 
@@ -152,13 +166,27 @@ class PolitenessCoordinator:
         capacity: int = 100,
         global_rate: float | None = None,
         simulated: bool = False,
+        throttling_factor: float = 10.0,
     ):
         self.min_interval = min_interval
         self.capacity = capacity
-        self.global_rate = global_rate  # max sum of per-host rates (tokens/s)
+        # max aggregate request rate across ALL hosts (tokens/s); a global
+        # bucket enforces it on top of the per-host buckets
+        self.global_rate = global_rate
         self.simulated = simulated      # simulated time: every lease granted,
                                         # throttle state still tracked
+        # reference ThrottlingFactor (settings.ini:33): statuses accumulate
+        # and throttling is (un)applied at most once per
+        # interval × throttling_factor window (tokenbucket.py:102-122)
+        self.throttling_factor = throttling_factor
         self.buckets: dict[str, TokenBucket] = {}
+        self._pending: dict[str, list[int]] = {}
+        self._next_check: dict[str, float] = {}
+        self._global = (
+            TokenBucket(min_interval=1.0 / global_rate, capacity=capacity)
+            if global_rate
+            else None
+        )
         self.robots = RobotsGate()
         self.status_counts: dict[int, int] = {}
         self._sim_clock = 0.0
@@ -184,7 +212,11 @@ class PolitenessCoordinator:
             # (interval at cap) still trickles; model as rate-proportional
             grant = n if b.interval <= self.min_interval else max(1, int(n * self.min_interval / b.interval))
             return min(n, grant)
-        return b.acquire(n, self._now())
+        grant = b.acquire(n, self._now())
+        if self._global is not None and grant:
+            # the sum of per-host grants may not exceed the global budget
+            grant = self._global.acquire(grant, self._now())
+        return grant
 
     def wait_time(self, host: str, n: int) -> float:
         """Seconds until n tokens would be available (for sleeping fetchers)."""
@@ -194,10 +226,28 @@ class PolitenessCoordinator:
         return missing * b.interval
 
     def report(self, host: str, status_codes) -> str:
+        """Record statuses; (un)throttle at most once per check window —
+        the reference cadence (check_throttling, tokenbucket.py:102-122):
+        statuses accumulate between checks and one decision is made per
+        ``interval × throttling_factor`` seconds, so a burst of bad
+        batches doubles the interval once per window, not once per batch."""
         for s in status_codes:
             s = int(s)
             self.status_counts[s] = self.status_counts.get(s, 0) + 1
-        return self._bucket(host).apply_statuses(status_codes)
+        b = self._bucket(host)
+        self._pending.setdefault(host, []).extend(int(s) for s in status_codes)
+        now = self._now()
+        nxt = self._next_check.get(host)
+        if nxt is None:
+            # first report opens the window (reference startup sets
+            # last_check/next_check at worker start, tokenbucket.py:41-44)
+            self._next_check[host] = now + b.interval * self.throttling_factor
+            return "none"
+        if now <= nxt:
+            return "pending"
+        action = b.apply_statuses(self._pending.pop(host, []))
+        self._next_check[host] = now + b.interval * self.throttling_factor
+        return action
 
     def load_robots(self, host: str, robots_txt: str | None) -> None:
         self.robots.load(host, robots_txt)

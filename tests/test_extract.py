@@ -26,12 +26,26 @@ CASES = [
     ("<p>a   b</p>", "a   b"),
     # leading/trailing text runs with content keep their whitespace
     ("  x  ", "  x  "),
-    # character references decoded
+    # character references: bs4 4.9.3 resolves entities ITSELF from the
+    # HTML4 table (convert_charrefs=False in its html.parser builder)
     ("<p>a &amp; b</p>", "a & b"),
     ("<p>&lt;tag&gt;</p>", "<tag>"),
     ("<p>&#65;&#x42;</p>", "AB"),
     # &nbsp; becomes U+00A0 which is NOT ASCII whitespace -> run kept
     ("<p>a</p>&nbsp;<p>b</p>", "a\xa0b"),
+    # &apos; is HTML5/XML, NOT in the HTML4 table -> bs4 keeps it literal
+    ("<p>x &apos;q&apos;</p>", "x &apos;q&apos;"),
+    ("<p>&num;tag</p>", "&num;tag"),
+    # unknown named entity stays literal
+    ("<p>a&notanentity;b</p>", "a&notanentity;b"),
+    # numeric refs < 256 decode as windows-1252 (bs4's CP1252 quirk):
+    # &#150; is en dash U+2013 in cp1252, not U+0096
+    ("<p>a&#150;b</p>", "a–b"),
+    ("<p>&#128;</p>", "€"),  # cp1252 0x80 = euro sign
+    # cp1252 undefined byte 0x81 falls through to chr()
+    ("<p>&#129;</p>", "\x81"),
+    # refs >= 256 use chr() directly
+    ("<p>&#8212;</p>", "—"),
     # script/style contents excluded (bs4>=4.9 Script/Stylesheet strings)
     ("<p>a</p><script>var x = 1 < 2;</script><p>b</p>", "ab"),
     ("<style>p { color: red }</style>text", "text"),
@@ -43,6 +57,12 @@ CASES = [
     ("<script src='x.js'/>after", "after"),
     # template contents excluded, even nested ones
     ("<template><div>tpl text</div></template>visible", "visible"),
+    # an UNCLOSED template is implicitly closed when an ancestor closes
+    # (bs4 _popToTag pops it off the stack) — 'y' is normal text again
+    ("<div><template>x</div>y", "y"),
+    ("<div><pre> </div> <p>z</p>", "  z"),
+    # CDATA inside template becomes a TemplateString in bs4 4.9.3 -> excluded
+    ("<template><![CDATA[secret]]></template>v", "v"),
     # comments excluded but flush runs around them
     ("<p>a</p><!-- hidden -->b", "ab"),
     ("a<!--c-->b", "ab"),
