@@ -51,9 +51,11 @@ def md5_hex(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
-def fingerprints(texts: pd.Series) -> list[str]:
-    """Content fingerprint: md5 of the normalized text."""
-    return [md5_hex(normalize_for_fp(t)) for t in texts]
+def fingerprints(texts: pd.Series) -> list[str | None]:
+    """Content fingerprint: md5 of the normalized text (None-safe — the
+    pages text column is nullable: failed fetches, decode errors, pdf
+    stubs)."""
+    return [None if t is None else md5_hex(normalize_for_fp(t)) for t in texts]
 
 
 # BPE-ish pre-tokenization (letter runs / digit runs / single symbol),
@@ -82,6 +84,8 @@ def stopword_counts(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     n_stop = np.zeros(len(texts), dtype=np.int64)
     n_words = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
+        if t is None:
+            continue
         words = _STOP_RE.findall(t.lower())
         n_words[i] = len(words)
         n_stop[i] = sum(1 for w in words if w in sw)

@@ -40,10 +40,6 @@ def run_flagship(
     driver.shutdown()
     ds = ray.data.read_parquet(f"{output_dir}/pages")
     # project to the input_hint pages shape
-    return ds.map_batches(
-        lambda t: t.select(["url", "requested_at", "html", "text", "lang"]).rename_columns(
-            ["url", "warc_ts", "html", "text", "lang"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    from ..stages.extract import to_pages
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)

@@ -198,7 +198,7 @@ def q_todo_combos(sf_dir: str):
             t.to_pandas().drop_duplicates(), preserve_index=False
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed three times below — avoid re-running the scan
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
     users = sorted(set(d.unique("user_id")))
     observed_tbl = (
@@ -285,9 +285,14 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
 
 def q_uncrawled_orders(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    # map-side distinct (lineitem has ~4 rows per order) → the driver only
+    # merges the small per-block distinct sets
+    uniq = li.map_batches(
+        lambda b: {"l_orderkey": np.unique(b["l_orderkey"])}, batch_format="numpy"
+    )
     crawled = np.unique(
         np.concatenate(
-            [b["l_orderkey"] for b in li.iter_batches(batch_format="numpy", batch_size=65536)]
+            [b["l_orderkey"] for b in uniq.iter_batches(batch_format="numpy", batch_size=65536)]
         )
     )
     ref = ray.put(crawled)  # broadcast once; sorted → np.isin fast path
@@ -331,19 +336,20 @@ def q_nation_order_stats(sf_dir: str):
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     cust_nation = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     order_nation = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
-    lookup_ref = ray.put(
-        (
-            order_nation["o_orderkey"].to_numpy(),
-            order_nation["n_name"].to_numpy(),
-        )
-    )
+    # sort ONCE on the driver; per-batch argsort of the full lookup was
+    # O(|orders| log |orders|) per batch
+    _keys = order_nation["o_orderkey"].to_numpy()
+    _order = np.argsort(_keys)
+    lookup_ref = ray.put((_keys[_order], order_nation["n_name"].to_numpy()[_order]))
 
     def enrich_partial(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(lookup_ref)
-        order_sorted = np.argsort(keys)
-        sk, sn = keys[order_sorted], names[order_sorted]
+        sk, sn = ray.get(lookup_ref)
         lk = t.column("l_orderkey").to_numpy()
-        pos = np.searchsorted(sk, lk)
+        pos = np.clip(np.searchsorted(sk, lk), 0, len(sk) - 1)
+        member = sk[pos] == lk  # guard keys missing from the lookup
+        lk = lk[member]
+        pos = pos[member]
+        t = t.filter(pa.array(member))
         n_name = sn[pos]
         qty = t.column("l_quantity").to_numpy()
         df = pd.DataFrame({"n_name": n_name, "qty": qty})

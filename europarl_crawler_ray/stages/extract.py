@@ -28,9 +28,11 @@ PDF_STUB_NOTE = "pdf-extraction-stub"
 
 
 def filetype_of_url(url: str) -> str:
-    tail = url.rsplit("/", 1)[-1]
+    # strip the query BEFORE looking for the extension — a dot inside
+    # ?v=1.2 is not a filetype
+    tail = url.split("?", 1)[0].rsplit("/", 1)[-1]
     if "." in tail:
-        return "." + tail.rsplit(".", 1)[1].split("?", 1)[0]
+        return "." + tail.rsplit(".", 1)[1]
     return ""
 
 
@@ -86,11 +88,16 @@ def to_index_docs(batch: pa.Table) -> pa.Table:
     All metadata is already co-located on the row — the 4-way join is gone."""
     urls = batch.column("url").to_pylist()
     filetypes = pa.array([filetype_of_url(u) for u in urls], pa.string())
+    filesize = (
+        batch.column("filesize")  # already computed by extract_batch
+        if "filesize" in batch.column_names
+        else pc.cast(pc.binary_length(batch.column("html")), pa.int64())
+    )
     t = pa.table(
         {
             "url": batch.column("url"),
             "downloaded_at": batch.column("requested_at"),
-            "filesize": pc.cast(pc.binary_length(batch.column("html")), pa.int64()),
+            "filesize": filesize,
             "filetype": filetypes,
             "content": batch.column("text"),
             "language": batch.column("lang"),
