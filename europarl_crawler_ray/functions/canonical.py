@@ -78,10 +78,7 @@ def _sanitize(url: str) -> str:
         s = t
 
 
-def canonicalize_url(url: str) -> str:
-    """Normalize a URL: lowercase scheme/host, strip fragment and default
-    port, sort query params, collapse empty path to '/', decode percent
-    escapes of unreserved characters only (idempotent)."""
+def _canonicalize_once(url: str) -> str:
     url = _sanitize(url)
     try:
         parts = urlsplit(url)
@@ -92,6 +89,25 @@ def canonicalize_url(url: str) -> str:
     path = _normalize_pct(parts.path) or "/"
     query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
     return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_url(url: str) -> str:
+    """Normalize a URL: lowercase scheme/host, strip fragment and default
+    port, sort query params, collapse empty path to '/', decode percent
+    escapes of unreserved characters only.
+
+    Iterated to a fixed point: a single pass is *not* idempotent because
+    stripping the fragment (or an empty query) can expose trailing
+    whitespace that ``_sanitize`` only sees on the next pass (e.g.
+    ``'0 #'`` → ``'0 '`` → ``'0'``). Bounded loop — each pass only
+    removes characters, so it terminates."""
+    out = url
+    for _ in range(8):
+        nxt = _canonicalize_once(out)
+        if nxt == out:
+            return out
+        out = nxt
+    return out
 
 
 def host_of(url: str) -> str:
