@@ -69,17 +69,39 @@ def postprocess(pages_dir: str, out_dir: str, reextract: bool = False) -> str:
     ds = ray.data.read_parquet(pages_dir)
 
     def ensure_text(batch: pa.Table) -> pa.Table:
-        need = reextract or ("text" not in batch.column_names)
-        if not need:
-            # re-extract only rows with html but no text (the unprocessed
-            # scan F5 — documents where data is NULL)
-            missing = pc.and_(
-                pc.is_valid(batch.column("html")), pc.is_null(batch.column("text"))
-            )
-            if pc.sum(missing).as_py() in (0, None):
-                return batch
-        cols = [c for c in ("text", "filesize", "extract_note") if c in batch.column_names]
-        return extract_batch(batch.drop_columns(cols))
+        aux = [c for c in ("text", "filesize", "extract_note") if c in batch.column_names]
+        if reextract or "text" not in batch.column_names:
+            return extract_batch(batch.drop_columns(aux))
+        # re-extract ONLY rows with html but no text (the unprocessed scan
+        # F5 — documents where data is NULL); rows already carrying text —
+        # e.g. an externally-produced pages table — pass through untouched
+        missing = pc.and_(
+            pc.is_valid(batch.column("html")), pc.is_null(batch.column("text"))
+        )
+        n_missing = pc.sum(missing).as_py() or 0
+        if n_missing == 0:
+            return batch
+        idx = pc.indices_nonzero(missing).to_numpy()
+        sub = extract_batch(batch.take(idx).drop_columns(aux))
+        texts = batch.column("text").to_pylist()
+        notes = (
+            batch.column("extract_note").to_pylist()
+            if "extract_note" in batch.column_names
+            else [None] * len(texts)
+        )
+        sizes = (
+            batch.column("filesize")
+            if "filesize" in batch.column_names
+            else pc.cast(pc.binary_length(batch.column("html")), pa.int64())
+        ).to_pylist()
+        for j, i in enumerate(idx):
+            texts[i] = sub.column("text")[j].as_py()
+            notes[i] = sub.column("extract_note")[j].as_py()
+            sizes[i] = sub.column("filesize")[j].as_py()
+        out = batch.drop_columns(aux)
+        out = out.append_column("text", pa.array(texts, pa.string()))
+        out = out.append_column("filesize", pa.array(sizes, pa.int64()))
+        return out.append_column("extract_note", pa.array(notes, pa.string()))
 
     ds = ds.map_batches(ensure_text, batch_format="pyarrow")
     ds = ds.map_batches(

@@ -469,6 +469,38 @@ FROM documents GROUP BY 1
 """
 
 
+# ================================================ pdf render→extract (E3)
+# The reference's pdf text path is pdfminer.high_level.extract_text
+# (extraction.py:44-45). Proven here as a lossless round trip: every
+# document's text is rendered into a structurally valid PDF (FlateDecode /
+# TJ-kerning variants chosen per doc_id) and recovered byte-identically by
+# the from-scratch extractor — the oracle is the documents table itself.
+
+
+def q_pdf_roundtrip(sf_dir: str):
+    from ..functions.pdf import pdf_to_text, render_pdf_text, unwrap_lines
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        recovered = []
+        for doc_id, txt in zip(ids, t.column("text").to_pylist()):
+            pdf = render_pdf_text(
+                txt, compress=(doc_id % 3 != 0), tj_words=(doc_id % 4 == 0)
+            )
+            ext = pdf_to_text(pdf)
+            recovered.append(None if ext is None else unwrap_lines(ext))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(recovered, pa.string())}
+        )
+
+    return d.map_batches(roundtrip, batch_format="pyarrow")
+
+
+PDF_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
 # =============================================== token counting (per lang)
 
 
@@ -786,6 +818,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "nation_order_stats": (q_nation_order_stats, NATION_ORDER_STATS_SQL),
     "partitioned_join": (q_partitioned_join, PARTITIONED_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "pdf_roundtrip": (q_pdf_roundtrip, PDF_ROUNDTRIP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "stopword_stats": (q_stopword_stats, _stopword_sql()),

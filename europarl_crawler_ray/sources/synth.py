@@ -110,11 +110,31 @@ def render_html(url: str, rulename: str, day: date, lang: str, seed: int = SEED,
     return html.encode("utf-8")
 
 
+_PDF_WORDS = (
+    "session protocol agenda vote amendment rapporteur committee debate "
+    "minutes council commission member state directive regulation recital "
+    "article paragraph annex procedure sitting"
+).split()
+
+
 def render_pdf(url: str, seed: int = SEED) -> bytes:
-    """Fake PDF blob (pdfminer is unavailable in this environment; the pdf
-    text path is stubbed — see stages/extract.py)."""
+    """Structurally valid deterministic PDF (catalog / page tree / font /
+    FlateDecode'd content streams / xref / trailer) whose text derives
+    from the url only — extracted downstream by the from-scratch
+    ``functions.pdf.pdf_to_text`` (the reference runs pdfminer
+    ``extract_text``, extraction.py:44-45). Variants exercise the
+    extractor's paths: every 3rd doc uncompressed, every 4th shown as
+    ``TJ`` word arrays with kerning gaps instead of literal spaces."""
+    from ..functions.pdf import render_pdf_text
+
     rng = _rng_for(url, seed)
-    return b"%PDF-1.4\n%synthetic\n" + rng.bytes(int(rng.integers(200, 2000)))
+    n_words = int(rng.integers(80, 400))
+    words = [_PDF_WORDS[i] for i in rng.integers(0, len(_PDF_WORDS), n_words)]
+    text = f"Document {url.rsplit('/', 1)[-1]} " + " ".join(words)
+    variant = int(rng.integers(0, 12))
+    return render_pdf_text(
+        text, compress=(variant % 3 != 0), tj_words=(variant % 4 == 0)
+    )
 
 
 def render_xml(url: str, rulename: str, day: date, seed: int = SEED) -> bytes:

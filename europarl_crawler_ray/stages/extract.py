@@ -5,11 +5,11 @@ Replaces the reference's ``PostProcessingWorker`` (E2-E6,
 ``europarl/rules/extraction.py:27-52``): per-filetype dispatch —
 
 - ``.html``  → bs4-4.9.3-equivalent get_text (byte-identical contract)
-- ``.pdf``   → STUB: pdfminer is not available in this environment; the
-  reference runs ``pdfminer.high_level.extract_text``. The stub returns
-  None and tags the row ``pdf-extraction-stub`` so downstream can tell
-  "stubbed" from "failed". The Ray-side plumbing (schema, dispatch,
-  batching) is real and tested.
+- ``.pdf``   → from-scratch PDF text extraction (``functions/pdf.py``);
+  the reference runs ``pdfminer.high_level.extract_text`` which is absent
+  from this environment, so the parser/interpreter is reimplemented
+  against the public PDF spec with pdfminer-shaped output
+  (lines end ``\\n``, pages end ``\\x0c``)
 - anything else → None (reference returns content None for unknown formats)
 
 HTML parsing cannot be vectorized (it's a per-document parse), but the
@@ -23,7 +23,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.extract import html_to_text
+from ..functions.pdf import pdf_to_text
 
+# kept for backward compatibility: rows written by older runs carry it
 PDF_STUB_NOTE = "pdf-extraction-stub"
 
 
@@ -59,10 +61,12 @@ def extract_batch(batch: pa.Table, default_filetype: str = "") -> pa.Table:
             if texts[i] is None:
                 notes[i] = "decode-error"
         elif ft == ".pdf":
-            # STUB — reference: pdfminer.high_level.extract_text
-            # (extraction.py:44-45). Not implemented here: pdfminer absent.
-            texts[i] = None
-            notes[i] = PDF_STUB_NOTE
+            # reference: pdfminer.high_level.extract_text
+            # (extraction.py:44-45); from-scratch extractor here because
+            # pdfminer is absent from the environment.
+            texts[i] = pdf_to_text(blob)
+            if texts[i] is None:
+                notes[i] = "decode-error"
         else:
             texts[i] = None  # reference extraction.py:46-47 (unknown format)
 

@@ -96,15 +96,23 @@ def test_extracted_text_matches_reference_rules(crawl_run):
     assert checked > 10
 
 
-def test_pdf_and_xml_text_is_none(crawl_run):
+def test_pdf_text_extracted_and_xml_text_is_none(crawl_run):
     cfg, _, _ = crawl_run
     pages = pads.dataset(f"{cfg.output_dir}/pages").to_table(
         columns=["url", "status_code", "text", "extract_note"]
     )
     rows = pages.to_pylist()
     pdf_rows = [r for r in rows if r["status_code"] == 200 and r["url"].endswith(".pdf")]
-    assert pdf_rows and all(r["text"] is None for r in pdf_rows)
-    assert all(r["extract_note"] == "pdf-extraction-stub" for r in pdf_rows)
+    assert pdf_rows
+    for r in pdf_rows:
+        # the pdf body is rendered from the url, so the extracted text is
+        # reproducible independently of the crawl
+        from europarl_crawler_ray.functions.pdf import pdf_to_text
+        from europarl_crawler_ray.sources.synth import render_pdf
+
+        assert r["extract_note"] is None, r
+        assert r["text"] == pdf_to_text(render_pdf(r["url"])), r["url"]
+        assert r["text"] and r["text"].endswith("\x0c")
     xml_rows = [r for r in rows if r["status_code"] == 200 and r["url"].endswith(".xml")]
     assert xml_rows and all(r["text"] is None for r in xml_rows)
 

@@ -1,0 +1,251 @@
+"""Tests for the from-scratch PDF renderer + extractor (functions/pdf.py).
+
+The reference's pdf path is ``pdfminer.high_level.extract_text``
+(``/root/reference/europarl/rules/extraction.py:44-45``); pdfminer is not
+installed here, so these tests pin the reimplementation: structural
+validity of rendered PDFs, the object grammar, stream filters, xref
+handling (incl. /Prev chains and damaged files), the content-stream text
+interpreter, and the render→extract round trip used by the
+``pdf_roundtrip`` oracle query.
+"""
+
+import re
+import zlib
+
+import pytest
+
+from europarl_crawler_ray.functions.pdf import (
+    pdf_to_text,
+    render_pdf_pages,
+    render_pdf_text,
+    unwrap_lines,
+    wrap_words,
+)
+
+
+# ------------------------------------------------------------ round trip
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello world",
+        "",
+        "a" * 300,
+        "parens (nested (deep)) and \\ backslash and % percent",
+        "tabs\tand\x07bells stay",  # escaped as octal in the literal string
+        " ".join(f"word{i}" for i in range(1200)),  # multi-page
+    ],
+)
+def test_roundtrip(text):
+    assert unwrap_lines(pdf_to_text(render_pdf_text(text))) == text
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize("tj_words", [True, False])
+def test_roundtrip_variants(compress, tj_words):
+    text = "alpha beta gamma delta epsilon zeta " * 30
+    text = text.strip()
+    pdf = render_pdf_text(text, compress=compress, tj_words=tj_words)
+    assert unwrap_lines(pdf_to_text(pdf)) == text
+
+
+def test_pdfminer_shaped_output():
+    # each line ends \n, each page ends \x0c — pdfminer extract_text shape
+    out = pdf_to_text(render_pdf_pages(["line one", "line two"]))
+    assert out == "line one\nline two\n\x0c"
+
+
+def test_multipage_form_feeds():
+    lines = [f"l{i}" for i in range(100)]
+    out = pdf_to_text(render_pdf_pages(lines, lines_per_page=30))
+    assert out.count("\x0c") == 4  # 100 lines / 30 per page
+    assert out.split("\x0c")[0].split("\n")[:2] == ["l0", "l1"]
+
+
+def test_wrap_unwrap_inverse():
+    text = " ".join(f"w{i}" * (i % 7 + 1) for i in range(500))
+    assert unwrap_lines("".join(ln + "\n" for ln in wrap_words(text))) == text
+
+
+# ----------------------------------------------------- structural validity
+
+
+def test_rendered_pdf_structure():
+    pdf = render_pdf_text("structural check")
+    assert pdf.startswith(b"%PDF-1.4\n")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    # the classic xref offsets must be byte-exact
+    xref_off = int(re.search(rb"startxref\s+(\d+)", pdf).group(1))
+    assert pdf[xref_off : xref_off + 4] == b"xref"
+    for m in re.finditer(rb"(\d{10}) 00000 n", pdf):
+        off = int(m.group(1))
+        assert re.match(rb"\d+ 0 obj", pdf[off : off + 20])
+
+
+# ------------------------------------------------------- parser features
+
+
+def _wrap_objects(objs: dict[int, bytes], root: int = 1, xref: bool = True) -> bytes:
+    """Assemble raw objects into a PDF body with a classic xref table."""
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    start = len(buf)
+    if xref:
+        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (max(objs) + 1)
+        for num in range(1, max(objs) + 1):
+            buf += b"%010d 00000 n \n" % offsets.get(num, 0)
+    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        max(objs) + 1,
+        root,
+        start,
+    )
+    return bytes(buf)
+
+
+def _doc_with_content(content: bytes, extra: bytes = b"") -> bytes:
+    return _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        }
+    )
+
+
+def test_hex_strings_and_escapes():
+    content = b"BT (lit\\tstring\\)) Tj T* <48692068657821> Tj ET"
+    out = pdf_to_text(_doc_with_content(content))
+    assert out == "lit\tstring)\nHi hex!\n\x0c"
+
+
+def test_octal_escapes_and_line_continuation():
+    content = b"BT (\\101\\102\\103 and cont\\\ninued) Tj ET"
+    assert pdf_to_text(_doc_with_content(content)) == "ABC and continued\n\x0c"
+
+
+def test_tj_kerning_word_gaps():
+    content = b"BT [(no) -50 (gap) -250 (space)] TJ ET"
+    # -50 is glyph kerning (no gap); -250 crosses the word-gap threshold
+    assert pdf_to_text(_doc_with_content(content)) == "nogap space\n\x0c"
+
+
+def test_quote_operators_start_new_lines():
+    content = b"BT (a) Tj (b) ' 1 2 (c) \" ET"
+    assert pdf_to_text(_doc_with_content(content)) == "a\nb\nc\n\x0c"
+
+
+def test_tm_y_change_is_newline_td_x_only_is_not():
+    content = (
+        b"BT 1 0 0 1 72 700 Tm (one) Tj 50 0 Td (-same-line) Tj "
+        b"1 0 0 1 72 650 Tm (two) Tj ET"
+    )
+    assert pdf_to_text(_doc_with_content(content)) == "one-same-line\ntwo\n\x0c"
+
+
+def test_ascii_hex_filter():
+    inner = b"BT (hexed) Tj ET"
+    hexed = inner.hex().encode() + b">"
+    doc = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n" % len(hexed)
+            + hexed
+            + b"\nendstream",
+        }
+    )
+    assert pdf_to_text(doc) == "hexed\n\x0c"
+
+
+def test_filter_chain_and_indirect_length():
+    inner = b"BT (chained) Tj ET"
+    flated = zlib.compress(inner)
+    hexed = flated.hex().encode() + b">"
+    doc = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length 5 0 R /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n"
+            + hexed
+            + b"\nendstream",
+            5: b"%d" % len(hexed),
+        }
+    )
+    assert pdf_to_text(doc) == "chained\n\x0c"
+
+
+def test_contents_array_concatenation():
+    c1, c2 = b"BT (part1) Tj", b"T* (part2) Tj ET"
+    doc = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+            4: b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+            5: b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        }
+    )
+    assert pdf_to_text(doc) == "part1\npart2\n\x0c"
+
+
+def test_nested_pages_tree():
+    doc = _wrap_objects(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+            3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 /Parent 2 0 R >>",
+            4: b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>",
+            5: b"<< /Length 14 >>\nstream\nBT (pA) Tj ET\nendstream",
+            6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+            7: b"<< /Length 14 >>\nstream\nBT (pB) Tj ET\nendstream",
+        }
+    )
+    assert pdf_to_text(doc) == "pA\n\x0c" + "pB\n\x0c"
+
+
+def test_incremental_update_prev_chain():
+    """An appended xref section with /Prev: the NEWEST definition of an
+    object wins; untouched objects come from the previous section."""
+    base = _doc_with_content(b"BT (old) Tj ET")
+    new_content = b"BT (new) Tj ET"
+    upd = bytearray(base)
+    off4 = len(upd)
+    upd += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+    )
+    prev_xref = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    new_xref = len(upd)
+    upd += b"xref\n4 1\n%010d 00000 n \n" % off4
+    upd += b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        prev_xref,
+        new_xref,
+    )
+    assert pdf_to_text(bytes(upd)) == "new\n\x0c"
+
+
+def test_damaged_xref_falls_back_to_object_scan():
+    pdf = bytearray(render_pdf_text("resilient"))
+    m = re.search(rb"startxref\s+(\d+)", pdf)
+    pdf[m.start(1) : m.end(1)] = b"9" * (m.end(1) - m.start(1))  # bogus offset
+    assert unwrap_lines(pdf_to_text(bytes(pdf))) == "resilient"
+
+
+def test_garbage_inputs_return_none():
+    for blob in [None, b"", b"GIF89a", b"%PDF-1.4\nnothing here", b"%PDF-" + b"\x00" * 64]:
+        out = pdf_to_text(blob)
+        assert out is None or out == ""
+
+
+def test_no_trailing_newline_artifacts_in_unwrap():
+    # empty pages / blank lines never inject separators into recovery
+    out = pdf_to_text(render_pdf_pages([], lines_per_page=10))
+    assert unwrap_lines(out or "") == ""
