@@ -93,6 +93,118 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 # ----------------------------------------------------------------- simhash
 
 
+# ---------------------------------------------- SQL-replicable hash family
+#
+# The crc32-based kernels above are the fast path; the kernels below use an
+# md5 + mod-p hash family chosen so a DuckDB oracle can recompute the
+# EXACT same values in SQL (md5() is in DuckDB; crc32 is not):
+#   token/shingle hash: first 8 bytes of md5 (big-endian)  mod  p = 2^31-1
+#   permutation j:      (a_j * h + b_j) mod p, a_j,b_j < p
+# With h, a < 2^31 the product fits uint64 exactly — numpy and SQL agree
+# bit-for-bit. See PDF of the oracle in pipelines/queries.py.
+
+import hashlib
+
+P31 = (1 << 31) - 1
+
+
+def _perm_params_p(n_perm: int = N_PERM, seed: int = 77) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, P31, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+PERM31_A, PERM31_B = _perm_params_p()
+
+
+def shingle_strings(text: str, k: int = 3) -> list[str]:
+    """k-word shingle strings (lowercased); <k words → one joined shingle;
+    no words → []. Mirrors the DuckDB list_transform expression."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return []
+    if len(words) < k:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def md5_hash64(strings: list[str]) -> np.ndarray:
+    """uint64 hashes: first 8 md5 bytes big-endian — identical to SQL
+    ``CAST('0x'||substr(md5(s),1,16) AS UBIGINT)``."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def md5_hash31(strings: list[str]) -> np.ndarray:
+    """uint64 hashes mod p = 2^31-1 (for exact mod-p permutation
+    arithmetic in both numpy uint64 and DuckDB UBIGINT)."""
+    return md5_hash64(strings) % np.uint64(P31)
+
+
+def batch_minhash_sigs_p(texts: list[str], k: int = 3, n_perm: int = N_PERM) -> np.ndarray:
+    """(n_docs, n_perm) uint64 MinHash signatures for a whole batch in one
+    vectorized pass: all shingle hashes concatenated, one (total_shingles,
+    n_perm) permutation matmul, then ``np.minimum.reduceat`` over per-doc
+    segment boundaries. Empty docs get the sentinel signature p (one more
+    than any attainable hash)."""
+    per_doc = [md5_hash31(shingle_strings(t, k)) for t in texts]
+    n = len(per_doc)
+    sigs = np.full((n, n_perm), P31, dtype=np.uint64)
+    nonempty = [i for i, h in enumerate(per_doc) if len(h)]
+    if not nonempty:
+        return sigs
+    concat = np.concatenate([per_doc[i] for i in nonempty])
+    starts = np.cumsum([0] + [len(per_doc[i]) for i in nonempty[:-1]])
+    vals = (concat[:, None] * PERM31_A[None, :n_perm] + PERM31_B[None, :n_perm]) % np.uint64(P31)
+    mins = np.minimum.reduceat(vals, starts, axis=0)
+    sigs[nonempty] = mins
+    return sigs
+
+
+def band_key_strings(sigs: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
+    """(n_docs, n_bands) object array of collision-free band keys: the hex
+    of the band's rows prefixed by the band index. Joining on the full band
+    content (not a hash of it) keeps the Ray candidate set EXACTLY equal to
+    the SQL oracle's ``JOIN ON (band, band_sig)``."""
+    n_docs = sigs.shape[0]
+    rows = sigs.reshape(n_docs, n_bands, -1).astype("<u8")
+    out = np.empty((n_docs, n_bands), dtype=object)
+    for d in range(n_docs):
+        for i in range(n_bands):
+            out[d, i] = f"{i:02x}:{rows[d, i].tobytes().hex()}"
+    return out
+
+
+def batch_simhash_p(texts: list[str]) -> np.ndarray:
+    """(n_docs,) uint64 SimHash over md5-hashed word unigrams (FULL 64-bit
+    hashes — mod-p would zero the top 33 bits and collapse the banding),
+    vectorized with ``np.add.reduceat`` over per-doc token boundaries.
+    Bit b is 1 iff strictly more tokens have bit b set than unset (tie →
+    0) — the exact SQL-expressible majority vote."""
+    per_doc = [md5_hash64(_WORD_RE.findall(t.lower())) for t in texts]
+    n = len(per_doc)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = [i for i, h in enumerate(per_doc) if len(h)]
+    if not nonempty:
+        return out
+    concat = np.concatenate([per_doc[i] for i in nonempty])
+    starts = np.cumsum([0] + [len(per_doc[i]) for i in nonempty[:-1]])
+    bits = ((concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    scores = np.add.reduceat(2 * bits - 1, starts, axis=0)  # (n_nonempty, 64)
+    vals = ((scores > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    out[nonempty] = vals
+    return out
+
+
 def simhash64(text: str, k: int = 1) -> np.uint64:
     """64-bit SimHash over hashed word features (unigrams by default —
     token-level simhash degrades gracefully on short documents, where

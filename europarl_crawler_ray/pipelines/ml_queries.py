@@ -27,15 +27,15 @@ from ray.data.aggregate import Max, Min, Sum
 
 from ..functions.dedup import (
     N_BANDS,
-    est_jaccard,
-    hamming64,
-    minhash_bands,
-    minhash_signature,
-    simhash64,
+    N_PERM,
+    PERM31_A,
+    PERM31_B,
+    band_key_strings,
+    batch_minhash_sigs_p,
+    batch_simhash_p,
     simhash_band_keys,
-    word_shingles,
 )
-from ..functions.textstats import predict_lang
+from ..functions.textstats import _STOPWORDS, predict_lang
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -45,71 +45,162 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 # ------------------------------------------------------------ minhash-LSH
 
 
-def q_dedup_minhash(sf_dir: str, threshold_pct: int = 20):
+# Per-bucket pair-emission cap (VERDICT r1 #5): a degenerate LSH bucket
+# (boilerplate / identical docs sharing a band key — guaranteed at web
+# scale) would make one map_groups task emit O(n²) pairs. Buckets larger
+# than the cap are truncated to the first BUCKET_CAP doc_ids and the drop
+# is logged (no silent caps). The SQL oracles cannot express the cap, so
+# it is sized well above any bucket the sf-test tables produce.
+BUCKET_CAP = 512
+
+
+def _cap_bucket(g: pd.DataFrame, label: str, cap: int | None = None) -> pd.DataFrame:
+    cap = BUCKET_CAP if cap is None else cap
+    if len(g) > cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: bucket of %d docs capped to %d (%d pairs dropped)",
+            label,
+            len(g),
+            cap,
+            (len(g) * (len(g) - 1) - cap * (cap - 1)) // 2,
+        )
+        g = g.head(cap)
+    return g
+
+
+def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = None):
+    """MinHash+LSH near-dup pairs with an EXACT DuckDB oracle: md5/mod-p
+    hash family (functions/dedup.py), band keys carry the full band
+    content so the Ray candidate set equals the oracle's band join;
+    ``n_agree`` (matching signature rows of 128, ≥26 ≈ Jaccard 0.2) is
+    integer-exact on both sides."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
         texts = t.column("text").to_pylist()
-        band_keys, doc_ids, sigs = [], [], []
-        for did, text in zip(ids, texts):
-            sig = minhash_signature(word_shingles(text))
-            bk = minhash_bands(sig)
-            band_keys.extend(bk.view(np.int64).tolist())
-            doc_ids.extend([did] * N_BANDS)
-            sigs.extend([sig.tobytes()] * N_BANDS)
+        sigs = batch_minhash_sigs_p(texts)  # (n, 128) vectorized
+        # docs with no shingles (sentinel signature) are absent from the
+        # oracle's token unnest — emit nothing for them
+        nonempty = ~(sigs == np.uint64(2147483647)).all(axis=1)
+        sigs, ids = sigs[nonempty], ids[nonempty]
+        texts = None
+        bkeys = band_key_strings(sigs)  # (n, 32) collision-free strings
+        n = len(ids)
         return pa.table(
             {
-                "band_key": pa.array(band_keys, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "band_key": pa.array(bkeys.ravel().tolist(), pa.string()),
+                "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "sig": pa.array([sigs[i].tobytes() for i in range(n) for _ in range(N_BANDS)], pa.binary()),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        g = _cap_bucket(g, "dedup_minhash", bucket_cap)
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_pct": []}).astype(
-                {"doc_a": np.int64, "doc_b": np.int64, "est_pct": np.int64}
-            )
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "n_agree": []}).astype(np.int64)
         ids = g["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
         rows = []
-        for i in range(n):
-            for j in range(i + 1, n):
-                est = int(round(est_jaccard(sigs[i], sigs[j]) * 100))
-                rows.append((int(ids[i]), int(ids[j]), est))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_pct"]).astype(np.int64)
+        for i in range(n):  # vectorized against all later rows
+            agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1)
+            for j, a in enumerate(agree, start=i + 1):
+                rows.append((int(ids[i]), int(ids[j]), int(a)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_agree"]).astype(np.int64)
 
     pairs = (
         docs.map_batches(sig_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    out = (
+    return (
         pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("est_pct", alias_name="est_jaccard_pct"))
-        .filter(expr=f"est_jaccard_pct >= {threshold_pct}")
+        .aggregate(Max("n_agree", alias_name="n_agree"))
+        .filter(expr=f"n_agree >= {min_agree}")
     )
-    return out
+
+
+def _perms_values() -> str:
+    return ", ".join(
+        f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(PERM31_A, PERM31_B))
+    )
+
+
+def _dedup_minhash_sql(min_agree: int = 26) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS s
+  FROM w WHERE len(ws) > 0
+),
+hh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % 2147483647 AS h
+  FROM sh
+),
+perms(j, a, b) AS (VALUES {_perms_values()}),
+sig AS (
+  SELECT doc_id, j, MIN((CAST(a AS UBIGINT) * h + CAST(b AS UBIGINT)) % 2147483647) AS m
+  FROM hh CROSS JOIN perms GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {N_PERM // N_BANDS} AS band, list(m ORDER BY j) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= {min_agree}
+"""
+
+
+DEDUP_MINHASH_SQL = _dedup_minhash_sql()
 
 
 # --------------------------------------------------------------- simhash
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = 6):
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = None):
+    """SimHash near-dup pairs with an EXACT DuckDB oracle. 4 bands × 16
+    bits: by pigeonhole every pair at hamming ≤ 3 shares an intact band,
+    so the banded candidate set provably covers the oracle's full-pair
+    scan at this threshold."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sh_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
         texts = t.column("text").to_pylist()
+        hs = batch_simhash_p(texts)  # (n,) uint64, vectorized
+        # docs with no tokens are absent from the oracle's unnest
+        has_tok = np.array([bool(x and x.strip()) for x in texts])
         band_keys, doc_ids, hashes = [], [], []
-        for did, text in zip(ids, texts):
-            h = simhash64(text)
+        for did, h, ok in zip(ids, hs, has_tok):
+            if not ok:
+                continue
             for bk in simhash_band_keys(h):
                 band_keys.append(bk)
-                doc_ids.append(did)
+                doc_ids.append(int(did))
                 hashes.append(int(np.uint64(h).view(np.int64)))
         return pa.table(
             {
@@ -121,6 +212,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 6):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        g = _cap_bucket(g, "dedup_simhash", bucket_cap)
         n = len(g)
         if n < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
@@ -128,7 +220,8 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 6):
         hs = g["simhash"].to_numpy().view(np.uint64)
         rows = []
         for i in range(n):
-            d = hamming64(np.full(n - i - 1, hs[i]), hs[i + 1 :])
+            x = np.bitwise_xor(hs[i + 1 :], hs[i])
+            d = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
             for j, dist in enumerate(d, start=i + 1):
                 rows.append((int(ids[i]), int(ids[j]), int(dist)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(np.int64)
@@ -140,9 +233,47 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 6):
     )
     return (
         pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming_min"))
-        .filter(expr=f"hamming_min <= {max_hamming}")
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .filter(expr=f"hamming <= {max_hamming}")
     )
+
+
+def _dedup_simhash_sql(max_hamming: int = 3) -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1::HUGEINT ELSE 0::HUGEINT END AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b
+),
+sh AS (SELECT doc_id, CAST(SUM(v << b) AS UBIGINT) AS s FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band, (s >> (band * 16)) & 65535 AS bsig
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_SQL = _dedup_simhash_sql()
 
 
 # ---------------------------------------------------------------- lang id
@@ -161,6 +292,50 @@ def q_langid(sf_dir: str):
         )
 
     return docs.map_batches(pred, batch_format="pandas")
+
+
+def _langid_sql() -> str:
+    """DuckDB replica of ``predict_lang`` — the committed stopword lists
+    are inlined; the first-max tie-break (en > de > fr > es) becomes a
+    cascade of >= comparisons."""
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    word_class = "[a-zA-ZäöüßéèêàçñáíóúÄÖÜ]+"
+    return rf"""
+WITH s AS (SELECT doc_id, substr(text, 1, 2000) AS sample, lang FROM documents),
+w AS (
+  SELECT doc_id, lower(t.tok) AS w
+  FROM s, unnest(regexp_extract_all(sample, '{word_class}')) AS t(tok)
+),
+c AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         SUM(CASE WHEN w IN ({inlist('en')}) THEN 1 ELSE 0 END) AS s_en,
+         SUM(CASE WHEN w IN ({inlist('de')}) THEN 1 ELSE 0 END) AS s_de,
+         SUM(CASE WHEN w IN ({inlist('fr')}) THEN 1 ELSE 0 END) AS s_fr,
+         SUM(CASE WHEN w IN ({inlist('es')}) THEN 1 ELSE 0 END) AS s_es
+  FROM w GROUP BY doc_id
+),
+cj AS (
+  SELECT doc_id, len(regexp_extract_all(sample, '[\x{{4e00}}-\x{{9fff}}]')) AS n_cjk,
+         length(sample) AS n_sample
+  FROM s
+)
+SELECT s.doc_id,
+  CASE WHEN s.sample IS NULL OR length(s.sample) = 0 THEN 'en'
+       WHEN cj.n_cjk > 0.05 * cj.n_sample THEN 'zh'
+       WHEN COALESCE(c.n_words, 0) = 0 THEN 'en'
+       WHEN c.s_en >= c.s_de AND c.s_en >= c.s_fr AND c.s_en >= c.s_es THEN 'en'
+       WHEN c.s_de >= c.s_fr AND c.s_de >= c.s_es THEN 'de'
+       WHEN c.s_fr >= c.s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  s.lang AS lang_actual
+FROM s LEFT JOIN c USING (doc_id) LEFT JOIN cj USING (doc_id)
+"""
+
+
+LANGID_SQL = _langid_sql()
 
 
 # ----------------------------------------------------- LSH-bucketed ANN
@@ -298,17 +473,22 @@ def q_cosine_nn(sf_dir: str, n_queries: int = 100):
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = qn @ mat.T
         vec_ids = df["vec_id"].to_numpy()
-        # per-batch partial top-1 (excluding self) → tiny shuffle
+        # per-batch partial top-1 (excluding self) → tiny shuffle; full
+        # float sims carried so the final tie-break (sim DESC, vec_id ASC)
+        # matches the SQL oracle's ORDER BY exactly
         out = []
         for row, qi in enumerate(ids_):
             s = sims[row].copy()
             s[vec_ids == qi] = -2.0
-            j = int(np.argmax(s))
-            out.append((int(qi), int(vec_ids[j]), int(s[j] * 1e6)))
-        return pd.DataFrame(out, columns=["query_id", "cand_id", "sim_1e6"]).astype(np.int64)
+            order = np.lexsort((vec_ids, -s))  # best sim first, ties by vec_id
+            j = int(order[0])
+            out.append((int(qi), int(vec_ids[j]), float(s[j])))
+        return pd.DataFrame(out, columns=["query_id", "cand_id", "sim"]).astype(
+            {"query_id": np.int64, "cand_id": np.int64, "sim": np.float64}
+        )
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim_1e6", "cand_id"], ascending=[False, True]).head(1)
+        g = g.sort_values(["sim", "cand_id"], ascending=[False, True]).head(1)
         return g.rename(columns={"cand_id": "nn_id"})[["query_id", "nn_id"]]
 
     return (
@@ -316,6 +496,20 @@ def q_cosine_nn(sf_dir: str, n_queries: int = 100):
         .groupby("query_id")
         .map_groups(best, batch_format="pandas")
     )
+
+
+COSINE_NN_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 100),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS nn_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.e, d.e) DESC,
+                                     d.vec_id ASC) AS rk
+  FROM q CROSS JOIN d
+  WHERE q.vec_id <> d.vec_id)
+SELECT query_id, nn_id FROM scored WHERE rk = 1
+"""
 
 
 # ------------------------------------------------------ multimodal plumbing
@@ -517,16 +711,22 @@ def q_backfill(sf_dir: str):
     )
 
 
+# SQL-oracled (driver runs the DuckDB oracle side-by-side)
+ML_SQL_QUERIES: dict = {
+    "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
+    "langid_predict": (q_langid, LANGID_SQL),
+    "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
+}
+
+# rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /
+# k-means, crawl engine state, filesystem ledgers, binary decode)
 ML_QUERIES: dict = {
-    "dedup_minhash": q_dedup_minhash,
     "cc_skew_fetch": q_cc_skew_fetch,
     "backfill": q_backfill,
     "content_stats": q_content_stats,
-    "dedup_simhash": q_dedup_simhash,
-    "langid_predict": q_langid,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "cosine_nn": q_cosine_nn,
     "multimodal_meta": q_multimodal_meta,
     "crawl_sim": q_crawl_sim,
     "rewrite_links": q_rewrite_links,

@@ -89,7 +89,7 @@ def test_minhash_pipeline_finds_planted_dups(tmp_path):
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string())})
     pq.write_table(t, tmp_path / "documents.parquet")
-    out = q_dedup_minhash(str(tmp_path), threshold_pct=40).to_pandas()
+    out = q_dedup_minhash(str(tmp_path), min_agree=52).to_pandas()  # ≥40% of 128 rows
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in pairs  # the planted near-dup pair
     assert all(a == 0 and b == 1 for a, b in pairs), pairs  # and nothing else
@@ -113,3 +113,36 @@ def test_simhash_pipeline_finds_planted_dups(tmp_path):
     out = q_dedup_simhash(str(tmp_path), max_hamming=12).to_pandas()
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 1) in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degenerate_bucket_is_capped(tmp_path):
+    """10k-identical-doc shape (web-scale boilerplate): pair emission must
+    stay bounded by the bucket cap instead of exploding O(n²)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines import ml_queries
+
+    n = 200
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["identical boilerplate page text here"] * n, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = ml_queries.q_dedup_minhash(str(tmp_path), bucket_cap=50).to_pandas()
+    # without the cap: 200*199/2 = 19900 pairs; capped: 50*49/2 = 1225
+    assert len(out) == 50 * 49 // 2
+    assert out["n_agree"].eq(128).all()
+
+
+def test_cap_bucket_logs_drop(caplog):
+    import logging
+
+    import pandas as pd
+
+    from europarl_crawler_ray.pipelines.ml_queries import BUCKET_CAP, _cap_bucket
+
+    g = pd.DataFrame({"doc_id": range(BUCKET_CAP + 10)})
+    with caplog.at_level(logging.WARNING):
+        out = _cap_bucket(g, "test")
+    assert len(out) == BUCKET_CAP
+    assert any("capped" in r.message for r in caplog.records)
