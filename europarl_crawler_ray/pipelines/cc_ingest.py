@@ -83,9 +83,12 @@ class CCIngest:
         cfg = self.cfg
         chunk = cfg.n_urls // cfg.n_partitions
         lo = p * chunk
+        # final partition absorbs the remainder — otherwise the last
+        # n_urls % n_partitions frontier urls would silently never ingest
+        hi = cfg.n_urls if p == cfg.n_partitions - 1 else lo + chunk
         rng = np.random.default_rng(cfg.seed + 1000 + p)
-        ids = np.arange(lo, lo + chunk)
-        dup_mask = rng.random(chunk) < cfg.dup_fraction
+        ids = np.arange(lo, hi)
+        dup_mask = rng.random(len(ids)) < cfg.dup_fraction
         ids[dup_mask] = rng.integers(0, cfg.n_urls, size=int(dup_mask.sum()))
         all_hosts = self._all_hosts  # host depends only on the url id
         return np.array(

@@ -91,21 +91,29 @@ def politeness_partitioned_fetch(
     through the shared per-host politeness budget (leases are per host —
     two salts of the same host draw from the same bucket)."""
 
-    def fetch_group(g: pd.DataFrame) -> pd.DataFrame:
+    def fetch_group(g: pa.Table) -> pa.Table:
+        # stays Arrow end-to-end: the fetched rows carry html payloads and
+        # a pandas round-trip would copy every blob through Python objects
+        n = g.num_rows
+        rulename = (
+            g.column("rulename")
+            if "rulename" in g.column_names
+            else pa.array(["cc"] * n, pa.string())
+        )
         t = pa.table(
             {
-                "url": pa.array(g["url"].tolist(), pa.string()),
-                "rulename": pa.array(g.get("rulename", pd.Series(["cc"] * len(g))).tolist()),
-                "date": pa.array([None] * len(g), pa.date32()),
-                "attempt": pa.array([0] * len(g), pa.int32()),
-                "wave": pa.array([0] * len(g), pa.int32()),
+                "url": g.column("url"),
+                "rulename": rulename,
+                "date": pa.nulls(n, pa.date32()),
+                "attempt": pa.array(np.zeros(n, dtype=np.int32)),
+                "wave": pa.array(np.zeros(n, dtype=np.int32)),
             }
         )
         fetched = Fetcher(
             coordinator=coordinator, seed=seed, simulated=simulated, page_scale=page_scale
         )(t)
-        out = fetched.to_pandas()
-        out["part_key"] = g["part_key"].iloc[0]
-        return out
+        return fetched.append_column(
+            "part_key", pa.array([g.column("part_key")[0].as_py()] * n, pa.string())
+        )
 
-    return ds.groupby("part_key").map_groups(fetch_group, batch_format="pandas")
+    return ds.groupby("part_key").map_groups(fetch_group, batch_format="pyarrow")

@@ -401,11 +401,23 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
     trained driver-side on a sample (at scale: minibatch k-means on
     ``ds.random_sample``), assignment + scoring are per-batch matmuls."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # deterministic random subset: seeded shuffle picks WHICH rows train
-    # the centroids (block-order limit alone would grab an arbitrary,
-    # run-varying prefix once the table exceeds the limit), and the sort
-    # fixes the order k-means init indexes into
-    sample = emb.random_shuffle(seed=42).limit(2000).to_pandas().sort_values("vec_id")
+    # deterministic SHUFFLE-FREE training sample (VERDICT r1 #3: the old
+    # random_shuffle().limit() was an all-to-all of every block spent on
+    # picking 2000 rows): hash-based row selection inside map_batches —
+    # keep rows where hash(vec_id) % mod == 0, sized from the parquet
+    # row-count metadata (no scan). Pseudo-random, stable across runs and
+    # block orders; the sort fixes the order k-means init indexes into.
+    n_total = emb.count()  # parquet metadata only
+    mod = max(1, n_total // 2000)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.uint64)
+        h = pd.util.hash_array(ids, hash_key="europarl_ivf_smp", categorize=False)
+        return t.filter(pa.array(h % mod == 0))
+
+    sample = (
+        emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id").head(2000)
+    )
     mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(42)

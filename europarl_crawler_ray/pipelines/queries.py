@@ -191,36 +191,36 @@ def q_todo_combos(sf_dir: str):
             }
         )
 
-    # per-batch distinct (combiner) then a distinct-pairs groupby — the
-    # driver only ever sees the small distinct set, never raw events
+    # per-batch distinct (combiner) — the shuffle below only ever moves
+    # the small distinct (user, day, ok) set, never raw events
     d = ev.map_batches(derive, batch_format="pyarrow").map_batches(
         lambda t: pa.Table.from_pandas(
             t.to_pandas().drop_duplicates(), preserve_index=False
         ),
         batch_format="pyarrow",
-    ).materialize()  # consumed three times below — avoid re-running the scan
+    ).materialize()  # consumed twice below — avoid re-running the scan
+    # confirmed_days is the SMALL dimension (calendar days) → broadcast;
+    # the dates×users cross product is unfolded PER USER inside a keyed
+    # map_groups, so neither the cross table nor the observed set ever
+    # exists on the driver (VERDICT r1 #8)
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
-    users = sorted(set(d.unique("user_id")))
-    observed_tbl = (
-        d.groupby(["day", "user_id"]).aggregate(Count(alias_name="_n")).to_pandas()
-    )
-    observed_ref = ray.put(set(zip(observed_tbl["day"], observed_tbl["user_id"])))
+    conf_ref = ray.put(confirmed_days)
 
-    cross = pa.table(
-        {
-            "day": pa.array([dd for dd in confirmed_days for _ in users], pa.date32()),
-            "user_id": pa.array([u for _ in confirmed_days for u in users], pa.int64()),
-        }
-    )
+    def missing_per_user(g: pa.Table) -> pa.Table:
+        conf = ray.get(conf_ref)
+        uid = g.column("user_id")[0].as_py()
+        observed = set(g.column("day").to_pylist())
+        missing = [dd for dd in conf if dd not in observed]
+        return pa.table(
+            {
+                "day": pa.array(missing, pa.date32()),
+                "user_id": pa.array([uid] * len(missing), pa.int64()),
+            }
+        )
 
-    def anti(t: pa.Table) -> pa.Table:
-        obs = ray.get(observed_ref)
-        days = t.column("day").to_pylist()
-        us = t.column("user_id").to_pylist()
-        keep = [i for i, (dd, u) in enumerate(zip(days, us)) if (dd, u) not in obs]
-        return t.take(keep)
-
-    return ray.data.from_arrow(cross).map_batches(anti, batch_format="pyarrow")
+    # every user appears in observed (observed spans ALL events), so the
+    # per-user groups cover the full user dimension
+    return d.groupby("user_id").map_groups(missing_per_user, batch_format="pyarrow")
 
 
 TODO_COMBOS_SQL = f"""
@@ -283,27 +283,46 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
 # ==================================== F4: anti-join (orders never fetched)
 
 
-def q_uncrawled_orders(sf_dir: str):
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
-    # map-side distinct (lineitem has ~4 rows per order) → the driver only
-    # merges the small per-block distinct sets
-    uniq = li.map_batches(
-        lambda b: {"l_orderkey": np.unique(b["l_orderkey"])}, batch_format="numpy"
-    )
-    crawled = np.unique(
-        np.concatenate(
-            [b["l_orderkey"] for b in uniq.iter_batches(batch_format="numpy", batch_size=65536)]
-        )
-    )
-    ref = ray.put(crawled)  # broadcast once; sorted → np.isin fast path
+def q_uncrawled_orders(sf_dir: str, n_buckets: int = 32):
+    """orders ANTI-JOIN lineitem with BOTH sides large (lineitem's key set
+    is the big side — a driver-collected broadcast would OOM at 100×).
+    Partitioned-hash anti-join: map-side distinct per batch, bucket by
+    ``key & (B-1)``, one ``groupby(bucket)`` shuffle co-locates each
+    key's rows, per-bucket set difference. Same shape as
+    ``q_partitioned_join``; the driver never touches the key set."""
+    assert n_buckets & (n_buckets - 1) == 0
 
-    def anti(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = ~np.isin(t.column("o_orderkey").to_numpy(), keys, assume_unique=False)
-        return t.filter(pa.array(mask))
+    def prep(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            # per-batch distinct (lineitem has ~4 rows per order) shrinks
+            # the shuffle ~4× before the bucket exchange
+            keys = np.unique(t.column(col).to_numpy())
+            return pa.table(
+                {
+                    "key": pa.array(keys, pa.int64()),
+                    "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+                    "bucket": pa.array((keys & (n_buckets - 1)).astype(np.int32)),
+                }
+            )
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
-    return orders.map_batches(anti, batch_format="pyarrow")
+        return fn
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        prep("o_orderkey", 0), batch_format="pyarrow"
+    )
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        prep("l_orderkey", 1), batch_format="pyarrow"
+    )
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, "key"].unique()
+        right = g.loc[g["side"] == 1, "key"].unique()
+        keep = np.setdiff1d(left, right, assume_unique=True)
+        return pd.DataFrame({"o_orderkey": np.sort(keep).astype(np.int64)})
+
+    return (
+        orders.union(items).groupby("bucket").map_groups(anti_bucket, batch_format="pandas")
+    )
 
 
 UNCRAWLED_ORDERS_SQL = """

@@ -42,6 +42,16 @@ def test_ivf_recall_reasonable(topk_sets):
     assert _recall(exact, ivf) >= 0.4
 
 
+def test_ivf_plan_has_no_random_shuffle(ray_session, sf_dir):
+    """Centroid training must sample without shuffling the table (the old
+    random_shuffle().limit(2000) was an all-to-all of every block)."""
+    from europarl_crawler_ray.pipelines.ml_queries import q_ann_ivf
+
+    ds = q_ann_ivf(sf_dir)
+    ds.to_pandas()
+    assert "RandomShuffle" not in ds.stats()
+
+
 def test_lsh_finds_self_and_some_neighbors(topk_sets):
     exact, lsh, _ivf = topk_sets
     # the query's own vector shares its bucket → MUST be retrieved
