@@ -548,6 +548,24 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
+def _md5u(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 16)) AS UBIGINT)"
+
+
+# The fake-image header fields are md5-derived (stages/multimodal.py), so
+# the oracle recomputes what the Ray side ENCODES into binary blobs and
+# DECODES back through the actor-pool stage — a true end-to-end check of
+# the multimodal plumbing.
+MULTIMODAL_META_SQL = f"""
+SELECT doc_id,
+  CAST(16 + ({_md5u("'imgw:42:' || CAST(doc_id AS VARCHAR)")} % 496) AS INTEGER) AS width,
+  CAST(16 + ({_md5u("'imgh:42:' || CAST(doc_id AS VARCHAR)")} % 496) AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(73 + ({_md5u("'imgl:42:' || CAST(doc_id AS VARCHAR)")} % 1984) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- crawl sim
 
 
@@ -729,6 +747,7 @@ ML_SQL_QUERIES: dict = {
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
     "langid_predict": (q_langid, LANGID_SQL),
     "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
+    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
 }
 
 # rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /
@@ -739,7 +758,6 @@ ML_QUERIES: dict = {
     "content_stats": q_content_stats,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "multimodal_meta": q_multimodal_meta,
     "crawl_sim": q_crawl_sim,
     "rewrite_links": q_rewrite_links,
 }

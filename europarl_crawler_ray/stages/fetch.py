@@ -32,6 +32,55 @@ from ..sources.synth import MockHttp
 ROBOTS_BLOCKED = 999
 
 
+class HttpClientConfig:
+    """The reference DocumentDownloader's request envelope
+    (``documentdownloader.py:36-40,54-60,94-101``): a fixed header block,
+    a random User-Agent per request (fake_useragent there; a seeded
+    deterministic rotation here — no network to refresh UA lists), and
+    ``timeout = RequestTimeoutFactor × StopWaitSecs``. Each request uses a
+    fresh session (the reference opens ``requests.Session()`` per
+    download); MockHttp is stateless so that property holds trivially —
+    a real client would plug in at ``Fetcher.__call__``'s fetch site with
+    ``build_headers()`` and ``timeout``.
+    """
+
+    # documentdownloader.py:54-60 — verbatim
+    BASE_HEADERS = {
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,"
+        "image/avif,image/webp,image/apng,*/*;q=0.8,"
+        "application/signed-exchange;v=b3;q=0.9",
+        "Accept-Encoding": "gzip, deflate, br",
+        "Accept-Language": "de-DE,de;q=0.9,en-US;q=0.8,en;q=0.7",
+        "Dnt": "1",
+        "Referer": "https://www.google.com",
+    }
+
+    USER_AGENTS = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/90.0.4430.212 Safari/537.36",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:89.0) Gecko/20100101 Firefox/89.0",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:88.0) Gecko/20100101 Firefox/88.0",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+        "(KHTML, like Gecko) Version/14.1 Safari/605.1.15",
+    )
+
+    def __init__(self, request_timeout_factor: float = 2.0,
+                 stop_wait_secs: float = 10.0, seed: int = 42):
+        self.timeout = float(request_timeout_factor) * float(stop_wait_secs)
+        self.allow_redirects = True  # documentdownloader.py:98
+        self._counter = zlib.crc32(str(seed).encode())
+
+    def build_headers(self) -> dict:
+        """Header block + rotated UA for ONE request (the reference draws
+        ``self.ua.random`` per request, documentdownloader.py:95-96)."""
+        self._counter = zlib.crc32(b"ua", self._counter)
+        h = dict(self.BASE_HEADERS)
+        h["User-Agent"] = self.USER_AGENTS[self._counter % len(self.USER_AGENTS)]
+        return h
+
+
 def _lang_from_url(url: str) -> str:
     stem = url.rsplit(".", 1)[0]
     if "_" in stem:
@@ -51,8 +100,10 @@ class Fetcher:
     """
 
     def __init__(self, coordinator=None, seed: int = 42, simulated: bool = True,
-                 max_wait_s: float = 30.0, page_scale: int = 1):
+                 max_wait_s: float = 30.0, page_scale: int = 1,
+                 client_config: HttpClientConfig | None = None):
         self.http = MockHttp(seed, page_scale=page_scale)
+        self.client = client_config or HttpClientConfig(seed=seed)
         # `coordinator` is one PolitenessCoordinator handle or a LIST of
         # them — sharded by hash(host) so no single politeness actor
         # bottlenecks a large cluster (each coordinator owns a disjoint
@@ -125,6 +176,10 @@ class Fetcher:
                 if not ok:
                     statuses[t] = ROBOTS_BLOCKED
                     continue
+                # per-request envelope: fresh headers + rotated UA; a real
+                # client would pass headers/timeout/allow_redirects to the
+                # HTTP call (MockHttp has no transport to consume them)
+                self.last_headers = self.client.build_headers()
                 st, body, red = self.http.fetch(urls[t], attempts[t], rulenames[t])
                 statuses[t] = st
                 bodies[t] = body

@@ -13,6 +13,7 @@ Synthetic payload format ("FIMG" fake image): 4-byte magic + uint16 width
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -22,11 +23,22 @@ import pyarrow as pa
 MAGIC = b"FIMG"
 
 
+def _md5_64(s: str) -> int:
+    """First 8 md5 bytes big-endian — the same value DuckDB computes with
+    ``CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT)``, which lets the
+    multimodal_meta oracle recompute the header fields arithmetically."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
 def make_fake_image(key: str, seed: int = 42) -> bytes:
-    """Deterministic synthetic 'image' blob for a key."""
-    rng = np.random.default_rng(zlib.crc32(f"img:{seed}:{key}".encode()))
-    w, h, c = int(rng.integers(16, 512)), int(rng.integers(16, 512)), 3
-    payload = rng.bytes(int(rng.integers(64, 2048)))
+    """Deterministic synthetic 'image' blob for a key. Header fields are
+    md5-derived (SQL-replicable); the payload bytes are rng filler (their
+    content is never decoded, only their length is)."""
+    w = 16 + _md5_64(f"imgw:{seed}:{key}") % 496
+    h = 16 + _md5_64(f"imgh:{seed}:{key}") % 496
+    c = 3
+    n_payload = 64 + _md5_64(f"imgl:{seed}:{key}") % 1984
+    payload = np.random.default_rng(zlib.crc32(f"img:{seed}:{key}".encode())).bytes(n_payload)
     return MAGIC + struct.pack("<HHB", w, h, c) + payload
 
 

@@ -166,3 +166,26 @@ def test_politeness_throttle_state_evolves(crawl_run):
     assert any(s in summary for s in (429, 460, 500, 503))
     intervals = ray.get(drv.coord.intervals.remote())
     assert "europarl.europa.eu" in intervals
+
+
+def test_http_client_config_mirrors_reference_envelope():
+    """documentdownloader.py:36-40,54-60,94-101: fixed header block,
+    per-request random UA, timeout = RequestTimeoutFactor * StopWaitSecs."""
+    from europarl_crawler_ray.stages.fetch import Fetcher, HttpClientConfig
+
+    cfg = HttpClientConfig(request_timeout_factor=2.0, stop_wait_secs=10.0, seed=1)
+    assert cfg.timeout == 20.0
+    assert cfg.allow_redirects is True
+    h1, h2 = cfg.build_headers(), cfg.build_headers()
+    for h in (h1, h2):
+        assert h["Referer"] == "https://www.google.com"
+        assert h["Dnt"] == "1"
+        assert h["Accept-Language"].startswith("de-DE")
+        assert h["User-Agent"] in HttpClientConfig.USER_AGENTS
+    # rotation is deterministic for a seed
+    cfg2 = HttpClientConfig(request_timeout_factor=2.0, stop_wait_secs=10.0, seed=1)
+    assert [cfg2.build_headers()["User-Agent"], cfg2.build_headers()["User-Agent"]] == [
+        h1["User-Agent"], h2["User-Agent"]
+    ]
+    f = Fetcher(seed=3)
+    assert f.client.timeout > 0
