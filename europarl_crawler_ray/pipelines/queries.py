@@ -472,6 +472,9 @@ def q_dedup_exact(sf_dir: str):
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def h(t: pa.Table) -> pa.Table:
+        # md5-per-document is the vectorization floor here: the cost is the
+        # C digest over full texts (no numpy/arrow md5 kernel exists), and
+        # the loop only drives it; runs inside map_batches so it scales out
         hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
         return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
 
@@ -541,6 +544,42 @@ TOKEN_STATS_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
+"""
+
+
+# ============================== corpus heavy hitters (top-k frequent tokens)
+
+
+def q_token_topk(sf_dir: str, k: int = 100):
+    """Most frequent tokens corpus-wide. Scale shape: per-batch
+    value_counts is the map-side combiner (the shuffle moves one row per
+    distinct token per block, not one per occurrence), then a keyed
+    groupby-sum and a top-k sort of the already-aggregated vocabulary.
+    Deterministic tie-break: count DESC, token ASC."""
+    d = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[^ \t\n\r\f]+").explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "part_n": vc.to_numpy().astype(np.int64)}
+        )
+
+    agg = (
+        d.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+TOKEN_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
+SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100
 """
 
 
@@ -694,6 +733,93 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
 """
 
 
+# ================================== as-of join (operator Ray Data lacks)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each non-purchase event matched to the SAME user's most
+    recent strictly-earlier 'purchase' event (DuckDB ships this as ASOF
+    JOIN; the oracle below uses an explicit window so the tie-break —
+    latest ts, then highest event_id — is pinned). Ray shape: ONE
+    ``groupby(user_id)`` shuffle co-locates each user's timeline, then a
+    per-group sort + ``np.searchsorted`` merge — the documented
+    partitioning assumption is that one user's events fit one group."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": [], "user_id": [], "purchase_event_id": []}
+        ).astype(np.int64)
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        e = g[g["event_type"] != "purchase"]
+        if p.empty or e.empty:
+            return empty
+        # first purchase with p.ts >= e.ts, minus one → last STRICTLY
+        # earlier; duplicates at equal ts resolve to the highest event_id
+        # (the sort's last), matching the oracle's DESC/DESC pick
+        idx = np.searchsorted(p["ts"].to_numpy(), e["ts"].to_numpy(), side="left") - 1
+        ok = idx >= 0
+        if not ok.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": e["event_id"].to_numpy()[ok],
+                "user_id": e["user_id"].to_numpy()[ok],
+                "purchase_event_id": p["event_id"].to_numpy()[idx[ok]],
+            }
+        ).astype(np.int64)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_JOIN_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
+j AS (
+  SELECT e.event_id, e.user_id, p.event_id AS purchase_event_id,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rk
+  FROM e JOIN p ON p.user_id = e.user_id AND p.ts < e.ts)
+SELECT event_id, user_id, purchase_event_id FROM j WHERE rk = 1
+"""
+
+
+# ===================== sliding-window aggregate (RANGE-mode time window)
+
+
+def q_window_counts(sf_dir: str):
+    """Per event: how many of the same user's events fall in the trailing
+    1-hour window. Mirrors SQL RANGE-mode window semantics exactly
+    (peers at the same ts are included even 'after' the current row):
+    count = #ts in [t-1h, t], computed per co-located user group with two
+    vectorized searchsorted passes — no per-row loop."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # includes equal-ts peers
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_prev_hour": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+WINDOW_COUNTS_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_prev_hour
+FROM events
+"""
+
+
 # ========================= sessionization (gap-based streaming windows)
 
 SESSION_GAP_MIN = 30
@@ -839,6 +965,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "pdf_roundtrip": (q_pdf_roundtrip, PDF_ROUNDTRIP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "token_topk": (q_token_topk, TOKEN_TOPK_SQL),
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "stopword_stats": (q_stopword_stats, _stopword_sql()),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
@@ -846,6 +973,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    "window_counts": (q_window_counts, WINDOW_COUNTS_SQL),
     "spaced_out_dates": (q_spaced_out_dates, SPACED_OUT_DATES_SQL),
     "lang_summary": (q_lang_summary, LANG_SUMMARY_SQL),
 }
