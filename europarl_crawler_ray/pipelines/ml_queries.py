@@ -89,38 +89,58 @@ def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = N
         texts = None
         bkeys = band_key_strings(sigs)  # (n, 32) collision-free strings
         n = len(ids)
+        flat_keys = bkeys.ravel()
+        # coarse co-location key: grouping directly by band_key would make
+        # one map_groups invocation per band (~32×n_docs tiny Python-level
+        # groups — measured 20×+ slower); ~256 coarse groups keep the
+        # exchange, and the per-band bucketing runs vectorized inside the
+        # task via pandas groupby
+        gkeys = np.array([zlib.crc32(k.encode()) & 0xFF for k in flat_keys], dtype=np.int64)
         return pa.table(
             {
-                "band_key": pa.array(bkeys.ravel().tolist(), pa.string()),
+                "gkey": pa.array(gkeys),
+                "band_key": pa.array(flat_keys.tolist(), pa.string()),
                 "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
                 "sig": pa.array([sigs[i].tobytes() for i in range(n) for _ in range(N_BANDS)], pa.binary()),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        g = _cap_bucket(g, "dedup_minhash", bucket_cap)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "n_agree": []}).astype(np.int64)
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        rows = []
-        for i in range(n):  # vectorized against all later rows
-            agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1)
-            for j, a in enumerate(agree, start=i + 1):
-                rows.append((int(ids[i]), int(ids[j]), int(a)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_agree"]).astype(np.int64)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "n_agree": []}).astype(np.int64)
+        g = g.drop_duplicates(["band_key", "doc_id"])
+        sizes = g.groupby("band_key")["doc_id"].transform("size")
+        g = g[sizes >= 2]  # collision buckets only — the rare case
+        if g.empty:
+            return empty
+        out = [empty]
+        for _, b in g.groupby("band_key", sort=False):
+            b = b.sort_values("doc_id")
+            b = _cap_bucket(b, "dedup_minhash", bucket_cap)
+            ids = b["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in b["sig"]])
+            n = len(b)
+            rows = []
+            for i in range(n):  # vectorized against all later rows
+                agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1)
+                # threshold HERE: n_agree is a pure function of the pair,
+                # so filtering commutes with the final dedup — the global
+                # groupby only ever sees survivors (a sub-threshold pair
+                # stream was 180k+ groups; Ray's multi-key aggregate cost
+                # 84 s on it vs <1 s on the survivor set)
+                for j in np.nonzero(agree >= min_agree)[0]:
+                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(agree[j])))
+            out.append(pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_agree"]).astype(np.int64))
+        return pd.concat(out, ignore_index=True)
 
     pairs = (
         docs.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("n_agree", alias_name="n_agree"))
-        .filter(expr=f"n_agree >= {min_agree}")
+    # the groupby here is pure dedup (same pair found via several bands
+    # carries the identical n_agree)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("n_agree", alias_name="n_agree")
     )
 
 
@@ -202,8 +222,12 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
                 band_keys.append(bk)
                 doc_ids.append(int(did))
                 hashes.append(int(np.uint64(h).view(np.int64)))
+        # coarse co-location (see q_dedup_minhash): ~256 groups instead of
+        # one Python-level group per band key
+        gkeys = [bk & 0xFF for bk in band_keys]
         return pa.table(
             {
+                "gkey": pa.array(gkeys, pa.int64()),
                 "band_key": pa.array(band_keys, pa.int64()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "simhash": pa.array(hashes, pa.int64()),
@@ -211,30 +235,39 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        g = _cap_bucket(g, "dedup_simhash", bucket_cap)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        rows = []
-        for i in range(n):
-            x = np.bitwise_xor(hs[i + 1 :], hs[i])
-            d = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-            for j, dist in enumerate(d, start=i + 1):
-                rows.append((int(ids[i]), int(ids[j]), int(dist)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(np.int64)
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        g = g.drop_duplicates(["band_key", "doc_id"])
+        sizes = g.groupby("band_key")["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return empty
+        out = [empty]
+        for _, b in g.groupby("band_key", sort=False):
+            b = b.sort_values("doc_id")
+            b = _cap_bucket(b, "dedup_simhash", bucket_cap)
+            n = len(b)
+            ids = b["doc_id"].to_numpy()
+            hs_ = b["simhash"].to_numpy().view(np.uint64)
+            rows = []
+            for i in range(n):
+                x = np.bitwise_xor(hs_[i + 1 :], hs_[i])
+                d = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+                # threshold inside the task (hamming is pair-pure, commutes
+                # with dedup) — see q_dedup_minhash for the measured cost
+                # of a sub-threshold pair stream through a global groupby
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+            out.append(pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(np.int64))
+        return pd.concat(out, ignore_index=True)
 
     pairs = (
         docs.map_batches(sh_rows, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .filter(expr=f"hamming <= {max_hamming}")
+    # pure dedup of survivors (identical hamming wherever the pair recurs)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
