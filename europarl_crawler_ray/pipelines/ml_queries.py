@@ -374,10 +374,25 @@ LANGID_SQL = _langid_sql()
 # ----------------------------------------------------- LSH-bucketed ANN
 
 
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 bits — inlined verbatim into
+    the SQL oracle as literal arrays, so both sides compute identical
+    bucket assignments (sign of a ±1 dot product; a tie at exactly 0.0
+    would be the only divergence risk and is measure-zero for the float
+    embeddings)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        digest = hashlib.md5(f"lshplane:{p}".encode()).digest() * 4  # 64 bytes
+        for d in range(dim):
+            out[p, d] = 1.0 if (digest[d // 8] >> (d % 8)) & 1 else -1.0
+    return out
+
+
 def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_planes, 64))
+    planes = _lsh_planes(n_planes)
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
@@ -398,22 +413,53 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
                 continue
             sims = mat_n[mask] @ q
             out.append(
-                pd.DataFrame(
-                    {"query_id": qi, "vec_id": vec_ids[mask], "sim_1e6": (sims * 1e6).astype(np.int64)}
-                )
+                pd.DataFrame({"query_id": qi, "vec_id": vec_ids[mask], "sim": sims})
             )
         if not out:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim_1e6": []}).astype(np.int64)
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "vec_id": pd.Series([], dtype=np.int64),
+                 "sim": pd.Series([], dtype=np.float64)}
+            )
         return pd.concat(out, ignore_index=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return _topk_frame(g, k)
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
 
     return (
         emb.map_batches(score_bucketed, batch_format="pandas")
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def _ann_lsh_sql(n_planes: int = 8, k: int = 10, n_queries: int = 5) -> str:
+    planes = _lsh_planes(n_planes)
+    arrays = [
+        "[" + ", ".join(f"{v:.1f}" for v in planes[p]) + "]" for p in range(n_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(e, {arrays[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM d),
+q AS (SELECT vec_id, e, bucket FROM b WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.e, d.e) DESC,
+                                     d.vec_id ASC) AS rank
+  FROM q JOIN b d ON d.bucket = q.bucket)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
 
 
 def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -781,6 +827,7 @@ ML_SQL_QUERIES: dict = {
     "langid_predict": (q_langid, LANGID_SQL),
     "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
+    "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
 }
 
 # rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /
@@ -789,7 +836,6 @@ ML_QUERIES: dict = {
     "cc_skew_fetch": q_cc_skew_fetch,
     "backfill": q_backfill,
     "content_stats": q_content_stats,
-    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "crawl_sim": q_crawl_sim,
     "rewrite_links": q_rewrite_links,

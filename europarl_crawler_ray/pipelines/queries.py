@@ -523,6 +523,33 @@ def q_pdf_roundtrip(sf_dir: str):
 PDF_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
 
 
+# ================================================ html render→extract (E2)
+# Same round-trip proof for the bs4-4.9.3-byte-identical get_text path
+# (functions/extract.py): each document's text is escaped into an HTML
+# body, parsed and extracted by the real extractor, and must come back
+# byte-identical — the oracle is the documents table itself.
+
+
+def q_html_roundtrip(sf_dir: str):
+    import html as _H
+
+    from ..functions.extract import html_to_text
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            doc = f"<html><body><p>{_H.escape(txt)}</p></body></html>".encode("utf-8")
+            out.append(html_to_text(doc))
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    return d.map_batches(roundtrip, batch_format="pyarrow")
+
+
+HTML_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
 # =============================================== token counting (per lang)
 
 
@@ -964,6 +991,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "partitioned_join": (q_partitioned_join, PARTITIONED_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "pdf_roundtrip": (q_pdf_roundtrip, PDF_ROUNDTRIP_SQL),
+    "html_roundtrip": (q_html_roundtrip, HTML_ROUNDTRIP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "token_topk": (q_token_topk, TOKEN_TOPK_SQL),
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
