@@ -198,6 +198,87 @@ SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= {min_agree}
 DEDUP_MINHASH_SQL = _dedup_minhash_sql()
 
 
+def q_dedup_verify(sf_dir: str, min_agree: int = 26):
+    """Exact n-gram Jaccard verification of the MinHash candidates: the
+    LSH stage proposes pairs (estimates), this stage recomputes the TRUE
+    3-shingle set overlap for each. Scale shape: the candidate pair list
+    is output-sized (broadcastable); shingle sets are recomputed ONLY for
+    involved docs inside ``map_batches``; integers (n_inter, n_union)
+    instead of a float ratio so the oracle matches exactly."""
+    from ..functions.dedup import md5_hash31, shingle_strings
+
+    pairs = q_dedup_minhash(sf_dir, min_agree).to_pandas()  # output-sized
+    if pairs.empty:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_inter": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
+    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    ref = ray.put(involved)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        ids, blobs = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if did in want:
+                hs = np.unique(md5_hash31(shingle_strings(txt)))
+                ids.append(did)
+                blobs.append(hs.tobytes())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "hs": pa.array(blobs, pa.binary())}
+        )
+
+    sets_df = docs.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
+    by_id = {r.doc_id: np.frombuffer(r.hs, dtype=np.uint64) for r in sets_df.itertuples()}
+    n_inter, n_union = [], []
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        sa, sb = by_id[a], by_id[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        n_inter.append(inter)
+        n_union.append(sa.size + sb.size - inter)
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
+            "n_inter": pa.array(n_inter, pa.int64()),
+            "n_union": pa.array(n_union, pa.int64()),
+        }
+    )
+
+
+def _dedup_verify_sql(min_agree: int = 26) -> str:
+    """Minhash candidate CTEs + exact distinct-shingle overlap."""
+    base = _dedup_minhash_sql(min_agree)
+    head, _, _tail = base.rpartition("SELECT doc_a, doc_b, n_agree FROM agree")
+    return (
+        head
+        + f""", surv AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= {min_agree}),
+hd AS (SELECT DISTINCT doc_id, h FROM hh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM surv s
+  JOIN hd a ON a.doc_id = s.doc_a
+  JOIN hd b ON b.doc_id = s.doc_b AND b.h = a.h
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b, COALESCE(ov.n_inter, 0) AS n_inter,
+       za.n + zb.n - COALESCE(ov.n_inter, 0) AS n_union
+FROM surv s
+LEFT JOIN ov ON ov.doc_a = s.doc_a AND ov.doc_b = s.doc_b
+JOIN sz za ON za.doc_id = s.doc_a
+JOIN sz zb ON zb.doc_id = s.doc_b
+"""
+    )
+
+
+DEDUP_VERIFY_SQL = _dedup_verify_sql()
+
+
 # --------------------------------------------------------------- simhash
 
 
@@ -828,6 +909,7 @@ ML_SQL_QUERIES: dict = {
     "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
+    "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
 }
 
 # rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /

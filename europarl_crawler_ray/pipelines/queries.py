@@ -491,6 +491,65 @@ FROM documents GROUP BY 1
 """
 
 
+# ====================================== exact dedup, materialized survivors
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """The dedup most pipelines actually run: KEEP the first doc of every
+    exact-duplicate group and return the surviving rows (not the group
+    table). Same single keyed shuffle as ``q_dedup_exact``; survivors are
+    re-read by id via a broadcast of the (small) winner set per batch."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
+        return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
+
+    winners = (
+        d.map_batches(h, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+
+    return winners.map_batches(strip, batch_format="pyarrow")
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+# ================================= deterministic per-group sampling (k/key)
+
+
+def q_sample_per_group(sf_dir: str, k: int = 20):
+    """Deterministic k-per-group sampling — the scale-safe way to draw a
+    fixed-size sample per key without a global shuffle: rank rows inside
+    each co-located group by a content hash (md5 of the doc id — uniform,
+    reproducible, order-free) and keep the top k."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        g = g.assign(_k=keys).sort_values(["_k", "doc_id"]).head(k)
+        return g[["doc_id", "lang"]]
+
+    return d.groupby("lang").map_groups(pick, batch_format="pandas")
+
+
+SAMPLE_PER_GROUP_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 20
+"""
+
+
 # ================================================ pdf render→extract (E3)
 # The reference's pdf text path is pdfminer.high_level.extract_text
 # (extraction.py:44-45). Proven here as a lossless round trip: every
@@ -992,6 +1051,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "pdf_roundtrip": (q_pdf_roundtrip, PDF_ROUNDTRIP_SQL),
     "html_roundtrip": (q_html_roundtrip, HTML_ROUNDTRIP_SQL),
+    "dedup_keep_first": (q_dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
+    "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "token_topk": (q_token_topk, TOKEN_TOPK_SQL),
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
