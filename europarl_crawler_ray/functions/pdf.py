@@ -524,7 +524,8 @@ def _page_text(content: bytes) -> str:
             lines.append("".join(cur))
             cur.clear()
 
-    y = None
+    y = None  # current baseline (text-space); None until a Tm sets it
+    leading = 0.0  # TL / TD-set line leading
 
     def newline():
         flush()
@@ -552,16 +553,31 @@ def _page_text(content: bytes) -> str:
                         cur.append(" ")
         elif op == "'" and stack:
             newline()
+            if y is not None:
+                y -= leading
             cur.append(_decode_pdf_string(stack[-1]) if isinstance(stack[-1], bytes) else "")
         elif op == '"' and len(stack) >= 3:
             newline()
+            if y is not None:
+                y -= leading
             cur.append(_decode_pdf_string(stack[-1]) if isinstance(stack[-1], bytes) else "")
         elif op in ("Td", "TD") and len(stack) >= 2:
             ty = stack[-1]
-            if isinstance(ty, (int, float)) and ty != 0:
-                newline()
+            if isinstance(ty, (int, float)):
+                if op == "TD":
+                    leading = -float(ty)
+                if ty != 0:
+                    newline()
+                if y is not None:
+                    # keep the tracked baseline honest so a later Tm that
+                    # RESTORES the pre-Td y still registers as a move
+                    y += float(ty)
+        elif op == "TL" and stack and isinstance(stack[-1], (int, float)):
+            leading = float(stack[-1])
         elif op == "T*":
             newline()
+            if y is not None:
+                y -= leading
         elif op == "Tm" and len(stack) >= 6:
             new_y = stack[-1]
             if isinstance(new_y, (int, float)) and new_y != y:
@@ -571,7 +587,7 @@ def _page_text(content: bytes) -> str:
         elif op in ("BT", "ET"):
             if op == "ET":
                 flush()
-        # all other operators (Tf TL Tc Tw Tz Ts graphics ops …): no text
+        # all other operators (Tf Tc Tw Tz Ts graphics ops …): no text
         if op not in ("R",):
             stack.clear()
     flush()
@@ -638,15 +654,23 @@ def unwrap_lines(extracted: str) -> str:
     return " ".join(lines)
 
 
-def _escape_pdf_string(s: str) -> bytes:
-    out = bytearray()
-    for ch in s.encode("latin-1"):
+def _show_string(s: str) -> bytes:
+    """One PDF string object showing ``s``: a literal string with escapes
+    for latin-1-encodable text, else a UTF-16BE hex string with BOM (the
+    PDF text-string form; ``_decode_pdf_string`` round-trips both)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode("ascii") + b">"
+    out = bytearray(b"(")
+    for ch in raw:
         if ch in b"()\\":
             out += b"\\" + bytes([ch])
         elif ch < 0x20 or ch > 0x7E:
             out += b"\\%03o" % ch
         else:
             out.append(ch)
+    out += b")"
     return bytes(out)
 
 
@@ -680,13 +704,13 @@ def render_pdf_pages(
         content = bytearray()
         content += b"BT\n/F1 11 Tf\n14 TL\n1 0 0 1 72 770 Tm\n"
         for ln in page_lines:
-            if tj_words and " " in ln:
-                parts = b" ".join(
-                    b"(%s) -250" % _escape_pdf_string(w) for w in ln.split(" ")
-                )
-                content += b"[" + parts.rstrip(b" -250") + b"] TJ\nT*\n"
+            if tj_words and " " in ln and "  " not in ln:
+                # word-gap kerning exercise; skipped for runs of spaces
+                # (the TJ gap heuristic collapses them)
+                parts = b" -250 ".join(_show_string(w) for w in ln.split(" "))
+                content += b"[" + parts + b"] TJ\nT*\n"
             else:
-                content += b"(" + _escape_pdf_string(ln) + b") Tj\nT*\n"
+                content += _show_string(ln) + b" Tj\nT*\n"
         content += b"ET"
         raw = bytes(content)
         if compress:

@@ -293,8 +293,12 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
         texts = t.column("text").to_pylist()
         hs = batch_simhash_p(texts)  # (n,) uint64, vectorized
-        # docs with no tokens are absent from the oracle's unnest
-        has_tok = np.array([bool(x and x.strip()) for x in texts])
+        # docs with no tokens are absent from the oracle's unnest; the
+        # predicate must be the SAME tokenizer regex (str.strip() removes
+        # \x0b/\xa0 etc. that the [^ \t\n\r\f]+ class keeps)
+        from ..functions.dedup import _WORD_RE
+
+        has_tok = np.array([bool(x) and _WORD_RE.search(x) is not None for x in texts])
         band_keys, doc_ids, hashes = [], [], []
         for did, h, ok in zip(ids, hs, has_tok):
             if not ok:
@@ -465,7 +469,7 @@ def _lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
 
     out = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        digest = hashlib.md5(f"lshplane:{p}".encode()).digest() * 4  # 64 bytes
+        digest = hashlib.md5(f"lshplane:{p}".encode()).digest()  # 16 bytes = 128 bits
         for d in range(dim):
             out[p, d] = 1.0 if (digest[d // 8] >> (d % 8)) & 1 else -1.0
     return out

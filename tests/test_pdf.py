@@ -249,3 +249,41 @@ def test_no_trailing_newline_artifacts_in_unwrap():
     # empty pages / blank lines never inject separators into recovery
     out = pdf_to_text(render_pdf_pages([], lines_per_page=10))
     assert unwrap_lines(out or "") == ""
+
+
+def test_unicode_text_renders_as_utf16_hex_strings():
+    # non-latin-1 text must not crash the renderer (review finding):
+    # it switches to UTF-16BE hex strings, which the extractor decodes
+    for text in ["你好 world", "naïve café — em—dash", "emoji 🎉 ok"]:
+        assert unwrap_lines(pdf_to_text(render_pdf_text(text))) == text
+
+
+def test_td_then_tm_restoring_y_still_breaks_line():
+    # review finding: Td moved the baseline but left the tracked y stale,
+    # so a Tm RESTORING the old y missed the line break
+    content = (
+        b"BT 1 0 0 1 72 700 Tm (a) Tj 0 -14 Td (b) Tj "
+        b"1 0 0 1 72 700 Tm (c) Tj ET"
+    )
+    assert pdf_to_text(_doc_with_content(content)) == "a\nb\nc\n\x0c"
+
+
+def test_tstar_updates_tracked_y():
+    content = b"BT 14 TL 1 0 0 1 72 700 Tm (a) Tj T* (b) Tj 1 0 0 1 72 686 Tm (-same) Tj ET"
+    # after T*, baseline is 686; the Tm to 686 is NOT a move
+    assert pdf_to_text(_doc_with_content(content)) == "a\nb-same\n\x0c"
+
+
+def test_text_with_newlines_and_formfeeds_roundtrip_normalized():
+    # '\n' and '\x0c' are structural in the extractor's output; the
+    # pdf_roundtrip query normalizes them to spaces on both sides
+    text = "hello\nworld\x0cagain"
+    safe = text.replace("\x0c", " ").replace("\n", " ")
+    assert unwrap_lines(pdf_to_text(render_pdf_text(safe))) == safe
+
+
+def test_runs_of_spaces_roundtrip():
+    text = "a  double   triple    quad"
+    assert unwrap_lines(pdf_to_text(render_pdf_text(text))) == text
+    # tj variant falls back to Tj for lines with space runs
+    assert unwrap_lines(pdf_to_text(render_pdf_text(text, tj_words=True))) == text
