@@ -5,10 +5,12 @@ Default: runs the headline crawl+extract pipeline on the synthetic web,
 a frontier-dedup microbench (bloom shards), and times every SQL-oracled
 query over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
---scaling: runs the headline job in two FRESH processes at num_cpus=8 and
-num_cpus=32 on the same input and reports both throughputs plus the
-scaling efficiency (T32/T8)/4 — the sandbox stand-in for the north rule's
-N vs 4N cluster criterion. Results land in BENCH/scaling_r*.json.
+--scaling: runs the headline job in two FRESH processes at N and 4N CPUs
+(default 4 and 16 — levels where this host delivers ~4x compute; override
+with GRAFT_SCALING_LEVELS=lo,hi) on the same input and reports both
+throughputs plus the scaling efficiency (T_hi/T_lo)/4 and a plain-
+multiprocessing hardware control — the sandbox stand-in for the north
+rule's N vs 4N cluster criterion. Results land in BENCH/scaling_*.json.
 """
 
 from __future__ import annotations
@@ -260,7 +262,10 @@ def _steal_pct() -> float:
 def run_scaling(sf_dir: str, levels=None) -> dict:
     if levels is None:
         levels = tuple(
-            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+            # default N=4 → 4N=16: levels where this host actually delivers
+            # ~4x compute (hardware control 0.88); at 8→32 the host itself
+            # caps at 0.58-0.73 — see BENCH/BASELINE.md round-2 table
+            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
         )
     results = {}
     for n in levels:

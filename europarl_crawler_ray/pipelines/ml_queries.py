@@ -204,7 +204,14 @@ def q_dedup_verify(sf_dir: str, min_agree: int = 26):
     3-shingle set overlap for each. Scale shape: the candidate pair list
     is output-sized (broadcastable); shingle sets are recomputed ONLY for
     involved docs inside ``map_batches``; integers (n_inter, n_union)
-    instead of a float ratio so the oracle matches exactly."""
+    instead of a float ratio so the oracle matches exactly.
+
+    Partitioning assumption: the thresholded candidate set fits driver
+    memory. At web scale with boilerplate-heavy corpora that can break —
+    the scale path is two bucket joins in the ``q_partitioned_join``
+    shape (pairs bucketed by hash(doc_a) joined to sets, result
+    re-bucketed by hash(doc_b)), which keeps everything distributed at
+    the cost of a second shuffle."""
     from ..functions.dedup import md5_hash31, shingle_strings
 
     pairs = q_dedup_minhash(sf_dir, min_agree).to_pandas()  # output-sized
