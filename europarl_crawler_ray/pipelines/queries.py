@@ -34,6 +34,27 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+N_COARSE_GROUPS = 256
+
+
+def _with_coarse_group(ds: ray.data.Dataset, key_col: str, n: int = N_COARSE_GROUPS):
+    """Append a ``_g = hash(key) % n`` co-location column.
+
+    Per-entity ``groupby(key).map_groups`` pays a Python-level cost PER
+    GROUP in Ray (block slicing + one fn call each) — measured 30-80 s
+    for 160k tiny groups at sf0.1. Grouping by ~256 coarse buckets keeps
+    the exchange (all rows of one key land in one task) while the
+    per-key logic runs vectorized/pandas-side inside the task, so the
+    shape survives a key dimension 1000× larger."""
+
+    def add(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy().astype(np.uint64)
+        g = (pd.util.hash_array(k, categorize=False) % n).astype(np.int64)
+        return t.append_column("_g", pa.array(g))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 # Derived per-event HTTP-ish status (deterministic from event_id) — used to
 # map the reference's requests-log operators (A1/F3) onto the events table.
 STATUS_SQL = (
@@ -206,21 +227,33 @@ def q_todo_combos(sf_dir: str):
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
     conf_ref = ray.put(confirmed_days)
 
-    def missing_per_user(g: pa.Table) -> pa.Table:
+    def missing_group(t: pa.Table) -> pa.Table:
+        # all users of one coarse bucket handled in one task (per-entity
+        # map_groups pays Ray-level cost per group — see _with_coarse_group)
         conf = ray.get(conf_ref)
-        uid = g.column("user_id")[0].as_py()
-        observed = set(g.column("day").to_pylist())
-        missing = [dd for dd in conf if dd not in observed]
+        by_user: dict[int, set] = {}
+        for u, dd in zip(t.column("user_id").to_pylist(), t.column("day").to_pylist()):
+            by_user.setdefault(u, set()).add(dd)
+        out_d, out_u = [], []
+        for u, observed in by_user.items():
+            for dd in conf:
+                if dd not in observed:
+                    out_d.append(dd)
+                    out_u.append(u)
         return pa.table(
             {
-                "day": pa.array(missing, pa.date32()),
-                "user_id": pa.array([uid] * len(missing), pa.int64()),
+                "day": pa.array(out_d, pa.date32()),
+                "user_id": pa.array(out_u, pa.int64()),
             }
         )
 
     # every user appears in observed (observed spans ALL events), so the
     # per-user groups cover the full user dimension
-    return d.groupby("user_id").map_groups(missing_per_user, batch_format="pyarrow")
+    return (
+        _with_coarse_group(d, "user_id")
+        .groupby("_g")
+        .map_groups(missing_group, batch_format="pyarrow")
+    )
 
 
 TODO_COMBOS_SQL = f"""
@@ -833,30 +866,42 @@ def q_asof_join(sf_dir: str):
     partitioning assumption is that one user's events fit one group."""
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        # pd.merge_asof handles EVERY user in the coarse group in one
+        # C-level pass (by=user_id); right sorted by (ts, event_id) so an
+        # equal-ts duplicate resolves to the highest event_id — the
+        # oracle's DESC/DESC pick. allow_exact_matches=False = strict <.
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        e = g[g["event_type"] != "purchase"].sort_values(["ts", "event_id"])
         empty = pd.DataFrame(
             {"event_id": [], "user_id": [], "purchase_event_id": []}
         ).astype(np.int64)
-        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        e = g[g["event_type"] != "purchase"]
         if p.empty or e.empty:
             return empty
-        # first purchase with p.ts >= e.ts, minus one → last STRICTLY
-        # earlier; duplicates at equal ts resolve to the highest event_id
-        # (the sort's last), matching the oracle's DESC/DESC pick
-        idx = np.searchsorted(p["ts"].to_numpy(), e["ts"].to_numpy(), side="left") - 1
-        ok = idx >= 0
-        if not ok.any():
+        j = pd.merge_asof(
+            e[["event_id", "user_id", "ts"]],
+            p[["event_id", "user_id", "ts"]].rename(columns={"event_id": "purchase_event_id"}),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        j = j.dropna(subset=["purchase_event_id"])
+        if j.empty:
             return empty
         return pd.DataFrame(
             {
-                "event_id": e["event_id"].to_numpy()[ok],
-                "user_id": e["user_id"].to_numpy()[ok],
-                "purchase_event_id": p["event_id"].to_numpy()[idx[ok]],
+                "event_id": j["event_id"].to_numpy(),
+                "user_id": j["user_id"].to_numpy(),
+                "purchase_event_id": j["purchase_event_id"].to_numpy().astype(np.int64),
             }
         ).astype(np.int64)
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: asof_group(g.drop(columns=["_g"])), batch_format="pandas")
+    )
 
 
 ASOF_JOIN_SQL = """
@@ -882,20 +927,32 @@ def q_window_counts(sf_dir: str):
     vectorized searchsorted passes — no per-row loop."""
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # includes equal-ts peers
+    def window_group(g: pd.DataFrame) -> pd.DataFrame:
+        # per-user searchsorted inside the coarse group: the loop is over
+        # users-in-task (n_users / N_COARSE_GROUPS), the arithmetic per
+        # user is two vectorized binary-search passes
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out_ev, out_u, out_n = [], [], []
+        for uid, gu in g.groupby("user_id", sort=False):
+            ts = gu["ts"].to_numpy()
+            lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+            hi = np.searchsorted(ts, ts, side="right")  # equal-ts peers in
+            out_ev.append(gu["event_id"].to_numpy())
+            out_u.append(np.full(len(gu), uid, dtype=np.int64))
+            out_n.append((hi - lo).astype(np.int64))
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "n_prev_hour": (hi - lo).astype(np.int64),
+                "event_id": np.concatenate(out_ev),
+                "user_id": np.concatenate(out_u),
+                "n_prev_hour": np.concatenate(out_n),
             }
         )
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: window_group(g.drop(columns=["_g"])), batch_format="pandas")
+    )
 
 
 WINDOW_COUNTS_SQL = """
@@ -919,19 +976,29 @@ def q_sessionize(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        g["session_id"] = gap.cumsum().astype(np.int64)
-        out = g.groupby("session_id", as_index=False).agg(
+        # whole-coarse-group vectorization: one sort + cumsum handles ALL
+        # users in the task; session ids restart per user via a groupby
+        # transform (no per-user Python loop)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)) | new_user
+        sid_global = gap.cumsum()
+        g = g.assign(_sid=sid_global - sid_global.groupby(g["user_id"]).transform("min"))
+        out = g.groupby(["user_id", "_sid"], as_index=False).agg(
             n_events=("event_id", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out = out.rename(columns={"_sid": "session_id"})
+        out["session_id"] = out["session_id"].astype(np.int64)
         out["n_events"] = out["n_events"].astype(np.int64)
         return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: sessions(g.drop(columns=["_g"])), batch_format="pandas")
+    )
 
 
 SESSIONIZE_SQL = f"""
