@@ -137,10 +137,18 @@ def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = N
         .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # the groupby here is pure dedup (same pair found via several bands
-    # carries the identical n_agree)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("n_agree", alias_name="n_agree")
+    # pure pair dedup (same pair found via several bands carries the
+    # identical n_agree); survivor count scales with the corpus, so the
+    # dedup runs pandas-side inside coarse groups keyed on doc_a
+    from .queries import _with_coarse_group
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["n_agree"].max()
+
+    return (
+        _with_coarse_group(pairs, "doc_a")
+        .groupby("_g")
+        .map_groups(lambda g: dedup_pairs(g.drop(columns=["_g"])), batch_format="pandas")
     )
 
 
@@ -357,9 +365,17 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         .groupby("gkey")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # pure dedup of survivors (identical hamming wherever the pair recurs)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    # pure dedup of survivors (identical hamming wherever the pair
+    # recurs) — pandas-side inside coarse groups, like q_dedup_minhash
+    from .queries import _with_coarse_group
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+
+    return (
+        _with_coarse_group(pairs, "doc_a")
+        .groupby("_g")
+        .map_groups(lambda g: dedup_pairs(g.drop(columns=["_g"])), batch_format="pandas")
     )
 
 

@@ -40,16 +40,22 @@ N_COARSE_GROUPS = 256
 def _with_coarse_group(ds: ray.data.Dataset, key_col: str, n: int = N_COARSE_GROUPS):
     """Append a ``_g = hash(key) % n`` co-location column.
 
-    Per-entity ``groupby(key).map_groups`` pays a Python-level cost PER
-    GROUP in Ray (block slicing + one fn call each) — measured 30-80 s
-    for 160k tiny groups at sf0.1. Grouping by ~256 coarse buckets keeps
-    the exchange (all rows of one key land in one task) while the
-    per-key logic runs vectorized/pandas-side inside the task, so the
-    shape survives a key dimension 1000× larger."""
+    Per-entity ``groupby(key).map_groups`` / high-cardinality
+    ``groupby().aggregate`` pay a Python-level cost PER GROUP in Ray —
+    measured ~0.1 ms/group (22.6 s for a 1M-row/200k-group Sum+Count vs
+    0.61 s for the same aggregate run pandas-side inside 256 coarse
+    groups). Grouping by ~256 coarse buckets keeps the exchange (all
+    rows of one key land in one task) while the per-key logic runs
+    vectorized/pandas-side inside the task, so the shape survives a key
+    dimension 1000× larger. Works for int and string keys."""
 
     def add(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).to_numpy().astype(np.uint64)
-        g = (pd.util.hash_array(k, categorize=False) % n).astype(np.int64)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = pd.util.hash_array(k.astype(np.uint64), categorize=False)
+        else:
+            h = pd.util.hash_array(k.astype(object), categorize=False)
+        g = (h % n).astype(np.int64)
         return t.append_column("_g", pa.array(g))
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -504,10 +510,20 @@ GROUP BY 1
 def q_dedup_exact(sf_dir: str):
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
+    # text_hash cardinality ≈ n_docs → coarse-grouped pandas aggregate
+    # (Ray-native aggregate costs ~0.1 ms/group — unusable at billions of
+    # distinct hashes; see _with_coarse_group)
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("text_hash", as_index=False).agg(
+            first_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out
+
     return (
-        d.map_batches(_md5_doc_hashes, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_dups"))
+        _with_coarse_group(d.map_batches(_md5_doc_hashes, batch_format="pyarrow"), "text_hash")
+        .groupby("_g")
+        .map_groups(lambda g: agg(g.drop(columns=["_g"])), batch_format="pandas")
     )
 
 
@@ -535,12 +551,15 @@ def q_dedup_keep_first(sf_dir: str):
     — the keep-list a downstream stage joins/filters the full table by.
     One keyed shuffle of (hash, id) rows; document payloads never move."""
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    winners = (
-        d.map_batches(_md5_doc_hashes, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_hash", as_index=False)["doc_id"].min()[["doc_id"]]
+
+    return (
+        _with_coarse_group(d.map_batches(_md5_doc_hashes, batch_format="pyarrow"), "text_hash")
+        .groupby("_g")
+        .map_groups(lambda g: winners(g.drop(columns=["_g"])), batch_format="pandas")
     )
-    return winners.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
 DEDUP_KEEP_FIRST_SQL = """
@@ -685,10 +704,17 @@ def q_token_topk(sf_dir: str, k: int = 100):
             {"token": vc.index.astype(str), "part_n": vc.to_numpy().astype(np.int64)}
         )
 
+    def sum_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)["part_n"].sum()
+        return out.rename(columns={"part_n": "n"}).astype({"n": np.int64})
+
+    # vocabulary cardinality scales with the corpus → coarse-grouped
+    # pandas sum (see _with_coarse_group); the final sort ranks the
+    # already-aggregated vocabulary
     agg = (
-        d.map_batches(partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("part_n", alias_name="n"))
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(lambda g: sum_tokens(g.drop(columns=["_g"])), batch_format="pandas")
     )
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
@@ -1027,12 +1053,21 @@ FROM s GROUP BY 1, 2
 
 def q_user_activity(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
-    # direct groupby: Ray's aggregate protocol accumulates per block
-    # map-side already (see q_retry_pairs note)
-    return ev.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
+
+    # the user dimension grows with the data → coarse-grouped pandas
+    # aggregate (Ray-native aggregate costs ~0.1 ms per group; see
+    # _with_coarse_group)
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            n_events=("ts", "size"), first_ts=("ts", "min"), last_ts=("ts", "max")
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: agg(g.drop(columns=["_g"])), batch_format="pandas")
     )
 
 
