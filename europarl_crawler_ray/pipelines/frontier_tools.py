@@ -86,14 +86,27 @@ def politeness_partitioned_fetch(
     simulated: bool = True,
     page_scale: int = 1,
 ) -> ray.data.Dataset:
-    """Fetch a salted frontier co-located by ``part_key``: one
-    ``groupby(part_key)`` shuffle, then each group is fetched by one task
-    through the shared per-host politeness budget (leases are per host —
-    two salts of the same host draw from the same bucket)."""
+    """Fetch a salted frontier co-located by ``part_key``: ONE exchange on
+    a coarse hash of ``part_key`` (the per-key shuffle semantics are
+    preserved — every part_key's rows land in one task — but the task
+    count stays ~256 instead of one Python-level group per host×salt,
+    which is millions of groups at web scale; Fetcher already serializes
+    per host inside the batch), then each task fetches through the shared
+    per-host politeness budget (leases are per host — two salts of the
+    same host draw from the same bucket)."""
+    from ..functions.canonical import hash_urls as _hash
+
+    def add_g(t: pa.Table) -> pa.Table:
+        h1, _ = _hash(t.column("part_key").to_pylist())
+        return t.append_column(
+            "_g", pa.array((h1 % np.uint64(256)).astype(np.int64))
+        )
 
     def fetch_group(g: pa.Table) -> pa.Table:
         # stays Arrow end-to-end: the fetched rows carry html payloads and
         # a pandas round-trip would copy every blob through Python objects
+        part_keys = g.column("part_key")
+        g = g.drop_columns(["_g"])
         n = g.num_rows
         rulename = (
             g.column("rulename")
@@ -112,8 +125,10 @@ def politeness_partitioned_fetch(
         fetched = Fetcher(
             coordinator=coordinator, seed=seed, simulated=simulated, page_scale=page_scale
         )(t)
-        return fetched.append_column(
-            "part_key", pa.array([g.column("part_key")[0].as_py()] * n, pa.string())
-        )
+        return fetched.append_column("part_key", part_keys)
 
-    return ds.groupby("part_key").map_groups(fetch_group, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_g, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(fetch_group, batch_format="pyarrow")
+    )
