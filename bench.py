@@ -8,7 +8,7 @@ query over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 --scaling: runs the headline job in two FRESH processes at N and 4N CPUs
 (default 4 and 16 — levels where this host delivers ~4x compute; override
 with GRAFT_SCALING_LEVELS=lo,hi) on the same input and reports both
-throughputs plus the scaling efficiency (T_hi/T_lo)/4 and a plain-
+throughputs plus the scaling efficiency (tp_hi/tp_lo)/(hi/lo) and a plain-
 multiprocessing hardware control — the sandbox stand-in for the north
 rule's N vs 4N cluster criterion. Results land in BENCH/scaling_*.json.
 """
@@ -289,7 +289,7 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     log("hardware control (plain multiprocessing) ...")
     control = _hardware_control(levels)
     out = {
-        "metric": f"scaling efficiency {lo}->{hi} cpus (pages/s ratio / {hi // lo})",
+        "metric": f"scaling efficiency {lo}->{hi} cpus (pages/s ratio / {hi / lo:g})",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,

@@ -94,13 +94,7 @@ def politeness_partitioned_fetch(
     per host inside the batch), then each task fetches through the shared
     per-host politeness budget (leases are per host — two salts of the
     same host draw from the same bucket)."""
-    from ..functions.canonical import hash_urls as _hash
-
-    def add_g(t: pa.Table) -> pa.Table:
-        h1, _ = _hash(t.column("part_key").to_pylist())
-        return t.append_column(
-            "_g", pa.array((h1 % np.uint64(256)).astype(np.int64))
-        )
+    from .grouping import with_coarse_group
 
     def fetch_group(g: pa.Table) -> pa.Table:
         # stays Arrow end-to-end: the fetched rows carry html payloads and
@@ -125,10 +119,13 @@ def politeness_partitioned_fetch(
         fetched = Fetcher(
             coordinator=coordinator, seed=seed, simulated=simulated, page_scale=page_scale
         )(t)
+        # positional re-attach of per-row part_keys relies on Fetcher
+        # returning exactly the input rows in input order — enforce it
+        assert fetched.num_rows == n, "Fetcher must preserve row count/order"
         return fetched.append_column("part_key", part_keys)
 
     return (
-        ds.map_batches(add_g, batch_format="pyarrow")
+        with_coarse_group(ds, "part_key")
         .groupby("_g")
         .map_groups(fetch_group, batch_format="pyarrow")
     )

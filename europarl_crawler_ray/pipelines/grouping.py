@@ -1,0 +1,50 @@
+"""Coarse-group co-location — shared shuffle infrastructure.
+
+Ray's per-entity ``groupby(key).map_groups`` and high-cardinality
+``groupby().aggregate`` pay a Python-level cost PER GROUP — measured
+~0.1 ms/group on this Ray version (22.6 s for a 1M-row / 200k-group
+Sum+Count vs 0.61 s for the identical aggregate run pandas-side inside
+256 coarse groups). Any stage whose key dimension scales with the data
+(users, hashes, vocabulary, hosts) must therefore exchange on a COARSE
+hash of the key — all rows of one key still land in one task — and run
+the per-key logic vectorized inside the task.
+
+The resulting partitioning assumption is stronger than one-key-per-task:
+roughly ``1/N_COARSE_GROUPS`` of the whole keyed dataset must fit one
+task's memory. Raise ``n`` (it only needs to stay well above the
+cluster's core count) when per-bucket volume gets large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+N_COARSE_GROUPS = 256
+
+
+def with_coarse_group(
+    ds: ray.data.Dataset, key_col: str, n: int = N_COARSE_GROUPS
+) -> ray.data.Dataset:
+    """Append a ``_g = hash(key) % n`` co-location column.
+
+    The key is hashed through its STRING representation (one Arrow cast
+    per batch): hashing the realized numpy dtype instead would be
+    null-unstable — a nullable int64 column realizes as float64/object
+    in batches that contain a null, and ``pd.util.hash_array`` gives
+    different hashes per path, silently splitting one key across coarse
+    groups (review finding). The string path is identical for every
+    batch regardless of null placement; null keys hash to one stable
+    group (in-task pandas groupbys should pass ``dropna=False`` to keep
+    SQL NULL-group semantics).
+    """
+
+    def add(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(key_col), pa.string()).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(k.astype(object), categorize=False)
+        return t.append_column("_g", pa.array((h % n).astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -143,7 +143,7 @@ def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = N
     from .queries import _with_coarse_group
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False)["n_agree"].max()
+        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["n_agree"].max()
 
     return (
         _with_coarse_group(pairs, "doc_a")
@@ -370,7 +370,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
     from .queries import _with_coarse_group
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min()
+        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["hamming"].min()
 
     return (
         _with_coarse_group(pairs, "doc_a")

@@ -34,31 +34,9 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-N_COARSE_GROUPS = 256
-
-
-def _with_coarse_group(ds: ray.data.Dataset, key_col: str, n: int = N_COARSE_GROUPS):
-    """Append a ``_g = hash(key) % n`` co-location column.
-
-    Per-entity ``groupby(key).map_groups`` / high-cardinality
-    ``groupby().aggregate`` pay a Python-level cost PER GROUP in Ray —
-    measured ~0.1 ms/group (22.6 s for a 1M-row/200k-group Sum+Count vs
-    0.61 s for the same aggregate run pandas-side inside 256 coarse
-    groups). Grouping by ~256 coarse buckets keeps the exchange (all
-    rows of one key land in one task) while the per-key logic runs
-    vectorized/pandas-side inside the task, so the shape survives a key
-    dimension 1000× larger. Works for int and string keys."""
-
-    def add(t: pa.Table) -> pa.Table:
-        k = t.column(key_col).to_numpy(zero_copy_only=False)
-        if k.dtype.kind in "iu":
-            h = pd.util.hash_array(k.astype(np.uint64), categorize=False)
-        else:
-            h = pd.util.hash_array(k.astype(object), categorize=False)
-        g = (h % n).astype(np.int64)
-        return t.append_column("_g", pa.array(g))
-
-    return ds.map_batches(add, batch_format="pyarrow")
+# shared coarse-group shuffle infrastructure — see pipelines/grouping.py
+# for the measured rationale (Ray groupby cost ~0.1 ms per GROUP)
+from .grouping import N_COARSE_GROUPS, with_coarse_group as _with_coarse_group  # noqa: E402,F401
 
 
 # Derived per-event HTTP-ish status (deterministic from event_id) — used to
@@ -514,7 +492,7 @@ def q_dedup_exact(sf_dir: str):
     # (Ray-native aggregate costs ~0.1 ms/group — unusable at billions of
     # distinct hashes; see _with_coarse_group)
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("text_hash", as_index=False).agg(
+        out = df.groupby("text_hash", as_index=False, dropna=False).agg(
             first_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
         out["n_dups"] = out["n_dups"].astype(np.int64)
@@ -553,7 +531,7 @@ def q_dedup_keep_first(sf_dir: str):
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def winners(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("text_hash", as_index=False)["doc_id"].min()[["doc_id"]]
+        return df.groupby("text_hash", as_index=False, dropna=False)["doc_id"].min()[["doc_id"]]
 
     return (
         _with_coarse_group(d.map_batches(_md5_doc_hashes, batch_format="pyarrow"), "text_hash")
@@ -705,7 +683,7 @@ def q_token_topk(sf_dir: str, k: int = 100):
         )
 
     def sum_tokens(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("token", as_index=False)["part_n"].sum()
+        out = df.groupby("token", as_index=False, dropna=False)["part_n"].sum()
         return out.rename(columns={"part_n": "n"}).astype({"n": np.int64})
 
     # vocabulary cardinality scales with the corpus → coarse-grouped
@@ -887,9 +865,10 @@ def q_asof_join(sf_dir: str):
     recent strictly-earlier 'purchase' event (DuckDB ships this as ASOF
     JOIN; the oracle below uses an explicit window so the tie-break —
     latest ts, then highest event_id — is pinned). Ray shape: ONE
-    ``groupby(user_id)`` shuffle co-locates each user's timeline, then a
-    per-group sort + ``np.searchsorted`` merge — the documented
-    partitioning assumption is that one user's events fit one group."""
+    exchange on a coarse hash of user_id (all of one user's events land
+    in one task), then a single C-level ``pd.merge_asof(by=user_id)``
+    pass over the whole coarse group. Partitioning assumption:
+    ~1/N_COARSE_GROUPS of the events table fits one task's memory."""
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
     def asof_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -949,8 +928,9 @@ def q_window_counts(sf_dir: str):
     """Per event: how many of the same user's events fall in the trailing
     1-hour window. Mirrors SQL RANGE-mode window semantics exactly
     (peers at the same ts are included even 'after' the current row):
-    count = #ts in [t-1h, t], computed per co-located user group with two
-    vectorized searchsorted passes — no per-row loop."""
+    count = #ts in [t-1h, t], two vectorized searchsorted passes per user
+    inside a coarse-hash group — no per-row loop, no per-user Ray group.
+    Partitioning assumption: ~1/N_COARSE_GROUPS of events per task."""
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def window_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -997,8 +977,10 @@ SESSION_GAP_MIN = 30
 
 def q_sessionize(sf_dir: str):
     """Split each user's event stream into sessions at >30-minute gaps —
-    the windowed/streaming aggregate shape. Partitioned by user via ONE
-    groupby(user_id) shuffle; the window logic runs vectorized per group."""
+    the windowed/streaming aggregate shape. ONE exchange on a coarse hash
+    of user_id; the gap logic runs vectorized over ALL users of a coarse
+    group at once (sort + cumsum + groupby transform). Partitioning
+    assumption: ~1/N_COARSE_GROUPS of events fits one task's memory."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -1058,7 +1040,7 @@ def q_user_activity(sf_dir: str):
     # aggregate (Ray-native aggregate costs ~0.1 ms per group; see
     # _with_coarse_group)
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("user_id", as_index=False).agg(
+        out = df.groupby("user_id", as_index=False, dropna=False).agg(
             n_events=("ts", "size"), first_ts=("ts", "min"), last_ts=("ts", "max")
         )
         out["n_events"] = out["n_events"].astype(np.int64)
