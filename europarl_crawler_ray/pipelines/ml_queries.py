@@ -498,6 +498,110 @@ def _lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
     return out
 
 
+def q_dedup_embedding(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    bucket_cap: int | None = None,
+):
+    """Embedding-cosine near-dup pairs via banded random-hyperplane LSH
+    (the minhash banding shape applied to vectors): each vector gets one
+    bucket key per band (sign bits of ±1 hyperplane projections), a pair
+    is a candidate if ANY band bucket matches, candidates are verified by
+    exact cosine ≥ threshold inside the bucket task. The DuckDB oracle
+    replicates the same deterministic planes (inlined literals) and the
+    same any-band candidate rule, so the result matches exactly."""
+    planes = _lsh_planes(n_bands * planes_per_band)
+    pref = ray.put(planes)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    weights = 1 << np.arange(planes_per_band)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bits = (mat @ pl.T) > 0  # (n, n_bands*planes_per_band)
+        out = []
+        for b in range(n_bands):
+            bk = bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ weights
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band_key": (b << 16) | bk.astype(np.int64),
+                        "vec_id": df["vec_id"].to_numpy(),
+                        "vec": [v.tobytes() for v in matn],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        g = _cap_bucket(g, "dedup_embedding", bucket_cap)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]]}
+        ).astype(np.int64)
+
+    # band-key cardinality = n_bands × 2^planes_per_band (64) — small
+    # enough to group directly
+    pairs = (
+        emb.map_batches(band_rows, batch_format="pandas")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_a", "vec_b"])
+
+    from .queries import _with_coarse_group
+
+    return (
+        _with_coarse_group(pairs, "vec_a")
+        .groupby("_g")
+        .map_groups(lambda g: distinct_pairs(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+def _dedup_embedding_sql(threshold: float = 0.45, n_bands: int = 4, planes_per_band: int = 4) -> str:
+    planes = _lsh_planes(n_bands * planes_per_band)
+    band_selects = []
+    for b in range(n_bands):
+        terms = []
+        for p in range(planes_per_band):
+            arr = "[" + ", ".join(f"{v:.1f}" for v in planes[b * planes_per_band + p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(e, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, e, {(b << 16)} + {' + '.join(terms)} AS bkey FROM d"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.vec_id < y.vec_id)
+SELECT c.vec_a, c.vec_b
+FROM cand c
+JOIN d a ON a.vec_id = c.vec_a
+JOIN d b ON b.vec_id = c.vec_b
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+"""
+
+
+DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
+
+
 def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     planes = _lsh_planes(n_planes)
@@ -937,6 +1041,7 @@ ML_SQL_QUERIES: dict = {
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
+    "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
 }
 
 # rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /
