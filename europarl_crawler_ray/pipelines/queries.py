@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions import rules as R
 from ..functions.textstats import fingerprints, quality_stats, token_counts
@@ -161,16 +161,18 @@ def q_retry_pairs(sf_dir: str):
             }
         )
 
-    # note: no manual map-side combiner — Ray's aggregate protocol already
-    # accumulates per block before the reduce, and a measured A/B showed a
-    # pandas pre-combine stage 5-10x SLOWER here (extra stage + pandas
-    # blocks through the sort path)
-    g = (
-        ev.map_batches(derive, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Max("ok", alias_name="any_ok"))
+    # (user_id, day) cardinality scales with the data → coarse-grouped
+    # pandas aggregate (see pipelines/grouping.py for the measured
+    # ~0.1 ms/group cost of Ray-native aggregates)
+    def never_ok(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "day"], as_index=False, dropna=False)["ok"].max()
+        return g.loc[g["ok"] == 0, ["user_id", "day"]]
+
+    return (
+        _with_coarse_group(ev.map_batches(derive, batch_format="pyarrow"), "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: never_ok(g.drop(columns=["_g"])), batch_format="pandas")
     )
-    return g.filter(expr="any_ok == 0").select_columns(["user_id", "day"])
 
 
 RETRY_PAIRS_SQL = f"""
