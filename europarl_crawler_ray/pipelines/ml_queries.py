@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.dedup import (
     N_BANDS,
@@ -36,6 +36,7 @@ from ..functions.dedup import (
     simhash_band_keys,
 )
 from ..functions.textstats import _STOPWORDS, predict_lang
+from .grouping import with_coarse_group as _with_coarse_group
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -140,8 +141,6 @@ def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = N
     # pure pair dedup (same pair found via several bands carries the
     # identical n_agree); survivor count scales with the corpus, so the
     # dedup runs pandas-side inside coarse groups keyed on doc_a
-    from .queries import _with_coarse_group
-
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["n_agree"].max()
 
@@ -367,8 +366,6 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
     )
     # pure dedup of survivors (identical hamming wherever the pair
     # recurs) — pandas-side inside coarse groups, like q_dedup_minhash
-    from .queries import _with_coarse_group
-
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["hamming"].min()
 
@@ -520,7 +517,10 @@ def q_dedup_embedding(
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         pl = ray.get(pref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        ok = norms[:, 0] > 0  # zero-norm excluded (oracle: inner(e,e) > 0)
+        df, mat, norms = df[ok], mat[ok], norms[ok]
+        matn = mat / norms
         bits = (mat @ pl.T) > 0  # (n, n_bands*planes_per_band)
         out = []
         for b in range(n_bands):
@@ -562,8 +562,6 @@ def q_dedup_embedding(
     def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["vec_a", "vec_b"])
 
-    from .queries import _with_coarse_group
-
     return (
         _with_coarse_group(pairs, "vec_a")
         .groupby("_g")
@@ -586,7 +584,9 @@ def _dedup_embedding_sql(threshold: float = 0.45, n_bands: int = 4, planes_per_b
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
 bands AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
