@@ -23,6 +23,10 @@ def atomic_write_parquet(ds, final_dir: str, keep_existing_if_empty: bool = Fals
     tmp = final_dir + "__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
+    # Ray's write_parquet creates NO directory for a zero-row dataset —
+    # an empty crawl window (e.g. horizon < start) must commit an empty
+    # dir, not crash on the missing tmp path
+    os.makedirs(tmp, exist_ok=True)
     import pyarrow.dataset as pads
 
     rows = pads.dataset(tmp).count_rows()

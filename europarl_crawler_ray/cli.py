@@ -186,6 +186,12 @@ def main(argv=None) -> int:
     cc.add_argument("--partitions", type=int, default=16)
     cc.set_defaults(fn=cmd_ccingest)
 
+
+    # --num-cpus also accepted AFTER the subcommand (as the README shows);
+    # SUPPRESS keeps the top-level value when the sub-position flag is absent
+    for spp in (c, pp, rp, st, rl, cc):
+        spp.add_argument("--num-cpus", type=int, default=argparse.SUPPRESS)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -189,3 +189,25 @@ def test_http_client_config_mirrors_reference_envelope():
     ]
     f = Fetcher(seed=3)
     assert f.client.timeout > 0
+
+
+def test_streamed_empty_window_commits_empty_pages(ray_session, tmp_path):
+    """horizon < start (default offsets on a short calendar window): the
+    streamed run must commit an EMPTY pages dir, not crash on the missing
+    tmp path Ray skips creating for zero-row datasets (CLI regression)."""
+    from datetime import date as _date
+
+    cfg = CrawlConfig(
+        output_dir=str(tmp_path / "empty"),
+        start_date=_date(2021, 2, 1),
+        today=_date(2021, 2, 20),
+        offset_days=30,  # horizon = today-30 < start → zero candidate days
+        num_seen_shards=2,
+        fetch_concurrency=2,
+    )
+    drv = CrawlDriver(cfg, resume=False)
+    s = drv.run_streamed()
+    assert s["pages"] == 0
+    import os
+
+    assert os.path.isdir(f"{cfg.output_dir}/pages")
