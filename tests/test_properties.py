@@ -59,3 +59,33 @@ def test_bloom_no_false_negatives(urls):
     h1, h2 = hash_urls(urls)
     b.check_and_add(h1, h2)
     assert b.contains(h1, h2).all()
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_arbitrary_text(text):
+    """render→extract recovers ANY text after the pdf_roundtrip query's
+    structural-char normalization (\\n and \\x0c are the extractor's line/
+    page separators); the renderer must never crash on any unicode."""
+    from europarl_crawler_ray.functions.pdf import (
+        pdf_to_text,
+        render_pdf_text,
+        unwrap_lines,
+    )
+
+    safe = text.replace("\x0c", " ").replace("\n", " ")
+    out = pdf_to_text(render_pdf_text(safe))
+    assert out is not None
+    assert unwrap_lines(out) == safe
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_rewrite_links_never_crashes_and_is_parseable(text):
+    """The DOM rewriter must accept arbitrary (broken) markup without
+    raising, and rewriting twice must be a no-op on its own output
+    (reserialization fixed point)."""
+    from europarl_crawler_ray.functions.rewrite import rewrite_links
+
+    once = rewrite_links(text, "https://base.example")
+    assert rewrite_links(once, "https://base.example") == once
