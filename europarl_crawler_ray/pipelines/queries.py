@@ -513,6 +513,44 @@ FROM documents GROUP BY 1
 """
 
 
+# =========================== link rewriting, byte-exact vs SQL (M11 oracle)
+
+
+def q_rewrite_absolutize(sf_dir: str):
+    """M11 under a hard oracle: each document's text becomes an HTML page
+    with one relative link; ``rewrite_links`` (the bs4+lxml-faithful DOM
+    reserializer) must produce EXACTLY the bytes the oracle assembles by
+    string concatenation — absolutized href, minimally re-escaped text,
+    all other bytes identical."""
+    import html as _H
+
+    from ..functions.rewrite import rewrite_links
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    base = "https://www.example.org"
+
+    def rw(t: pa.Table) -> pa.Table:
+        out = []
+        for doc_id, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            src = (
+                f'<html><body><a href="/doc/{doc_id}">'
+                f"{_H.escape(txt, quote=False)}</a></body></html>"
+            )
+            out.append(rewrite_links(src, base))
+        return pa.table({"doc_id": t.column("doc_id"), "html_out": pa.array(out, pa.string())})
+
+    return d.map_batches(rw, batch_format="pyarrow")
+
+
+REWRITE_ABSOLUTIZE_SQL = r"""
+SELECT doc_id,
+       '<html><body><a href="https://www.example.org/doc/' || doc_id || '">'
+       || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</a></body></html>' AS html_out
+FROM documents
+"""
+
+
 # ====================================== exact dedup, materialized survivors
 
 
@@ -1139,6 +1177,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "pdf_roundtrip": (q_pdf_roundtrip, PDF_ROUNDTRIP_SQL),
     "html_roundtrip": (q_html_roundtrip, HTML_ROUNDTRIP_SQL),
     "dedup_keep_first": (q_dedup_keep_first, DEDUP_KEEP_FIRST_SQL),
+    "rewrite_absolutize": (q_rewrite_absolutize, REWRITE_ABSOLUTIZE_SQL),
     "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "token_topk": (q_token_topk, TOKEN_TOPK_SQL),
