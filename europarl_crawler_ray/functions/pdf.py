@@ -635,7 +635,13 @@ def wrap_words(text: str, width: int = 90) -> list[str]:
     n = 0
     for w in words:
         add = len(w) + (1 if cur else 0)
-        if cur and n + add > width:
+        # Never break BEFORE an empty word (a break there would strand the
+        # space it encodes on an empty line that extraction cannot keep),
+        # and never break while the current line still joins to "" (text
+        # starting with a space): either way an empty rendered line would
+        # be dropped by unwrap_lines and a space silently lost.
+        breakable = w != "" and not (len(cur) == 1 and cur[0] == "")
+        if cur and n + add > width and breakable:
             lines.append(" ".join(cur))
             cur, n = [w], len(w)
         else:

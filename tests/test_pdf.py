@@ -287,3 +287,35 @@ def test_runs_of_spaces_roundtrip():
     assert unwrap_lines(pdf_to_text(render_pdf_text(text))) == text
     # tj variant falls back to Tj for lines with space runs
     assert unwrap_lines(pdf_to_text(render_pdf_text(text, tj_words=True))) == text
+
+
+def test_wrap_boundary_empty_word_roundtrip():
+    # ADVICE r2: a wrap boundary landing on an empty word (trailing space
+    # after a >=width word, leading space, space runs at the boundary)
+    # used to emit an empty line that unwrap_lines dropped, losing a space
+    cases = [
+        "x" * 90 + " ",
+        " " + "x" * 90,
+        "x" * 90 + "  tail",
+        "a" * 89 + " " + " " * 5 + "b",
+        ("w " * 60).strip() + " ",
+        " ",
+        "  ",
+    ]
+    for t in cases:
+        for kw in ({}, {"tj_words": True}):
+            assert unwrap_lines(pdf_to_text(render_pdf_text(t, **kw))) == t, (t, kw)
+
+
+def test_wrap_words_never_emits_droppable_empty_line():
+    import random
+
+    rng = random.Random(11)
+    from europarl_crawler_ray.functions.pdf import wrap_words
+
+    for _ in range(500):
+        t = "".join(rng.choice("ab ") for _ in range(rng.randint(0, 140)))
+        lines = wrap_words(t)
+        # only a fully-empty input may produce the single empty line
+        assert all(ln != "" for ln in lines) or t == ""
+        assert unwrap_lines(pdf_to_text(render_pdf_text(t))) == t
