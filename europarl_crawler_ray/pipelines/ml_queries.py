@@ -313,23 +313,23 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         from ..functions.dedup import _WORD_RE
 
         has_tok = np.array([bool(x) and _WORD_RE.search(x) is not None for x in texts])
-        band_keys, doc_ids, hashes = [], [], []
-        for did, h, ok in zip(ids, hs, has_tok):
-            if not ok:
-                continue
-            for bk in simhash_band_keys(h):
-                band_keys.append(bk)
-                doc_ids.append(int(did))
-                hashes.append(int(np.uint64(h).view(np.int64)))
+        ids, hs = ids[has_tok], hs[has_tok]
+        # band emission vectorized (VERDICT r2 #7, mirroring minhash's
+        # sig_rows): band b's key is (b << 60) | 16-bit chunk b, emitted
+        # for every doc via shifts + np.repeat — no per-doc Python loop
+        # (``simhash_band_keys`` stays as the scalar reference/spec).
+        n, n_bands = len(ids), 4
+        b = np.arange(n_bands, dtype=np.uint64)
+        chunks = (hs[:, None] >> (b * np.uint64(16))) & np.uint64(0xFFFF)
+        band_keys = ((b << np.uint64(60)) | chunks).ravel().view(np.int64)
         # coarse co-location (see q_dedup_minhash): ~256 groups instead of
         # one Python-level group per band key
-        gkeys = [bk & 0xFF for bk in band_keys]
         return pa.table(
             {
-                "gkey": pa.array(gkeys, pa.int64()),
+                "gkey": pa.array(band_keys & 0xFF, pa.int64()),
                 "band_key": pa.array(band_keys, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "simhash": pa.array(hashes, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "simhash": pa.array(np.repeat(hs.view(np.int64), n_bands), pa.int64()),
             }
         )
 
@@ -350,7 +350,11 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
             rows = []
             for i in range(n):
                 x = np.bitwise_xor(hs_[i + 1 :], hs_[i])
-                d = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+                d = (
+                    np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
                 # threshold inside the task (hamming is pair-pure, commutes
                 # with dedup) — see q_dedup_minhash for the measured cost
                 # of a sub-threshold pair stream through a global groupby

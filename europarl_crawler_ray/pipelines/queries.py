@@ -211,25 +211,28 @@ def q_todo_combos(sf_dir: str):
     # map_groups, so neither the cross table nor the observed set ever
     # exists on the driver (VERDICT r1 #8)
     confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
-    conf_ref = ray.put(confirmed_days)
+    conf_ref = ray.put(np.array(confirmed_days, dtype="datetime64[D]"))
 
     def missing_group(t: pa.Table) -> pa.Table:
         # all users of one coarse bucket handled in one task (per-entity
-        # map_groups pays Ray-level cost per group — see _with_coarse_group)
-        conf = ray.get(conf_ref)
-        by_user: dict[int, set] = {}
-        for u, dd in zip(t.column("user_id").to_pylist(), t.column("day").to_pylist()):
-            by_user.setdefault(u, set()).add(dd)
-        out_d, out_u = [], []
-        for u, observed in by_user.items():
-            for dd in conf:
-                if dd not in observed:
-                    out_d.append(dd)
-                    out_u.append(u)
+        # map_groups pays Ray-level cost per group — see _with_coarse_group).
+        # Fully vectorized (VERDICT r2 #6): mark observed (user, conf-day)
+        # cells in a users×K boolean grid and emit the unmarked cells —
+        # no per-row Python iteration (K = |confirmed days| is calendar-
+        # bounded, so the grid is |bucket users| × small).
+        conf = ray.get(conf_ref)  # sorted datetime64[D]
+        users = t.column("user_id").to_numpy()
+        days = t.column("day").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        uu, uidx = np.unique(users, return_inverse=True)
+        pos = np.searchsorted(conf, days)
+        in_conf = (pos < len(conf)) & (conf[np.clip(pos, 0, len(conf) - 1)] == days)
+        mark = np.zeros((len(uu), len(conf)), dtype=bool)
+        mark[uidx[in_conf], pos[in_conf]] = True
+        ui, ci = np.nonzero(~mark)
         return pa.table(
             {
-                "day": pa.array(out_d, pa.date32()),
-                "user_id": pa.array(out_u, pa.int64()),
+                "day": pa.array(conf[ci]),
+                "user_id": pa.array(uu[ui], pa.int64()),
             }
         )
 
