@@ -370,51 +370,93 @@ WHERE n_chars < 200 ORDER BY doc_id LIMIT 100
 # ================================ E5: metadata enrichment (broadcast joins)
 
 
-def q_nation_order_stats(sf_dir: str):
-    # dimension sides are small → broadcast once (no shuffle join)
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+def q_nation_order_stats(sf_dir: str, n_buckets: int = 32):
+    """4-way join where only customer and nation are genuinely small.
+
+    Two-stage shape (VERDICT r2 #1 — the old version collected the full
+    ``orders`` table on the driver, a 100×-scale OOM): broadcast ONLY
+    customer⨝nation (custkey → nationkey, a bounded dimension), tag each
+    distributed ``orders`` batch with its nation code via the broadcast,
+    then join orders↔lineitem through the ``q_partitioned_join`` bucket
+    exchange. The driver never materializes a data-scaled table; the
+    global groupby only ever sees ≤25 partial rows per bucket.
+    Reference semantics: europarl/db/documents.py:202-240 (E5)."""
+    assert n_buckets & (n_buckets - 1) == 0
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     cust_nation = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    order_nation = orders.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")
-    # sort ONCE on the driver; per-batch argsort of the full lookup was
-    # O(|orders| log |orders|) per batch
-    _keys = order_nation["o_orderkey"].to_numpy()
-    _order = np.argsort(_keys)
-    lookup_ref = ray.put((_keys[_order], order_nation["n_name"].to_numpy()[_order]))
+    ck = cust_nation["c_custkey"].to_numpy()
+    order_ = np.argsort(ck)
+    cust_ref = ray.put((ck[order_], cust_nation["n_nationkey"].to_numpy()[order_]))
+    code_to_name = dict(zip(nation["n_nationkey"].tolist(), nation["n_name"].tolist()))
 
-    def enrich_partial(t: pa.Table) -> pa.Table:
-        sk, sn = ray.get(lookup_ref)
-        lk = t.column("l_orderkey").to_numpy()
-        pos = np.clip(np.searchsorted(sk, lk), 0, len(sk) - 1)
-        member = sk[pos] == lk  # guard keys missing from the lookup
-        lk = lk[member]
-        pos = pos[member]
-        t = t.filter(pa.array(member))
-        n_name = sn[pos]
-        qty = t.column("l_quantity").to_numpy()
-        df = pd.DataFrame({"n_name": n_name, "qty": qty})
-        g = df.groupby("n_name", as_index=False).agg(
+    def orders_side(t: pa.Table) -> pa.Table:
+        sk, sc = ray.get(cust_ref)
+        keys = t.column("o_orderkey").to_numpy()
+        custs = t.column("o_custkey").to_numpy()
+        pos = np.clip(np.searchsorted(sk, custs), 0, len(sk) - 1)
+        member = sk[pos] == custs  # guard custkeys missing from the dim
+        keys, pos = keys[member], pos[member]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "code": pa.array(sc[pos].astype(np.int32)),
+                "qty": pa.nulls(len(keys), pa.float64()),
+                "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                "bucket": pa.array((keys & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def items_side(t: pa.Table) -> pa.Table:
+        keys = t.column("l_orderkey").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "code": pa.nulls(t.num_rows, pa.int32()),
+                "qty": pc.cast(t.column("l_quantity"), pa.float64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "bucket": pa.array((keys & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow"
+    )
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        items_side, batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, ["key", "code"]].drop_duplicates("key")
+        right = g.loc[g["side"] == 1].groupby("key", as_index=False).agg(
             part_items=("qty", "size"), part_qty=("qty", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        j = left.merge(right, on="key", how="inner")
+        out = j.groupby("code", as_index=False).agg(
+            part_items=("part_items", "sum"), part_qty=("part_qty", "sum")
+        )
+        out["part_items"] = out["part_items"].astype(np.int64)
+        return out[["code", "part_items", "part_qty"]]
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     agg = (
-        li.map_batches(enrich_partial, batch_format="pyarrow")
-        .groupby("n_name")
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("code")
         .aggregate(Sum("part_items", alias_name="n_items"), Sum("part_qty", alias_name="qty_d"))
     )
-    return agg.map_batches(
-        lambda t: pa.table(
+
+    def decode(t: pa.Table) -> pa.Table:
+        codes = t.column("code").to_pylist()
+        return pa.table(
             {
-                "n_name": t.column("n_name"),
+                "n_name": pa.array([code_to_name[c] for c in codes], pa.string()),
                 "n_items": pc.cast(t.column("n_items"), pa.int64()),
                 "sum_qty": pc.cast(pc.round(t.column("qty_d")), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 NATION_ORDER_STATS_SQL = """

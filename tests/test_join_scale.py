@@ -1,0 +1,75 @@
+"""Scale-design guards for the join queries: the driver must never
+materialize a data-scaled table (VERDICT r2 #1)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from europarl_crawler_ray.pipelines.queries import (
+    NATION_ORDER_STATS_SQL,
+    q_nation_order_stats,
+)
+
+
+def test_nation_order_stats_matches_duckdb(ray_session, sf_dir):
+    got = q_nation_order_stats(sf_dir).to_pandas().sort_values("n_name").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(NATION_ORDER_STATS_SQL).df().sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_nation_order_stats_never_collects_orders_on_driver(ray_session, sf_dir, monkeypatch):
+    """The only driver-side collects allowed are the bounded dimensions
+    (customer, nation) — never orders/lineitem (data-scaled)."""
+    import ray.data
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_customer = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    assert n_orders > n_customer  # the guard below is meaningful
+
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        collected.append(len(df))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    out = q_nation_order_stats(sf_dir)
+    # driver-side collects happen during query CONSTRUCTION (broadcast
+    # prep); executing the result is allowed to collect the ≤25-row answer
+    assert collected, "expected the small-dimension broadcast collects"
+    assert max(collected) <= n_customer, (
+        f"driver collected a table of {max(collected)} rows — data-scaled "
+        f"(orders={n_orders}); only bounded dimensions may be collected"
+    )
+    assert out.count() > 0
+
+
+def test_nation_order_stats_broadcast_is_dimension_sized(ray_session, sf_dir, monkeypatch):
+    """ray.put payloads during construction must be dimension-sized, not
+    orders-sized (the r2 version shipped every o_orderkey)."""
+    import ray
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_customer = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    sizes = []
+    orig_put = ray.put
+
+    def spy_put(obj, *a, **kw):
+        n = 0
+        if isinstance(obj, tuple):
+            n = max((len(x) for x in obj if isinstance(x, np.ndarray)), default=0)
+        elif isinstance(obj, np.ndarray):
+            n = len(obj)
+        sizes.append(n)
+        return orig_put(obj, *a, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    q_nation_order_stats(sf_dir)
+    assert sizes and max(sizes) <= n_customer < n_orders
