@@ -154,7 +154,16 @@ def batch_minhash_sigs_p(texts: list[str], k: int = 3, n_perm: int = N_PERM) -> 
     n_perm) permutation matmul, then ``np.minimum.reduceat`` over per-doc
     segment boundaries. Empty docs get the sentinel signature p (one more
     than any attainable hash)."""
-    per_doc = [md5_hash31(shingle_strings(t, k)) for t in texts]
+    return minhash_sigs_from_hashes(
+        [md5_hash31(shingle_strings(t, k)) for t in texts], n_perm
+    )
+
+
+def minhash_sigs_from_hashes(per_doc: list[np.ndarray], n_perm: int = N_PERM) -> np.ndarray:
+    """Signatures from precomputed (possibly deduplicated — min is
+    idempotent) mod-p shingle-hash arrays; lets a pipeline that already
+    owns the shingle sets (dedup_verify) derive the minhash candidates
+    without re-hashing the text."""
     n = len(per_doc)
     sigs = np.full((n, n_perm), P31, dtype=np.uint64)
     nonempty = [i for i, h in enumerate(per_doc) if len(h)]

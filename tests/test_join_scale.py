@@ -73,3 +73,40 @@ def test_nation_order_stats_broadcast_is_dimension_sized(ray_session, sf_dir, mo
     monkeypatch.setattr(ray, "put", spy_put)
     q_nation_order_stats(sf_dir)
     assert sizes and max(sizes) <= n_customer < n_orders
+
+
+def test_dedup_verify_never_collects_on_driver(ray_session, sf_dir, monkeypatch):
+    """VERDICT r2 #2: neither the candidate pairs nor any shingle set may
+    be collected to the driver during query construction."""
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_verify
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver-side to_pandas during dedup_verify construction")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    ds = q_dedup_verify(sf_dir)  # construction must not collect
+    monkeypatch.undo()
+    out = ds.to_pandas()
+    assert list(sorted(out.columns)) == ["doc_a", "doc_b", "n_inter", "n_union"]
+    assert (out["n_union"] >= out["n_inter"]).all()
+
+
+def test_dedup_verify_matches_duckdb(ray_session, sf_dir):
+    from europarl_crawler_ray.pipelines.ml_queries import DEDUP_VERIFY_SQL, q_dedup_verify
+
+    got = (
+        q_dedup_verify(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(DEDUP_VERIFY_SQL).df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
