@@ -949,13 +949,18 @@ def q_multimodal_meta(sf_dir: str):
             "image", pa.array([make_fake_image(str(i)) for i in ids], pa.binary())
         )
 
-    return docs.map_batches(attach, batch_format="pyarrow").map_batches(
-        DecodeImageMeta,
-        fn_constructor_kwargs={"use_stub": True},
-        batch_format="pyarrow",
-        batch_size=64,  # wide binary rows → small batches
-        concurrency=2,
-        num_cpus=1,
+    return (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageMeta,
+            batch_format="pyarrow",
+            batch_size=64,  # wide binary rows → small batches
+            concurrency=2,
+            num_cpus=1,
+        )
+        # n_bytes (encoded file size) is not SQL-computable for PNG
+        # (zlib output length); it is pinned by tests/test_multimodal.py
+        .drop_columns(["n_bytes"])
     )
 
 
@@ -963,17 +968,31 @@ def _md5u(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 16)) AS UBIGINT)"
 
 
-# The fake-image header fields are md5-derived (stages/multimodal.py), so
-# the oracle recomputes what the Ray side ENCODES into binary blobs and
-# DECODES back through the actor-pool stage — a true end-to-end check of
-# the multimodal plumbing.
+# The image recipe (format, dimensions, solid fill color) is md5-derived
+# (stages/multimodal.py fake_image_params), so the oracle recomputes what
+# the Ray side ENCODED into real BMP/PNG bytes and DECODED back out of
+# the pixels through the actor-pool stage — an end-to-end check of both
+# from-scratch codecs: a single wrong pixel anywhere breaks pixel_sum.
 MULTIMODAL_META_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    {_md5u("'imgt:42:' || CAST(doc_id AS VARCHAR)")} % 2 AS t,
+    CAST(16 + ({_md5u("'imgw:42:' || CAST(doc_id AS VARCHAR)")} % 112) AS INTEGER) AS w,
+    CAST(16 + ({_md5u("'imgh:42:' || CAST(doc_id AS VARCHAR)")} % 112) AS INTEGER) AS h,
+    {_md5u("'imgc:42:' || CAST(doc_id AS VARCHAR)")} AS c
+  FROM documents
+)
 SELECT doc_id,
-  CAST(16 + ({_md5u("'imgw:42:' || CAST(doc_id AS VARCHAR)")} % 496) AS INTEGER) AS width,
-  CAST(16 + ({_md5u("'imgh:42:' || CAST(doc_id AS VARCHAR)")} % 496) AS INTEGER) AS height,
+  CASE WHEN t = 0 THEN 'bmp' ELSE 'png' END AS format,
+  w AS width,
+  h AS height,
   CAST(3 AS INTEGER) AS channels,
-  CAST(73 + ({_md5u("'imgl:42:' || CAST(doc_id AS VARCHAR)")} % 1984) AS BIGINT) AS n_bytes
-FROM documents
+  CAST(w AS BIGINT) * h AS n_pixels,
+  CAST(c % 256 AS INTEGER) AS pix_r,
+  CAST((c >> 8) % 256 AS INTEGER) AS pix_g,
+  CAST((c >> 16) % 256 AS INTEGER) AS pix_b,
+  CAST((c % 256) + ((c >> 8) % 256) + ((c >> 16) % 256) AS BIGINT) * w * h AS pixel_sum
+FROM p
 """
 
 
