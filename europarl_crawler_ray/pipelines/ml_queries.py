@@ -794,66 +794,102 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {k}
 ANN_LSH_SQL = _ann_lsh_sql()
 
 
-def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Shared rank-assignment for the ANN variants (ties broken by vec_id)."""
-    g = g.sort_values(["sim_1e6", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "vec_id", "rank"]]
-
-
 # --------------------------------------------------------- IVF-style ANN
 
 
 def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
-              n_queries: int = 5):
-    """IVF (inverted-file) ANN: k-means centroids partition the vectors;
-    a query scores only its ``n_probe`` nearest cells. Centroids are
-    trained driver-side on a sample (at scale: minibatch k-means on
-    ``ds.random_sample``), assignment + scoring are per-batch matmuls."""
+              n_queries: int = 5, lloyd_iters: int = 0):
+    """IVF-flat ANN: centroids partition the vectors into inverted lists;
+    a query scores only its ``n_probe`` nearest cells.
+
+    Centroids are the ``n_centroids`` corpus vectors with the smallest
+    ``md5(vec_id)`` — a deterministic sample (standard IVF practice
+    trains the coarse quantizer on a sample). With ``lloyd_iters=0``
+    (default) the sampled points ARE the centroids, which makes the whole
+    query SQL-expressible — the DuckDB oracle replicates the md5 ranking,
+    the argmax cell assignment, and the probed-cell top-k exactly
+    (VERDICT r2 #8: ann_ivf moves from rows-only to a full value oracle).
+    ``lloyd_iters>0`` refines the centroids on a hash-selected sample
+    (better cells; float averages make it non-SQL-replicable — exposed
+    as the rows-only ``ann_ivf_kmeans`` entry).
+
+    Centroid selection is shuffle-free: per-batch md5 pruning to the
+    ``n_centroids`` best rows, then one bounded (≤ n_centroids·n_blocks
+    rows) driver reduction — never a data-scaled collect."""
+    import hashlib as _hl
+
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # deterministic SHUFFLE-FREE training sample (VERDICT r1 #3: the old
-    # random_shuffle().limit() was an all-to-all of every block spent on
-    # picking 2000 rows): hash-based row selection inside map_batches —
-    # keep rows where hash(vec_id) % mod == 0, sized from the parquet
-    # row-count metadata (no scan). Pseudo-random, stable across runs and
-    # block orders; the sort fixes the order k-means init indexes into.
-    n_total = emb.count()  # parquet metadata only
-    mod = max(1, n_total // 2000)
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy().astype(np.uint64)
-        h = pd.util.hash_array(ids, hash_key="europarl_ivf_smp", categorize=False)
-        return t.filter(pa.array(h % mod == 0))
+    def cent_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ok = np.linalg.norm(mat, axis=1) > 0  # cosine undefined for 0-norm
+        df = df[ok]
+        md5s = np.array(
+            [_hl.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:n_centroids]  # per-batch prune (combiner)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy()[keep],
+                "md5": md5s[keep],
+                "embedding": df["embedding"].to_numpy()[keep],
+            }
+        )
 
-    sample = (
-        emb.map_batches(pick, batch_format="pyarrow").to_pandas().sort_values("vec_id").head(2000)
-    )
-    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    rng = np.random.default_rng(42)
-    n_centroids = min(n_centroids, len(mat))  # tiny tables: one cell per row
-    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)].copy()
-    for _ in range(10):  # Lloyd iterations on the sample
-        assign = (mat @ cent.T).argmax(axis=1)
-        for c in range(n_centroids):
-            pts = mat[assign == c]
-            if len(pts):
-                v = pts.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+    cands = emb.map_batches(cent_candidates, batch_format="pandas").to_pandas()
+    cent_df = cands.sort_values("md5").head(n_centroids).sort_values("vec_id")
+    cids = cent_df["vec_id"].to_numpy().astype(np.int64)  # ascending → argmax
+    cent = np.stack(cent_df["embedding"].to_numpy()).astype(np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    if lloyd_iters:
+        # k-means refinement on a deterministic hash-selected sample
+        # (shuffle-free, VERDICT r1 #3); result is no longer SQL-oracled
+        n_total = emb.count()  # parquet metadata only
+        mod = max(1, n_total // 2000)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy().astype(np.uint64)
+            h = pd.util.hash_array(ids, hash_key="europarl_ivf_smp", categorize=False)
+            return t.filter(pa.array(h % mod == 0))
+
+        sample = (
+            emb.map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("vec_id")
+            .head(2000)
+        )
+        mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+        for _ in range(lloyd_iters):
+            assign = (mat @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                pts = mat[assign == c]
+                if len(pts):
+                    v = pts.mean(axis=0)
+                    cent[c] = v / np.linalg.norm(v)
 
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
-    qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qok = np.linalg.norm(qmat, axis=1) > 0
+    qids = qdf["vec_id"].to_numpy()[qok]
+    qmat = qmat[qok]
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    qcells = np.argsort(-(qnorm @ cent.T), axis=1)[:, :n_probe]  # probed cells
+    qsims = qnorm @ cent.T
+    # probed cells: top n_probe by cosine, ties by ascending centroid id
+    qcells = np.stack(
+        [np.lexsort((np.arange(len(cent)), -qsims[i]))[:n_probe] for i in range(len(qids))]
+    )
     ref = ray.put((qids, qnorm, qcells, cent))
 
     def score_cells(df: pd.DataFrame) -> pd.DataFrame:
         ids_, qn, qc, ct = ray.get(ref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ok = np.linalg.norm(m, axis=1) > 0
+        df, m = df[ok], m[ok]
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cells = (m @ ct.T).argmax(axis=1)
+        cells = (m @ ct.T).argmax(axis=1)  # first max = lowest cid (sorted)
         vec_ids = df["vec_id"].to_numpy()
         out = []
         for qi, q, probed in zip(ids_, qn, qc):
@@ -861,22 +897,73 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
             if not mask.any():
                 continue
             sims = m[mask] @ q
-            out.append(pd.DataFrame({
-                "query_id": qi, "vec_id": vec_ids[mask],
-                "sim_1e6": (sims * 1e6).astype(np.int64),
-            }))
+            out.append(pd.DataFrame({"query_id": qi, "vec_id": vec_ids[mask], "sim": sims}))
         if not out:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim_1e6": []}).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
         return pd.concat(out, ignore_index=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return _topk_frame(g, k)
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
 
     return (
         emb.map_batches(score_cells, batch_format="pandas")
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10,
+                 n_queries: int = 5) -> str:
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
+cent AS (SELECT vec_id AS cid, e FROM d
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids}),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT d.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY list_cosine_similarity(d.e, c.e) DESC,
+                                       c.cid ASC) AS rn
+    FROM d CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id, e FROM d WHERE vec_id < {n_queries}),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                       c.cid ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT qp.query_id, d.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qp.query_id
+                            ORDER BY list_cosine_similarity(q.e, d.e) DESC,
+                                     d.vec_id ASC) AS rank
+  FROM qprobe qp
+  JOIN q ON q.vec_id = qp.query_id
+  JOIN cells ce ON ce.cell = qp.cell
+  JOIN d ON d.vec_id = ce.vec_id)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {k}
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
+def q_ann_ivf_kmeans(sf_dir: str):
+    """Lloyd-refined IVF variant (rows-only: float centroid averages are
+    not SQL-replicable)."""
+    return q_ann_ivf(sf_dir, lloyd_iters=10)
 
 
 # ------------------------------------------------- cosine nearest neighbor
@@ -1181,6 +1268,7 @@ ML_SQL_QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
 }
 
 # rows-only (semantics not expressible in ANSI SQL: RNG-seeded LSH planes /
@@ -1189,7 +1277,7 @@ ML_QUERIES: dict = {
     "cc_skew_fetch": q_cc_skew_fetch,
     "backfill": q_backfill,
     "content_stats": q_content_stats,
-    "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "crawl_sim": q_crawl_sim,
     "rewrite_links": q_rewrite_links,
 }
