@@ -55,11 +55,21 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 BUCKET_CAP = 512
 
 
-def _cap_bucket(g: pd.DataFrame, label: str, cap: int | None = None) -> pd.DataFrame:
+def _cap_bucket(
+    g: pd.DataFrame, label: str, cap: int | None = None
+) -> tuple[pd.DataFrame, int]:
+    """Truncate an oversized LSH bucket; returns (bucket, n_docs_dropped).
+
+    The drop count flows into the query output as ``n_capped`` (ADVICE
+    r2: a log line inside a remote task is not attributable — surviving
+    pairs from a capped bucket now CARRY the capped state, so an oracle
+    mismatch points at the cause; the SQL oracles emit a literal 0)."""
     cap = BUCKET_CAP if cap is None else cap
+    dropped = 0
     if len(g) > cap:
         import logging
 
+        dropped = len(g) - cap
         logging.getLogger(__name__).warning(
             "%s: bucket of %d docs capped to %d (%d pairs dropped)",
             label,
@@ -68,7 +78,7 @@ def _cap_bucket(g: pd.DataFrame, label: str, cap: int | None = None) -> pd.DataF
             (len(g) * (len(g) - 1) - cap * (cap - 1)) // 2,
         )
         g = g.head(cap)
-    return g
+    return g, dropped
 
 
 def _shingle_sets(sf_dir: str) -> ray.data.Dataset:
@@ -142,7 +152,9 @@ def _minhash_pairs(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "n_agree": []}).astype(np.int64)
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "n_agree": [], "n_capped": []}
+        ).astype(np.int64)
         g = g.drop_duplicates(["band_key", "doc_id"])
         sizes = g.groupby("band_key")["doc_id"].transform("size")
         g = g[sizes >= 2]  # collision buckets only — the rare case
@@ -151,7 +163,7 @@ def _minhash_pairs(
         out = [empty]
         for _, b in g.groupby("band_key", sort=False):
             b = b.sort_values("doc_id")
-            b = _cap_bucket(b, "dedup_minhash", bucket_cap)
+            b, n_dropped = _cap_bucket(b, "dedup_minhash", bucket_cap)
             ids = b["doc_id"].to_numpy()
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in b["sig"]])
             n = len(b)
@@ -164,8 +176,12 @@ def _minhash_pairs(
                 # stream was 180k+ groups; Ray's multi-key aggregate cost
                 # 84 s on it vs <1 s on the survivor set)
                 for j in np.nonzero(agree >= min_agree)[0]:
-                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(agree[j])))
-            out.append(pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_agree"]).astype(np.int64))
+                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(agree[j]), n_dropped))
+            out.append(
+                pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_agree", "n_capped"]).astype(
+                    np.int64
+                )
+            )
         return pd.concat(out, ignore_index=True)
 
     pairs = (
@@ -180,7 +196,9 @@ def _minhash_pairs(
     # identical n_agree); survivor count scales with the corpus, so the
     # dedup runs pandas-side inside coarse groups keyed on doc_a
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["n_agree"].max()
+        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False).agg(
+            n_agree=("n_agree", "max"), n_capped=("n_capped", "max")
+        )
 
     return (
         _with_coarse_group(pairs, "doc_a")
@@ -236,7 +254,8 @@ agree AS (
   JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= {min_agree}
+SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped
+FROM agree WHERE n_agree >= {min_agree}
 """
 
 
@@ -384,7 +403,7 @@ def q_dedup_verify(
 def _dedup_verify_sql(min_agree: int = 26) -> str:
     """Minhash candidate CTEs + exact distinct-shingle overlap."""
     base = _dedup_minhash_sql(min_agree)
-    head, _, _tail = base.rpartition("SELECT doc_a, doc_b, n_agree FROM agree")
+    head, _, _tail = base.rpartition("SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree")
     return (
         head
         + f""", surv AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= {min_agree}),
@@ -450,7 +469,9 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "hamming": [], "n_capped": []}
+        ).astype(np.int64)
         g = g.drop_duplicates(["band_key", "doc_id"])
         sizes = g.groupby("band_key")["doc_id"].transform("size")
         g = g[sizes >= 2]
@@ -459,7 +480,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
         out = [empty]
         for _, b in g.groupby("band_key", sort=False):
             b = b.sort_values("doc_id")
-            b = _cap_bucket(b, "dedup_simhash", bucket_cap)
+            b, n_dropped = _cap_bucket(b, "dedup_simhash", bucket_cap)
             n = len(b)
             ids = b["doc_id"].to_numpy()
             hs_ = b["simhash"].to_numpy().view(np.uint64)
@@ -475,8 +496,12 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
                 # with dedup) — see q_dedup_minhash for the measured cost
                 # of a sub-threshold pair stream through a global groupby
                 for j in np.nonzero(d <= max_hamming)[0]:
-                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
-            out.append(pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(np.int64))
+                    rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j]), n_dropped))
+            out.append(
+                pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming", "n_capped"]).astype(
+                    np.int64
+                )
+            )
         return pd.concat(out, ignore_index=True)
 
     pairs = (
@@ -487,7 +512,9 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3, bucket_cap: int | None = 
     # pure dedup of survivors (identical hamming wherever the pair
     # recurs) — pandas-side inside coarse groups, like q_dedup_minhash
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False)["hamming"].min()
+        return df.groupby(["doc_a", "doc_b"], as_index=False, dropna=False).agg(
+            hamming=("hamming", "min"), n_capped=("n_capped", "max")
+        )
 
     return (
         _with_coarse_group(pairs, "doc_a")
@@ -523,7 +550,8 @@ cand AS (
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
 )
-SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+       CAST(0 AS BIGINT) AS n_capped
 FROM cand c
 JOIN sh a ON a.doc_id = c.doc_a
 JOIN sh b ON b.doc_id = c.doc_b
@@ -658,17 +686,17 @@ def q_dedup_embedding(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        g = _cap_bucket(g, "dedup_embedding", bucket_cap)
+        g, n_dropped = _cap_bucket(g, "dedup_embedding", bucket_cap)
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "n_capped": []}).astype(np.int64)
         ids = g["vec_id"].to_numpy()
         mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
         sims = mat @ mat.T
         ii, jj = np.triu_indices(n, k=1)
         keep = sims[ii, jj] >= threshold
         return pd.DataFrame(
-            {"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]]}
+            {"vec_a": ids[ii[keep]], "vec_b": ids[jj[keep]], "n_capped": n_dropped}
         ).astype(np.int64)
 
     # band-key cardinality = n_bands × 2^planes_per_band (64) — small
@@ -680,7 +708,9 @@ def q_dedup_embedding(
     )
 
     def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["vec_a", "vec_b"])
+        return df.groupby(["vec_a", "vec_b"], as_index=False, dropna=False).agg(
+            n_capped=("n_capped", "max")
+        )
 
     return (
         _with_coarse_group(pairs, "vec_a")
@@ -711,7 +741,7 @@ bands AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM bands x JOIN bands y ON x.bkey = y.bkey AND x.vec_id < y.vec_id)
-SELECT c.vec_a, c.vec_b
+SELECT c.vec_a, c.vec_b, CAST(0 AS BIGINT) AS n_capped
 FROM cand c
 JOIN d a ON a.vec_id = c.vec_a
 JOIN d b ON b.vec_id = c.vec_b

@@ -67,6 +67,18 @@ def postprocess(pages_dir: str, out_dir: str, reextract: bool = False) -> str:
     html present) produce index docs; rows already carrying text skip
     extraction unless ``reextract``."""
     ds = ray.data.read_parquet(pages_dir)
+    ds = ds.map_batches(make_ensure_text(reextract), batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: to_index_docs(t.filter(pc.equal(t.column("status_code"), 200))),
+        batch_format="pyarrow",
+    )
+    version = (latest_version(out_dir) or 0) + 1
+    return _publish(ds, out_dir, version, {"source": pages_dir, "kind": "postprocess"})
+
+
+def make_ensure_text(reextract: bool = False):
+    """Batch fn: (re)extract text where needed; module-level so the
+    column-order contract is directly testable."""
 
     def ensure_text(batch: pa.Table) -> pa.Table:
         aux = [c for c in ("text", "filesize", "extract_note") if c in batch.column_names]
@@ -98,18 +110,25 @@ def postprocess(pages_dir: str, out_dir: str, reextract: bool = False) -> str:
             texts[i] = sub.column("text")[j].as_py()
             notes[i] = sub.column("extract_note")[j].as_py()
             sizes[i] = sub.column("filesize")[j].as_py()
-        out = batch.drop_columns(aux)
-        out = out.append_column("text", pa.array(texts, pa.string()))
-        out = out.append_column("filesize", pa.array(sizes, pa.int64()))
-        return out.append_column("extract_note", pa.array(notes, pa.string()))
+        # rebuild IN PLACE (set_column by index) so blocks with and
+        # without missing rows keep identical column order — drop+append
+        # produced heterogeneous physical schemas in one output directory
+        # (ADVICE r2); presence of the aux columns is schema-driven, so
+        # the append fallback is consistent across a run's batches
+        out = batch
+        for name, arr, typ in (
+            ("text", texts, pa.string()),
+            ("filesize", sizes, pa.int64()),
+            ("extract_note", notes, pa.string()),
+        ):
+            col = pa.array(arr, typ)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, col)
+            else:
+                out = out.append_column(name, col)
+        return out
 
-    ds = ds.map_batches(ensure_text, batch_format="pyarrow")
-    ds = ds.map_batches(
-        lambda t: to_index_docs(t.filter(pc.equal(t.column("status_code"), 200))),
-        batch_format="pyarrow",
-    )
-    version = (latest_version(out_dir) or 0) + 1
-    return _publish(ds, out_dir, version, {"source": pages_dir, "kind": "postprocess"})
+    return ensure_text
 
 
 def reprocess_by_rule(pages_dir: str, out_dir: str, rulename: str) -> str:

@@ -143,6 +143,24 @@ def test_cap_bucket_logs_drop(caplog):
 
     g = pd.DataFrame({"doc_id": range(BUCKET_CAP + 10)})
     with caplog.at_level(logging.WARNING):
-        out = _cap_bucket(g, "test")
+        out, n_dropped = _cap_bucket(g, "test")
     assert len(out) == BUCKET_CAP
+    assert n_dropped == 10  # flows into the query output as n_capped
     assert any("capped" in r.message for r in caplog.records)
+    out2, n2 = _cap_bucket(pd.DataFrame({"doc_id": range(5)}), "test")
+    assert len(out2) == 5 and n2 == 0
+
+
+def test_capped_bucket_surfaces_in_query_output(ray_session, sf_dir):
+    """ADVICE r2: with a cap small enough to trigger, surviving pairs must
+    CARRY n_capped > 0 so an oracle mismatch is attributable."""
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_minhash
+
+    uncapped = q_dedup_minhash(sf_dir).to_pandas()
+    assert (uncapped["n_capped"] == 0).all()
+    if uncapped.empty:
+        return
+    capped = q_dedup_minhash(sf_dir, bucket_cap=2).to_pandas()
+    # the tiny cap must have truncated at least one bucket somewhere
+    if len(capped) < len(uncapped):
+        assert (capped["n_capped"] > 0).any() or capped.empty

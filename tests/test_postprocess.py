@@ -73,3 +73,24 @@ def test_reprocess_by_rule_only_touches_that_rule(crawl_pages, tmp_path):
     a = {r["url"]: r["content"] for r in v1.to_pylist()}
     b = {r["url"]: r["content"] for r in v2.to_pylist()}
     assert a == b
+
+
+def test_ensure_text_keeps_column_order_uniform(ray_session, crawl_pages):
+    """ADVICE r2: a block where some rows need re-extraction must come out
+    with the SAME column order as a block where none do — one dataset must
+    not mix physical schemas."""
+    import pyarrow as pa
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.postprocess import make_ensure_text
+
+    src = ray.data.read_parquet(f"{crawl_pages}/pages").to_pandas().head(8)
+    assert src["text"].notna().any()
+    mixed = src.copy()
+    mixed.loc[mixed.index[:3], "text"] = None  # this block re-extracts 3 rows
+    fn = make_ensure_text()
+    clean_out = fn(pa.Table.from_pandas(src, preserve_index=False))
+    mixed_out = fn(pa.Table.from_pandas(mixed, preserve_index=False))
+    assert clean_out.column_names == mixed_out.column_names
+    # the re-extracted rows actually got text back
+    assert mixed_out.column("text").null_count < 3
