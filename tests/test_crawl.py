@@ -211,3 +211,54 @@ def test_streamed_empty_window_commits_empty_pages(ray_session, tmp_path):
     import os
 
     assert os.path.isdir(f"{cfg.output_dir}/pages")
+
+
+def test_streamed_kill_and_resume_redoes_only_missing_partitions(ray_session, tmp_path):
+    """VERDICT r2 missing #3: the streamed crawl commits pages/part=K
+    incrementally — a killed run resumes by skipping durable partitions
+    (their files untouched) and produces the same final page set."""
+    import os
+
+    cfg = _cfg(tmp_path, stream_partitions=4)
+    drv = CrawlDriver(cfg, resume=False)
+    s1 = drv.run_streamed(max_partitions=1)  # "crash" after partition 0
+    drv.shutdown()
+    assert s1["partitions_done"] == 1
+    part0 = f"{cfg.output_dir}/pages/part=0"
+    before = {
+        f: os.path.getmtime(os.path.join(part0, f)) for f in sorted(os.listdir(part0))
+    }
+    assert before
+
+    drv2 = CrawlDriver(cfg, resume=True)
+    s2 = drv2.run_streamed()
+    drv2.shutdown()
+    assert s2["partitions_skipped_on_resume"] == 1
+    assert s2["partitions_done"] == 3
+    after = {
+        f: os.path.getmtime(os.path.join(part0, f)) for f in sorted(os.listdir(part0))
+    }
+    assert after == before, "durable partition was rewritten on resume"
+
+    # final page set identical to an uninterrupted streamed run
+    pages = pads.dataset(f"{cfg.output_dir}/pages").to_table(columns=["url", "rulename"])
+    got = set(zip(pages.column("rulename").to_pylist(), pages.column("url").to_pylist()))
+    ref_cfg = _cfg(tmp_path / "ref", stream_partitions=4)
+    ref = CrawlDriver(ref_cfg, resume=False)
+    ref.run_streamed()
+    ref.shutdown()
+    rp = pads.dataset(f"{ref_cfg.output_dir}/pages").to_table(columns=["url", "rulename"])
+    want = set(zip(rp.column("rulename").to_pylist(), rp.column("url").to_pylist()))
+    assert got == want
+
+
+def test_streamed_resume_rejects_mismatched_window(ray_session, tmp_path):
+    cfg = _cfg(tmp_path, stream_partitions=4)
+    drv = CrawlDriver(cfg, resume=False)
+    drv.run_streamed(max_partitions=1)
+    drv.shutdown()
+    cfg2 = _cfg(tmp_path, stream_partitions=8)
+    drv2 = CrawlDriver(cfg2, resume=True)
+    with pytest.raises(RuntimeError, match="mismatch"):
+        drv2.run_streamed()
+    drv2.shutdown()
