@@ -57,6 +57,9 @@ class CCIngest:
             num_shards=cfg.num_seen_shards,
             m_bits_per_shard=cfg.seen_bits_per_shard,
             exact=False,
+            # shard actors auto-restart and reload this checkpoint on
+            # failure (bounded at-least-once — see state/seen.py)
+            checkpoint_dir=os.path.join(cfg.output_dir, "_seen"),
         )
         self.coords = [
             PolitenessCoordinator.options(num_cpus=0).remote(simulated=True)

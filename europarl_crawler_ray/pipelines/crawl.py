@@ -164,6 +164,9 @@ class CrawlDriver:
             num_shards=cfg.num_seen_shards,
             m_bits_per_shard=cfg.seen_bits_per_shard,
             exact=cfg.seen_exact,
+            # shard actors auto-restart and reload this checkpoint on
+            # failure (bounded at-least-once — see state/seen.py)
+            checkpoint_dir=os.path.join(cfg.output_dir, "seen"),
         )
         self.state = CrawlState()
         self.metrics: list[dict] = []

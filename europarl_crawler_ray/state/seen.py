@@ -126,10 +126,25 @@ class BloomSet:
 
 @ray.remote
 class SeenShard:
-    """One seen-set shard as a Ray actor (single-threaded → atomic batches)."""
+    """One seen-set shard as a Ray actor (single-threaded → atomic batches).
 
-    def __init__(self, m_bits: int, k: int, exact: bool):
-        self.bloom = BloomSet(m_bits=m_bits, k=k, exact=exact)
+    ``ckpt_path``: when set, a (re)started actor reloads the last durable
+    checkpoint in ``__init__`` — combined with ``max_restarts`` this is
+    the crash-recovery story for the 10¹⁰-url design point: a lost shard
+    resumes from its checkpoint, and urls seen after that checkpoint are
+    forgotten → re-admitted once (bounded at-least-once, same contract as
+    the crawl's partition resume)."""
+
+    def __init__(self, m_bits: int, k: int, exact: bool, ckpt_path: str | None = None):
+        self._ckpt_path = ckpt_path
+        # only a RESTARTED actor reloads (a fresh run over a dir with a
+        # stale checkpoint must start empty — explicit resume goes through
+        # SeenSet.restore())
+        restarted = ray.get_runtime_context().was_current_actor_reconstructed
+        if ckpt_path and restarted and os.path.exists(ckpt_path):
+            self.bloom = BloomSet.load(ckpt_path)
+        else:
+            self.bloom = BloomSet(m_bits=m_bits, k=k, exact=exact)
 
     def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         return self.bloom.check_and_add(h1, h2)
@@ -173,18 +188,48 @@ class SeenSet:
         m_bits_per_shard: int = 1 << 23,
         k: int = 8,
         exact: bool = True,
+        checkpoint_dir: str | None = None,
     ):
         self.num_shards = num_shards
         self.exact = exact
+        self.checkpoint_dir = checkpoint_dir
         # num_cpus=0: control-plane actors must never reserve data-plane
         # CPUs — a shard pool that holds real CPU slots can starve the
         # repartition/extract tasks into a scheduling deadlock. Shard work
         # is short vectorized bursts; at multi-node scale place shards by
         # memory (each ~1.5 GiB at 10^10 urls / 1024 shards) not CPU.
+        #
+        # Recovery: with a checkpoint_dir, shards restart on failure and
+        # reload their last checkpoint (at-least-once — see SeenShard);
+        # without one, a dead shard fails the crawl LOUDLY (below) rather
+        # than silently restarting empty.
+        opts: dict = {"num_cpus": 0, "max_concurrency": 1}
+        if checkpoint_dir is not None:
+            opts.update(max_restarts=-1, max_task_retries=-1)
         self.shards = [
-            SeenShard.options(num_cpus=0, max_concurrency=1).remote(m_bits_per_shard, k, exact)
-            for _ in range(num_shards)
+            SeenShard.options(**opts).remote(
+                m_bits_per_shard,
+                k,
+                exact,
+                os.path.join(checkpoint_dir, f"seen_shard_{i:05d}.npz")
+                if checkpoint_dir is not None
+                else None,
+            )
+            for i in range(num_shards)
         ]
+
+    def _gather(self, refs: list):
+        try:
+            return ray.get(refs)
+        except ray.exceptions.RayActorError as e:
+            raise RuntimeError(
+                "a seen-set shard actor died and no checkpoint_dir is "
+                "configured for auto-recovery — construct "
+                "SeenSet(checkpoint_dir=...) (the crawl drivers do) so a "
+                "restarted shard reloads its last checkpoint; without it "
+                "the dedup state is unrecoverable and the run must restart "
+                "from the output manifest"
+            ) from e
 
     def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Bool mask, True = already seen. Batch is split by shard."""
@@ -198,7 +243,7 @@ class SeenSet:
             if len(idx):
                 refs.append(self.shards[s].check_and_add.remote(h1[idx], h2[idx]))
                 idxs.append(idx)
-        for idx, mask in zip(idxs, ray.get(refs)):
+        for idx, mask in zip(idxs, self._gather(refs)):
             seen[idx] = mask
         return seen
 
@@ -214,12 +259,12 @@ class SeenSet:
             if len(idx):
                 refs.append(self.shards[s].contains.remote(h1[idx], h2[idx]))
                 idxs.append(idx)
-        for idx, mask in zip(idxs, ray.get(refs)):
+        for idx, mask in zip(idxs, self._gather(refs)):
             seen[idx] = mask
         return seen
 
     def stats(self) -> dict:
-        per = ray.get([s.stats.remote() for s in self.shards])
+        per = self._gather([s.stats.remote() for s in self.shards])
         return {
             "n_added": sum(p["n_added"] for p in per),
             "n_checked": sum(p["n_checked"] for p in per),
@@ -227,18 +272,22 @@ class SeenSet:
             "shards": per,
         }
 
-    def checkpoint(self, directory: str) -> None:
+    def checkpoint(self, directory: str | None = None) -> None:
+        directory = directory if directory is not None else self.checkpoint_dir
+        assert directory is not None, "no checkpoint directory configured"
         os.makedirs(directory, exist_ok=True)
-        ray.get(
+        self._gather(
             [
                 s.checkpoint.remote(os.path.join(directory, f"seen_shard_{i:05d}.npz"))
                 for i, s in enumerate(self.shards)
             ]
         )
 
-    def restore(self, directory: str) -> int:
+    def restore(self, directory: str | None = None) -> int:
+        directory = directory if directory is not None else self.checkpoint_dir
+        assert directory is not None, "no checkpoint directory configured"
         return sum(
-            ray.get(
+            self._gather(
                 [
                     s.restore.remote(os.path.join(directory, f"seen_shard_{i:05d}.npz"))
                     for i, s in enumerate(self.shards)

@@ -62,3 +62,57 @@ def test_sharded_seenset_routing(ray_session):
     assert int((~seen).sum()) == 1000
     assert s.contains_mask(h1, h2).all()
     assert s.stats()["n_added"] == 1000
+
+
+def test_shard_death_without_checkpoint_dir_fails_loudly(ray_session):
+    import numpy as np
+    import pytest
+    import ray
+
+    from europarl_crawler_ray.state.seen import SeenSet
+
+    s = SeenSet(num_shards=2, m_bits_per_shard=1 << 16)
+    h = np.arange(100, dtype=np.uint64)
+    s.check_and_add(h, h + 1)
+    ray.kill(s.shards[0], no_restart=True)
+    with pytest.raises(RuntimeError, match="checkpoint_dir"):
+        for _ in range(5):  # death may surface on a later call
+            s.check_and_add(h, h + 1)
+    for a in s.shards:
+        ray.kill(a, no_restart=True)
+
+
+def test_shard_death_with_checkpoint_recovers_at_least_once(ray_session, tmp_path):
+    """VERDICT r2 #10: a killed SeenShard restarts, reloads its last
+    checkpoint, and serves again. Urls seen BEFORE the checkpoint stay
+    seen; urls seen after it may be re-admitted once (documented
+    at-least-once)."""
+    import time
+
+    import numpy as np
+    import ray
+
+    from europarl_crawler_ray.state.seen import SeenSet
+
+    ckpt = str(tmp_path / "seen")
+    s = SeenSet(num_shards=2, m_bits_per_shard=1 << 16, checkpoint_dir=ckpt)
+    pre = np.arange(0, 200, dtype=np.uint64)
+    assert not s.check_and_add(pre, pre + 1).any()
+    s.checkpoint()
+    post = np.arange(1000, 1100, dtype=np.uint64)
+    assert not s.check_and_add(post, post + 1).any()  # after the checkpoint
+
+    for a in s.shards:
+        ray.kill(a, no_restart=False)  # crash every shard
+    time.sleep(0.5)
+
+    # checkpointed urls are still seen after the restart+reload
+    seen_pre = s.check_and_add(pre, pre + 1)
+    assert seen_pre.all(), "checkpointed urls were forgotten by restarted shards"
+    # post-checkpoint urls were forgotten -> re-admitted once (documented)
+    seen_post = s.check_and_add(post, post + 1)
+    assert not seen_post.any()
+    # ...and from now on they are seen again
+    assert s.check_and_add(post, post + 1).all()
+    for a in s.shards:
+        ray.kill(a, no_restart=True)
