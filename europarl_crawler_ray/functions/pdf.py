@@ -296,10 +296,11 @@ class _PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.offsets: dict[int, int] = {}  # obj num -> byte offset
+        self.compressed: dict[int, tuple[int, int]] = {}  # num -> (objstm, idx)
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._load_xref()
-        if not self.offsets or "Root" not in self.trailer:
+        if (not self.offsets and not self.compressed) or "Root" not in self.trailer:
             self._scan_objects()
 
     # -- xref -----------------------------------------------------------
@@ -322,9 +323,9 @@ class _PdfDocument:
         lex = _Lexer(self.data, offset)
         lex.skip_ws()
         if self.data[lex.pos : lex.pos + 4] != b"xref":
-            # xref *stream* (PDF 1.5+) or garbage — the brute-force object
-            # scan fallback covers these files
-            return 0
+            # xref *stream* (PDF 1.5+, ISO 32000-1 §7.5.8) or garbage; the
+            # brute-force object scan still backstops truly damaged files
+            return self._parse_xref_stream(lex.pos)
         lex.pos += 4
         while True:
             lex.skip_ws()
@@ -353,6 +354,61 @@ class _PdfDocument:
                     # earlier sections win (incremental updates are parsed
                     # newest-first)
                     self.offsets.setdefault(start + i, int(em.group(1)))
+
+    def _parse_xref_stream(self, pos: int) -> int:
+        """Parse a /Type/XRef cross-reference STREAM at ``pos`` (W-packed
+        binary rows, optional /Index subsections, PNG-predicted Flate
+        payloads); returns /Prev or 0. Type-2 rows register objects packed
+        in object streams (``self.compressed``)."""
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[pos : pos + 40])
+        if not m:
+            return 0
+        lex = _Lexer(self.data, pos + m.end())
+        try:
+            value, _ = lex.parse_object()
+        except (EOFError, AssertionError):
+            return 0
+        if not isinstance(value, dict) or value.get("Type") != "XRef":
+            return 0
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 6] != b"stream":
+            return 0
+        try:
+            payload = _Stream(self, value, self._stream_bytes(lex, value)).decoded()
+        except Exception:
+            return 0
+        w = [int(x) for x in (self.resolve(value.get("W")) or [])]
+        if len(w) != 3:
+            return 0
+        size = int(self.resolve(value.get("Size")) or 0)
+        index = self.resolve(value.get("Index")) or [0, size]
+        row_w = sum(w)
+        rows = [payload[i : i + row_w] for i in range(0, len(payload) - row_w + 1, row_w)]
+        it = iter(rows)
+
+        def field(row: bytes, j: int, default: int) -> int:
+            lo = sum(w[:j])
+            return int.from_bytes(row[lo : lo + w[j]], "big") if w[j] else default
+
+        for s in range(0, len(index) - 1, 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for i in range(count):
+                row = next(it, None)
+                if row is None or len(row) < row_w:
+                    break
+                typ = field(row, 0, 1)  # w1=0 → default type 1
+                num = start + i
+                if typ == 1:
+                    self.offsets.setdefault(num, field(row, 1, 0))
+                elif typ == 2:
+                    if num not in self.offsets and num not in self.compressed:
+                        self.compressed[num] = (field(row, 1, 0), field(row, 2, 0))
+                # typ 0: free entry
+        for k, v in value.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter", "DecodeParms", "DP"):
+                self.trailer.setdefault(k, v)
+        prev = value.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else 0
 
     def _scan_objects(self) -> None:
         """Fallback: brute-force scan for ``N G obj`` markers. Later
@@ -390,7 +446,12 @@ class _PdfDocument:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
-            return None
+            comp = self.compressed.get(num)
+            if comp is None:
+                return None
+            self._cache[num] = None  # cycle guard
+            self._load_objstm(comp[0])
+            return self._cache.get(num)
         self._cache[num] = None  # cycle guard
         lex = _Lexer(self.data, off)
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[off : off + 40])
@@ -406,6 +467,39 @@ class _PdfDocument:
             value = _Stream(self, value, self._stream_bytes(lex, value))
         self._cache[num] = value
         return value
+
+    def _load_objstm(self, container: int) -> None:
+        """Materialize every object packed in a /Type/ObjStm stream
+        (ISO 32000-1 §7.5.7): header of N (objnum, offset) integer pairs,
+        bodies at /First + offset."""
+        stm = self.get_object(container)
+        if not isinstance(stm, _Stream):
+            return
+        if self.resolve(stm.dict.get("Type")) != "ObjStm":
+            return
+        try:
+            data = stm.decoded()
+        except Exception:
+            return
+        n = int(self.resolve(stm.dict.get("N")) or 0)
+        first = int(self.resolve(stm.dict.get("First")) or 0)
+        hdr = _Lexer(data)
+        pairs: list[tuple[int, int]] = []
+        try:
+            for _ in range(n):
+                objnum, _kw = hdr.parse_object()
+                rel, _kw = hdr.parse_object()
+                pairs.append((int(objnum), int(rel)))
+        except (EOFError, ValueError, TypeError):
+            return
+        for objnum, rel in pairs:
+            if self._cache.get(objnum) is not None:
+                continue  # an uncompressed (newer) definition wins
+            try:
+                value, _ = _Lexer(data, first + rel).parse_object()
+            except (EOFError, AssertionError):
+                continue
+            self._cache[objnum] = value
 
     def _stream_bytes(self, lex: _Lexer, sdict: dict) -> bytes:
         pos = lex.pos + 6  # past 'stream'
@@ -439,12 +533,16 @@ class _Stream:
             return self.raw
         if not isinstance(filters, list):
             filters = [filters]
+        parms = self.doc.resolve(self.dict.get("DecodeParms") or self.dict.get("DP"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
         data = self.raw
-        for f in filters:
+        for f, pm in zip(filters, parms):
             f = self.doc.resolve(f)
             if f == "FlateDecode":
                 d = zlib.decompressobj()
                 data = d.decompress(data)  # tolerate trailing garbage
+                data = self._unpredict(data, self.doc.resolve(pm))
             elif f == "ASCIIHexDecode":
                 hexpart = data.split(b">", 1)[0]
                 digits = bytes(c for c in hexpart if c not in _WS)
@@ -454,6 +552,51 @@ class _Stream:
             else:
                 raise ValueError(f"unsupported PDF stream filter: {f}")
         return data
+
+    def _unpredict(self, data: bytes, pm) -> bytes:
+        """Undo a PNG row predictor (Predictor 10-15, the common case for
+        xref streams — ISO 32000-1 table 8/10); Predictor 1/absent is a
+        no-op. Row filters reuse the PNG semantics (None/Sub/Up/Average/
+        Paeth) at bpp = Colors·BitsPerComponent/8."""
+        if not isinstance(pm, dict):
+            return data
+        pred = int(self.doc.resolve(pm.get("Predictor")) or 1)
+        if pred < 10:
+            if pred not in (1,):
+                raise ValueError(f"unsupported predictor {pred}")
+            return data
+        columns = int(self.doc.resolve(pm.get("Columns")) or 1)
+        colors = int(self.doc.resolve(pm.get("Colors")) or 1)
+        bpc = int(self.doc.resolve(pm.get("BitsPerComponent")) or 8)
+        bpp = max(1, colors * bpc // 8)
+        stride = columns * bpp
+        out = bytearray()
+        prev = bytearray(stride)
+        for r in range(0, len(data) - stride, stride + 1):
+            ft = data[r]
+            row = bytearray(data[r + 1 : r + 1 + stride])
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                upleft = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    pass
+                elif ft == 1:
+                    row[x] = (row[x] + left) & 0xFF
+                elif ft == 2:
+                    row[x] = (row[x] + up) & 0xFF
+                elif ft == 3:
+                    row[x] = (row[x] + (left + up) // 2) & 0xFF
+                elif ft == 4:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pr = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                    row[x] = (row[x] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+            out += row
+            prev = row
+        return bytes(out)
 
 
 # ----------------------------------------------------- page tree walk
@@ -685,14 +828,23 @@ def render_pdf_pages(
     lines_per_page: int = 48,
     compress: bool = True,
     tj_words: bool = False,
+    xref_stream: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """Render text lines into a structurally valid one-column PDF.
 
     ``compress``: FlateDecode the content streams (exercises the stream
     filter path). ``tj_words``: emit each line as a ``TJ`` array of words
     with ``-250`` kerning gaps instead of literal spaces (exercises the
-    word-gap heuristic).
+    word-gap heuristic). ``xref_stream``: write a PDF 1.5 cross-reference
+    STREAM (W-packed rows, PNG Up predictor) instead of the classic
+    table. ``objstm``: additionally pack the non-stream objects (catalog,
+    page tree, font, page dicts) into a /Type/ObjStm object stream —
+    requires ``xref_stream`` (classic tables cannot express type-2
+    entries).
     """
+    if objstm and not xref_stream:
+        raise ValueError("objstm=True requires xref_stream=True")
     pages = [lines[i : i + lines_per_page] for i in range(0, len(lines), lines_per_page)] or [[]]
     n_pages = len(pages)
     # object layout: 1=Catalog 2=Pages 3=Font, then per page i:
@@ -731,22 +883,85 @@ def render_pdf_pages(
         ).encode("latin-1")
         body_parts[cont_num] = sdict + b"\nstream\n" + raw + b"\nendstream"
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     max_num = 3 + 2 * n_pages
-    offsets: dict[int, int] = {}
+    if not xref_stream:
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in range(1, max_num + 1):
+            offsets[num] = len(buf)
+            body = body_parts.get(num, objects.get(num, b"null"))
+            buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_off = len(buf)
+        buf += b"xref\n0 %d\n" % (max_num + 1)
+        buf += b"0000000000 65535 f \n"
+        for num in range(1, max_num + 1):
+            buf += b"%010d 00000 n \n" % offsets[num]
+        buf += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, xref_off)
+        )
+        return bytes(buf)
+
+    # ---- PDF 1.5 layout: xref stream (+ optional object stream) --------
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    packed_nums = sorted(objects) if objstm else []  # dict objects only
+    objstm_num = max_num + 1
+    xref_num = max_num + 2 if objstm else max_num + 1
+    offsets = {}
+    compressed: dict[int, int] = {}  # num -> index inside the ObjStm
+    if objstm:
+        bodies = [objects[n2] for n2 in packed_nums]
+        rels = []
+        pos = 0
+        for b in bodies:
+            rels.append(pos)
+            pos += len(b) + 1
+        header = " ".join(f"{n2} {r}" for n2, r in zip(packed_nums, rels)).encode() + b"\n"
+        payload = header + b" ".join(bodies) + b" "
+        raw = zlib.compress(payload, 6)
+        sdict = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+            % (len(packed_nums), len(header), len(raw))
+        )
+        offsets[objstm_num] = len(buf)
+        buf += b"%d 0 obj\n" % objstm_num + sdict + b"\nstream\n" + raw + b"\nendstream\nendobj\n"
+        compressed = {n2: i for i, n2 in enumerate(packed_nums)}
     for num in range(1, max_num + 1):
+        if num in compressed:
+            continue
         offsets[num] = len(buf)
         body = body_parts.get(num, objects.get(num, b"null"))
         buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    # xref stream rows: W = [1, 4, 2]; entry 0 = free, packed = type 2,
+    # on-disk = type 1, plus the xref stream itself
     xref_off = len(buf)
-    buf += b"xref\n0 %d\n" % (max_num + 1)
-    buf += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        buf += b"%010d 00000 n \n" % offsets[num]
-    buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_num + 1, xref_off)
+    size = xref_num + 1
+    rows = bytearray()
+    stride = 7
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in compressed:
+            rows += bytes([2]) + objstm_num.to_bytes(4, "big") + compressed[num].to_bytes(2, "big")
+        else:
+            off = xref_off if num == xref_num else offsets[num]
+            rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    # PNG Up predictor (the form real-world xref streams use)
+    pred = bytearray()
+    prev = bytes(stride)
+    for i in range(0, len(rows), stride):
+        row = rows[i : i + stride]
+        pred.append(2)
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(stride))
+        prev = row
+    raw = zlib.compress(bytes(pred), 6)
+    xdict = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Length %d "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> >>"
+        % (size, len(raw), stride)
     )
+    buf += b"%d 0 obj\n" % xref_num + xdict + b"\nstream\n" + raw + b"\nendstream\nendobj\n"
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(buf)
 
 

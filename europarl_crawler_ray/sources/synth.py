@@ -124,7 +124,9 @@ def render_pdf(url: str, seed: int = SEED) -> bytes:
     ``functions.pdf.pdf_to_text`` (the reference runs pdfminer
     ``extract_text``, extraction.py:44-45). Variants exercise the
     extractor's paths: every 3rd doc uncompressed, every 4th shown as
-    ``TJ`` word arrays with kerning gaps instead of literal spaces."""
+    ``TJ`` word arrays with kerning gaps instead of literal spaces; every
+    5th a PDF 1.5 xref STREAM (PNG-predicted W rows), every 10th with the
+    dict objects additionally packed in a /Type/ObjStm."""
     from ..functions.pdf import render_pdf_text
 
     rng = _rng_for(url, seed)
@@ -133,7 +135,11 @@ def render_pdf(url: str, seed: int = SEED) -> bytes:
     text = f"Document {url.rsplit('/', 1)[-1]} " + " ".join(words)
     variant = int(rng.integers(0, 12))
     return render_pdf_text(
-        text, compress=(variant % 3 != 0), tj_words=(variant % 4 == 0)
+        text,
+        compress=(variant % 3 != 0),
+        tj_words=(variant % 4 == 0),
+        xref_stream=(variant % 5 == 0),
+        objstm=(variant % 10 == 0),
     )
 
 

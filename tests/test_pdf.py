@@ -319,3 +319,66 @@ def test_wrap_words_never_emits_droppable_empty_line():
         # only a fully-empty input may produce the single empty line
         assert all(ln != "" for ln in lines) or t == ""
         assert unwrap_lines(pdf_to_text(render_pdf_text(t))) == t
+
+
+def test_xref_stream_roundtrip_all_variants():
+    """PDF 1.5: cross-reference stream (W-packed, PNG Up predictor) and
+    ObjStm-packed objects parse structurally — not via the brute scan."""
+    text = "xref stream body " * 30
+    for kw in (
+        {"xref_stream": True},
+        {"xref_stream": True, "objstm": True},
+        {"xref_stream": True, "objstm": True, "compress": False},
+        {"xref_stream": True, "tj_words": True},
+    ):
+        data = render_pdf_text(text, **kw)
+        assert b"\nxref\n" not in data and b"trailer" not in data
+        assert unwrap_lines(pdf_to_text(data)) == text, kw
+
+
+def test_objstm_catalog_is_not_plain_text_in_file():
+    """With objstm=True the catalog/page dicts exist ONLY inside the
+    compressed object stream — a brute-force 'N G obj' scan cannot find
+    them, so successful extraction proves the ObjStm decode path."""
+    data = render_pdf_text("packed objects", xref_stream=True, objstm=True)
+    assert b"Catalog" not in data  # lives only inside the Flate payload
+    assert b"/Type /ObjStm" in data
+    assert unwrap_lines(pdf_to_text(data)) == "packed objects"
+
+
+def test_xref_stream_prev_chain_incremental_update():
+    """An appended incremental update whose xref STREAM carries /Prev to
+    the original must win for its redefined object (newest-first parse)."""
+    import re
+    import zlib
+
+    base = render_pdf_text("old body text", xref_stream=True)
+    old_start = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # redefine the first page's content stream (object 5) with new text
+    new_content = b"BT\n/F1 11 Tf\n14 TL\n1 0 0 1 72 770 Tm\n(new body text) Tj\nT*\nET"
+    upd = bytearray(base)
+    obj5_off = len(upd)
+    upd += (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+    )
+    # xref stream for the update: entries for obj 5 and the xref obj itself
+    xref_num = 99
+    xref_off = len(upd)
+    stride = 7
+    rows = (
+        bytes([1]) + obj5_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        + bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    )
+    raw = zlib.compress(rows, 6)
+    upd += (
+        b"99 0 obj\n<< /Type /XRef /Size 100 /W [1 4 2] /Index [5 1 99 1] "
+        b"/Root 1 0 R /Prev %d /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (old_start, len(raw))
+        + raw
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    assert unwrap_lines(pdf_to_text(bytes(upd))) == "new body text"
+    # untouched original still extracts the old text
+    assert unwrap_lines(pdf_to_text(base)) == "old body text"
