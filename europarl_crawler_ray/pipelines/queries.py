@@ -1205,9 +1205,161 @@ FROM documents GROUP BY lang
 """
 
 
+# =============================== quality: intra-doc repetition (Gopher/
+# FineWeb-style signals — dup lines, dup words, dominant bigram)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per-document repetition signals used by web-scale quality filters
+    (Rae et al. 2021 "Gopher" §A1.1; FineWeb): duplicate-line excess,
+    word-level type/token counts, and the dominant bigram's share. All
+    INTEGER outputs (counts, not ratios) so the DuckDB oracle is exact;
+    consumers derive fractions downstream. Per-doc Counter loops are the
+    string-kernel floor (like langid/fingerprint) and run inside
+    ``map_batches``."""
+    from collections import Counter
+
+    from ..functions.dedup import _WORD_RE
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, txt in zip(df["doc_id"], df["text"]):
+            t = txt or ""
+            lines = [ln for ln in t.split("\n") if ln != ""]
+            ws = _WORD_RE.findall(t.lower())
+            if len(ws) >= 2:
+                bg = Counter(zip(ws, ws[1:]))
+                n_bigrams, top_bigram_n = sum(bg.values()), max(bg.values())
+            else:
+                n_bigrams = top_bigram_n = 0
+            rows.append(
+                (
+                    did,
+                    len(lines),
+                    len(lines) - len(set(lines)),
+                    len(ws),
+                    len(set(ws)),
+                    n_bigrams,
+                    top_bigram_n,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_lines",
+                "n_dup_lines",
+                "n_words",
+                "n_distinct_words",
+                "n_bigrams",
+                "top_bigram_n",
+            ],
+        ).astype(np.int64)
+
+    return docs.map_batches(stats, batch_format="pandas")
+
+
+REPETITION_STATS_SQL = r"""
+WITH lf AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+  WHERE line <> ''
+),
+lc AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         COUNT(*) - COUNT(DISTINCT line) AS n_dup_lines
+  FROM lf GROUP BY doc_id
+),
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+      FROM documents),
+wc AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct_words
+       FROM w),
+bc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])) AS b
+    FROM w WHERE len(ws) >= 2)
+  GROUP BY 1, 2
+),
+bt AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(lc.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(COALESCE(lc.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+  CAST(COALESCE(wc.n_words, 0) AS BIGINT) AS n_words,
+  CAST(COALESCE(wc.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+  CAST(COALESCE(bt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(bt.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d
+LEFT JOIN lc USING (doc_id)
+LEFT JOIN wc USING (doc_id)
+LEFT JOIN bt USING (doc_id)
+"""
+
+
+# ========================= exact distributed quantiles (bounded domain)
+
+
+def q_length_quantiles(sf_dir: str, pcts: tuple = (25, 50, 75, 90)):
+    """EXACT per-language quantiles of doc length, computed distributed:
+    per-batch (lang, n_chars) histograms (combiner) → one small groupby
+    whose cardinality is bounded by the VALUE DOMAIN (langs × distinct
+    lengths), not the row count → the driver reduces the value-domain-
+    sized histogram to quantiles. The classic exact-quantile shape for
+    integer-domain columns — no sort, no sampling error. Quantile
+    definition: ascending value at index floor((N-1)·q) (replicated
+    exactly in the SQL oracle's ROW_NUMBER join)."""
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    h = (
+        docs.map_batches(hist, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # value-domain-sized (small), NOT data-sized
+    )
+    out_lang, out_pct, out_val = [], [], []
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for p in pcts:
+            idx = (n - 1) * p // 100  # floor((N-1)*q), p integer percent
+            out_lang.append(lang)
+            out_pct.append(p)
+            out_val.append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "pct": pa.array(out_pct, pa.int64()),
+            "n_chars": pa.array(out_val, pa.int64()),
+        }
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+WITH s AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+p(pct) AS (VALUES (25), (50), (75), (90))
+SELECT lang, CAST(pct AS BIGINT) AS pct, n_chars
+FROM s JOIN p ON s.rn = ((s.n - 1) * p.pct) // 100 + 1
+"""
+
+
 # ------------------------------------------------------------ registries
 
 SQL_QUERIES: dict[str, tuple] = {
+    "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
+    "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "url_generation": (q_url_generation, _urlgen_sql()),
     "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),
     "retry_pairs": (q_retry_pairs, RETRY_PAIRS_SQL),
