@@ -1355,11 +1355,123 @@ FROM s JOIN p ON s.rn = ((s.n - 1) * p.pct) // 100 + 1
 """
 
 
+# ================= KMV distinct-count sketch (deterministic, oracled)
+
+
+def q_distinct_tokens_kmv(sf_dir: str, k: int = 64):
+    """Per-language distinct-token counting two ways: the EXACT count
+    (distributed: per-batch distinct hashes → coarse-bucket exchange →
+    per-bucket distinct → small sum) and a K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002), whose state is the K smallest md5 token
+    hashes — a DETERMINISTIC function of the data, so the oracle
+    recomputes the sketch bit-for-bit (unlike HLL's implementation-
+    defined registers). Emits the K-th smallest hash as the sketch
+    summary; the estimator (K-1)·2^64/h_K is derived downstream. Sketch
+    merging is the per-batch combiner: each batch contributes its K
+    smallest, the union's K smallest are the sketch of the whole corpus.
+    """
+    from ..functions.dedup import _WORD_RE, md5_hash64
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def batch_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch distinct (combiner) — the exchange moves hashes, not
+        # tokens, and duplicates within a batch collapse here
+        out = []
+        for lang, g in df.groupby("lang"):
+            words = set()
+            for t in g["text"]:
+                words.update(_WORD_RE.findall((t or "").lower()))
+            hs = np.unique(md5_hash64(sorted(words)))
+            out.append(pd.DataFrame({"lang": lang, "h": hs.view(np.int64)}))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"lang": pd.Series([], dtype=object), "h": pd.Series([], dtype=np.int64)}
+            )
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # bucket by HIGH hash bits: buckets partition the hash space, so
+        # per-bucket distinct counts are disjoint (exact sum) and the
+        # global K smallest live in the lowest buckets (subset of the
+        # per-bucket K smallest)
+        h = t.column("h").to_numpy().view(np.uint64)
+        return t.append_column(
+            "_g", pa.array(((h >> np.uint64(58))).view(np.int64))
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE row per (bucket, lang): disjoint distinct count + packed
+        # K-smallest sketch state
+        rows = []
+        for lang, gg in g.groupby("lang"):
+            hs = np.unique(gg["h"].to_numpy().view(np.uint64))
+            rows.append((lang, int(hs.size), np.sort(hs)[:k].tobytes()))
+        return pd.DataFrame(rows, columns=["lang", "n_distinct", "hmin"])
+
+    per_bucket = (
+        docs.map_batches(batch_hashes, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(lambda g: bucket_stats(g.drop(columns=["_g"])), batch_format="pandas")
+        .to_pandas()  # ≤ 64 buckets × n_langs rows — bounded, not data-sized
+    )
+    out_lang, out_n, out_hk = [], [], []
+    for lang, g in per_bucket.groupby("lang"):
+        out_lang.append(lang)
+        out_n.append(int(g["n_distinct"].sum()))  # disjoint buckets
+        hs = np.sort(
+            np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in g["hmin"]])
+        )[:k]
+        out_hk.append(int(hs[min(k, hs.size) - 1].view(np.int64)))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "n_distinct_exact": pa.array(out_n, pa.int64()),
+            "kmv_hk": pa.array(out_hk, pa.int64()),
+        }
+    )
+
+
+def _kmv_sql(k: int = 64) -> str:
+    return rf"""
+WITH w AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM w
+),
+r AS (
+  SELECT lang, hv,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_distinct_exact,
+       -- two's-complement wrap to match numpy .view(int64)
+       CAST(CAST(MAX(CASE WHEN rn = LEAST(n, {k}) THEN hv END) AS HUGEINT)
+            - (CASE WHEN MAX(CASE WHEN rn = LEAST(n, {k}) THEN hv END)
+                    >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END)
+            AS BIGINT) AS kmv_hk
+FROM r GROUP BY lang
+"""
+
+
+DISTINCT_TOKENS_KMV_SQL = _kmv_sql()
+
+
 # ------------------------------------------------------------ registries
 
 SQL_QUERIES: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
+    "distinct_tokens_kmv": (q_distinct_tokens_kmv, DISTINCT_TOKENS_KMV_SQL),
     "url_generation": (q_url_generation, _urlgen_sql()),
     "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),
     "retry_pairs": (q_retry_pairs, RETRY_PAIRS_SQL),
