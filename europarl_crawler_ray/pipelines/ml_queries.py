@@ -1072,7 +1072,11 @@ def q_multimodal_meta(sf_dir: str):
             DecodeImageMeta,
             batch_format="pyarrow",
             batch_size=64,  # wide binary rows → small batches
-            concurrency=2,
+            # autoscaling pool: decode is the bottleneck stage, but a
+            # FIXED pool of 8 × 1 CPU would reserve every core of a small
+            # session and starve the producer stage (observed hang at
+            # num_cpus=8) — let Ray release idle actors
+            concurrency=(2, 8),
             num_cpus=1,
         )
         # n_bytes (encoded file size) is not SQL-computable for PNG

@@ -60,7 +60,9 @@ def make_fake_image(key: str, seed: int = 42) -> bytes:
     px[:, :, 0] = p["r"]
     px[:, :, 1] = p["g"]
     px[:, :, 2] = p["b"]
-    return bmp_encode(px) if p["format"] == "bmp" else png_encode(px, filters="mixed")
+    # 'fast' filters: bulk decode stays fully vectorized (no per-pixel
+    # loop); the Average/Paeth decode paths are pinned by test_multimodal
+    return bmp_encode(px) if p["format"] == "bmp" else png_encode(px, filters="fast")
 
 
 def _decode_legacy_fimg(blob: bytes):
