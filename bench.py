@@ -102,6 +102,13 @@ def bench_headline(num_cpus: int, out_dir: str) -> dict:
         fetch_concurrency=max(2, min(int(num_cpus * 0.55), num_cpus - 2)),
         fetch_batch_size=256,
         checkpoint_every=10**9,    # don't checkpoint inside the timed loop
+        # resumable-output granularity: each partition costs ~2-3 s of
+        # fixed overhead (pipeline startup + drain straggler), invisible
+        # when partitions are hours of work (the 100 TB case) but ~8%/
+        # partition at this 30 s bench scale — 2 keeps the durability
+        # mechanism exercised without distorting the throughput metric
+        # (measured r3: parts 1/2/4/8 → 31/34/36/43 s same input)
+        stream_partitions=2,
     )
     t0 = time.perf_counter()
     drv = CrawlDriver(cfg, resume=False)
