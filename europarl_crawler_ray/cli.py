@@ -54,6 +54,7 @@ def cmd_crawl(args) -> int:
         fetch_concurrency=args.fetch_concurrency,
         seen_exact=not args.bloom_only,
         max_waves=args.max_waves,
+        stream_partitions=args.stream_partitions,
     )
     driver = CrawlDriver(cfg, resume=not args.fresh)
     summary = driver.run_streamed() if args.streamed else driver.run()
@@ -154,6 +155,8 @@ def main(argv=None) -> int:
     c.add_argument("--fetch-concurrency", type=int, default=4)
     c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--streamed", action="store_true")
+    c.add_argument("--stream-partitions", type=int, default=8,
+                   help="resumable pages/part=K granularity in --streamed mode")
     c.add_argument("--fresh", action="store_true", help="ignore existing manifest")
     c.add_argument("--real-politeness", action="store_true",
                    help="wall-clock token buckets (sleeps) instead of simulated")

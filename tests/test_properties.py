@@ -89,3 +89,40 @@ def test_rewrite_links_never_crashes_and_is_parseable(text):
 
     once = rewrite_links(text, "https://base.example")
     assert rewrite_links(once, "https://base.example") == once
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from europarl_crawler_ray.functions.imagecodec import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(bmp_decode(bmp_encode(px)), px)
+    for filters in ("none", "fast", "mixed"):
+        np.testing.assert_array_equal(png_decode(png_encode(px, filters=filters)), px)
+
+
+@given(st.text(alphabet="ab \n", max_size=250))
+@settings(max_examples=80, deadline=None)
+def test_pdf15_roundtrip_arbitrary_spacing(text):
+    """xref-stream + objstm rendering round-trips space-heavy text (the
+    wrap-boundary class that lost spaces in r2) identically to classic."""
+    from europarl_crawler_ray.functions.pdf import (
+        pdf_to_text,
+        render_pdf_text,
+        unwrap_lines,
+    )
+
+    safe = text.replace("\n", " ")
+    assert unwrap_lines(pdf_to_text(render_pdf_text(safe, xref_stream=True, objstm=True))) == safe
