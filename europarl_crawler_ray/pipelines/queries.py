@@ -1314,12 +1314,21 @@ def q_length_quantiles(sf_dir: str, pcts: tuple = (25, 50, 75, 90)):
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["lang", "n_chars"], as_index=False).size()
-        return g.rename(columns={"size": "n"})
+        g = g.rename(columns={"size": "n"})
+        # coarse co-location key (see grouping.py): a Ray groupby over the
+        # raw (lang, n_chars) pairs pays per-group cost on thousands of
+        # groups — 64 coarse buckets + a pandas sum inside the task keep
+        # the exchange and drop the per-group overhead (2.8 s → <1 s)
+        g["_g"] = g["n_chars"].to_numpy() & 63
+        return g
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "n_chars"], as_index=False)["n"].sum()
 
     h = (
         docs.map_batches(hist, batch_format="pandas")
-        .groupby(["lang", "n_chars"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("_g")
+        .map_groups(lambda g: bucket_sum(g.drop(columns=["_g"])), batch_format="pandas")
         .to_pandas()  # value-domain-sized (small), NOT data-sized
     )
     out_lang, out_pct, out_val = [], [], []
