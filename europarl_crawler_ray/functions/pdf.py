@@ -352,8 +352,12 @@ class _PdfDocument:
                 lex.pos += em.end()
                 if em.group(3) == b"n":
                     # earlier sections win (incremental updates are parsed
-                    # newest-first)
-                    self.offsets.setdefault(start + i, int(em.group(1)))
+                    # newest-first) — across BOTH maps: a newer type-2
+                    # (compressed) entry must not be overridden by an older
+                    # on-disk one (review finding)
+                    num = start + i
+                    if num not in self.offsets and num not in self.compressed:
+                        self.offsets[num] = int(em.group(1))
 
     def _parse_xref_stream(self, pos: int) -> int:
         """Parse a /Type/XRef cross-reference STREAM at ``pos`` (W-packed
@@ -399,7 +403,10 @@ class _PdfDocument:
                 typ = field(row, 0, 1)  # w1=0 → default type 1
                 num = start + i
                 if typ == 1:
-                    self.offsets.setdefault(num, field(row, 1, 0))
+                    # newest-first precedence across both maps (see the
+                    # classic-table branch)
+                    if num not in self.offsets and num not in self.compressed:
+                        self.offsets[num] = field(row, 1, 0)
                 elif typ == 2:
                     if num not in self.offsets and num not in self.compressed:
                         self.compressed[num] = (field(row, 1, 0), field(row, 2, 0))
@@ -493,8 +500,19 @@ class _PdfDocument:
         except (EOFError, ValueError, TypeError):
             return
         for objnum, rel in pairs:
+            # cache ONLY objects the xref actually maps to THIS container:
+            # an ObjStm may hold stale copies of objects whose newest
+            # definition is on disk (offsets) or in another ObjStm —
+            # caching those would shadow the newer revision (review
+            # finding). With no xref info at all (brute-scan fallback),
+            # orphan packed objects are admitted unless defined on disk.
+            mapped = self.compressed.get(objnum)
+            if mapped is not None and mapped[0] != container:
+                continue
+            if mapped is None and objnum in self.offsets:
+                continue
             if self._cache.get(objnum) is not None:
-                continue  # an uncompressed (newer) definition wins
+                continue  # an already-parsed definition wins
             try:
                 value, _ = _Lexer(data, first + rel).parse_object()
             except (EOFError, AssertionError):
@@ -536,6 +554,10 @@ class _Stream:
         parms = self.doc.resolve(self.dict.get("DecodeParms") or self.dict.get("DP"))
         if not isinstance(parms, list):
             parms = [parms] * len(filters)
+        elif len(parms) < len(filters):
+            # writers commonly omit trailing null entries — zip would
+            # silently DROP the unmatched filters (review finding)
+            parms = parms + [None] * (len(filters) - len(parms))
         data = self.raw
         for f, pm in zip(filters, parms):
             f = self.doc.resolve(f)

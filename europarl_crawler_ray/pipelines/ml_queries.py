@@ -752,6 +752,16 @@ WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
 DEDUP_EMBEDDING_SQL = _dedup_embedding_sql()
 
 
+def _topk_frame(g, k: int):
+    """Shared rank assignment for the ANN variants: sim DESC, vec_id ASC,
+    dense rank 1..k — the single definition of the contract both SQL
+    oracles replicate (review finding: was duplicated per query)."""
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "vec_id", "rank"]]
+
+
 def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     planes = _lsh_planes(n_planes)
@@ -785,16 +795,10 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
             )
         return pd.concat(out, ignore_index=True)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
     return (
         emb.map_batches(score_bucketed, batch_format="pandas")
         .groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(lambda g: _topk_frame(g, k), batch_format="pandas")
     )
 
 
@@ -867,8 +871,9 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
         )
 
     cands = emb.map_batches(cent_candidates, batch_format="pandas").to_pandas()
+    # ascending vec_id order: np.argmax's first-max tie-break then picks
+    # the lowest centroid id, matching the oracle's `c.cid ASC`
     cent_df = cands.sort_values("md5").head(n_centroids).sort_values("vec_id")
-    cids = cent_df["vec_id"].to_numpy().astype(np.int64)  # ascending → argmax
     cent = np.stack(cent_df["embedding"].to_numpy()).astype(np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -938,16 +943,10 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
             )
         return pd.concat(out, ignore_index=True)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank"]]
-
     return (
         emb.map_batches(score_cells, batch_format="pandas")
         .groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(lambda g: _topk_frame(g, k), batch_format="pandas")
     )
 
 

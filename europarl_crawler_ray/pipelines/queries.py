@@ -210,7 +210,8 @@ def q_todo_combos(sf_dir: str):
     # the dates×users cross product is unfolded PER USER inside a keyed
     # map_groups, so neither the cross table nor the observed set ever
     # exists on the driver (VERDICT r1 #8)
-    confirmed_days = sorted(set(d.filter(expr="ok").unique("day")))
+    # `unique` returns None on an empty dataset (no 200s at all)
+    confirmed_days = sorted(set(d.filter(expr="ok").unique("day") or []))
     conf_ref = ray.put(np.array(confirmed_days, dtype="datetime64[D]"))
 
     def missing_group(t: pa.Table) -> pa.Table:
@@ -221,6 +222,13 @@ def q_todo_combos(sf_dir: str):
         # no per-row Python iteration (K = |confirmed days| is calendar-
         # bounded, so the grid is |bucket users| × small).
         conf = ray.get(conf_ref)  # sorted datetime64[D]
+        if len(conf) == 0:  # no confirmed days → nothing can be missing
+            return pa.table(
+                {
+                    "day": pa.array([], pa.date32()),
+                    "user_id": pa.array([], pa.int64()),
+                }
+            )
         users = t.column("user_id").to_numpy()
         days = t.column("day").to_numpy(zero_copy_only=False).astype("datetime64[D]")
         uu, uidx = np.unique(users, return_inverse=True)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -103,7 +104,11 @@ class DecodeImageMeta:
             if b[: len(magic)] == magic:
                 try:
                     return magic[:2].decode("latin-1"), fn(b)
-                except ValueError:
+                except (ValueError, zlib.error, struct.error):
+                    # a truncated IDAT raises zlib.error and a file cut
+                    # mid-header raises struct.error — all malformed
+                    # inputs must yield a null row, never a task failure
+                    # (review finding)
                     return None, None
         return None, None
 

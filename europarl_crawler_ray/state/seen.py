@@ -222,6 +222,14 @@ class SeenSet:
         try:
             return ray.get(refs)
         except ray.exceptions.RayActorError as e:
+            if self.checkpoint_dir is not None:
+                raise RuntimeError(
+                    "a seen-set shard actor died PERMANENTLY despite "
+                    f"auto-restart (checkpoint_dir={self.checkpoint_dir!r})"
+                    " — its restarts are failing (unreadable checkpoint, "
+                    "lost node, or repeated crashes); inspect the shard "
+                    "logs, then resume the run from the output manifest"
+                ) from e
             raise RuntimeError(
                 "a seen-set shard actor died and no checkpoint_dir is "
                 "configured for auto-recovery — construct "

@@ -110,3 +110,31 @@ def test_dedup_verify_matches_duckdb(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_todo_combos_empty_confirmed_days(ray_session, tmp_path):
+    """Review finding: an events table with no 200-status events must
+    yield an empty result, not an IndexError on the empty conf array."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.queries import _status_np, q_todo_combos
+
+    # pick event_ids whose derived status is never 200
+    ids = np.arange(0, 200_000, dtype=np.int64)
+    bad = ids[_status_np(ids) != 200][:500]
+    assert len(bad) == 500
+    t = pa.table(
+        {
+            "event_id": pa.array(bad, pa.int64()),
+            "ts": pa.array(
+                pd.date_range("2021-01-01", periods=len(bad), freq="min")
+            ),
+            "user_id": pa.array(np.arange(len(bad)) % 7, pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = q_todo_combos(str(d)).to_pandas()
+    assert len(out) == 0

@@ -111,3 +111,30 @@ def test_legacy_fimg_blob_still_decodes_header():
     assert out.iloc[0]["format"] == "fimg"
     assert (out.iloc[0]["width"], out.iloc[0]["height"]) == (32, 20)
     assert np.isnan(out.iloc[0]["pixel_sum"])
+
+
+def test_truncated_png_yields_null_row_not_task_failure():
+    """Review finding: zlib.error (truncated IDAT) and struct.error (cut
+    mid chunk-header) must yield null rows, not crash the stage."""
+    import struct
+    import zlib
+
+    from europarl_crawler_ray.functions.imagecodec import _chunk
+
+    good = make_fake_image("7")  # ensure one decodable row beside the bad ones
+    # valid-CRC chunks but the IDAT deflate payload is truncated garbage
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    trunc_idat = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(
+        b"IDAT", zlib.compress(b"x" * 100)[:5]
+    ) + _chunk(b"IEND", b"")
+    cut_header = make_fake_image("1")[:30]  # mid-chunk cut
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "image": pa.array([good, trunc_idat, cut_header], pa.binary()),
+        }
+    )
+    out = DecodeImageMeta()(t).to_pandas()
+    assert out.iloc[0]["format"] in ("bmp", "png")
+    assert out.iloc[1].isna()["format"]
+    assert out.iloc[2].isna()["format"]

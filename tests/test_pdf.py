@@ -382,3 +382,115 @@ def test_xref_stream_prev_chain_incremental_update():
     assert unwrap_lines(pdf_to_text(bytes(upd))) == "new body text"
     # untouched original still extracts the old text
     assert unwrap_lines(pdf_to_text(base)) == "old body text"
+
+
+def _append_update(base: bytes, new_objs: list, xref_num: int, entries: dict,
+                   prev: int) -> bytes:
+    """Append an incremental update: ``new_objs`` = [(num, body_bytes)],
+    ``entries`` = {num: ('t1',) or ('t2', container, idx)}; a plain
+    (unfiltered) xref stream with W [1 4 2] and /Prev -> prev."""
+    upd = bytearray(base)
+    offs = {}
+    for num, body in new_objs:
+        offs[num] = len(upd)
+        upd += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(upd)
+    nums = sorted(entries) + [xref_num]
+    rows = b""
+    index = []
+    for num in nums:
+        e = entries.get(num, ("t1",))
+        if num == xref_num:
+            rows += bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif e[0] == "t1":
+            rows += bytes([1]) + offs[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += bytes([2]) + e[1].to_bytes(4, "big") + e[2].to_bytes(2, "big")
+        index += [num, 1]
+    xdict = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [%s] /Root 1 0 R "
+        b"/Prev %d /Length %d >>"
+        % (xref_num + 1, " ".join(str(i) for i in index).encode(), prev, len(rows))
+    )
+    upd += (
+        b"%d 0 obj\n" % xref_num + xdict + b"\nstream\n" + rows
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+    return bytes(upd)
+
+
+def _new_page_objects(contents_num: int) -> tuple[bytes, bytes]:
+    page = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % contents_num
+    )
+    stream = b"BT\n/F1 11 Tf\n14 TL\n1 0 0 1 72 770 Tm\n(new text) Tj\nT*\nET"
+    content = b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
+    return page, content
+
+
+def test_objstm_stale_copy_does_not_shadow_newer_on_disk_object():
+    """Review finding: an ObjStm holding an OLD copy of object 4 must not
+    shadow the newer on-disk (type-1) definition added by an update."""
+    import re
+
+    base = render_pdf_text("old text", xref_stream=True, objstm=True)
+    prev = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    page, content = _new_page_objects(8)
+    upd = _append_update(
+        base,
+        [(4, page), (8, content)],
+        xref_num=9,
+        entries={4: ("t1",), 8: ("t1",)},
+        prev=prev,
+    )
+    assert unwrap_lines(pdf_to_text(upd)) == "new text"
+    assert unwrap_lines(pdf_to_text(base)) == "old text"
+
+
+def test_old_type1_entry_does_not_override_newer_type2():
+    """Review finding: the newest xref maps object 4 into an ObjStm
+    (type 2); the older section's type-1 entry must not win."""
+    import re
+
+    base = render_pdf_text("old text", xref_stream=True)
+    prev = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    page, content = _new_page_objects(8)
+    header = b"4 0\n"
+    objstm_payload = header + page + b" "
+    objstm = (
+        b"<< /Type /ObjStm /N 1 /First %d /Length %d >>\nstream\n"
+        % (len(header), len(objstm_payload))
+        + objstm_payload
+        + b"\nendstream"
+    )
+    upd = _append_update(
+        base,
+        [(7, objstm), (8, content)],
+        xref_num=9,
+        entries={4: ("t2", 7, 0), 7: ("t1",), 8: ("t1",)},
+        prev=prev,
+    )
+    assert unwrap_lines(pdf_to_text(upd)) == "new text"
+
+
+def test_decodeparms_shorter_than_filter_list_still_applies_all_filters():
+    """Review finding: DecodeParms [null] with two filters must not drop
+    the second filter."""
+    import zlib as _z
+
+    from europarl_crawler_ray.functions.pdf import _Lexer, _PdfDocument
+
+    inner = _z.compress(b"BT (x) Tj ET", 6)
+    hexed = inner.hex().encode() + b">"
+    sdict = (
+        b"<< /Length " + str(len(hexed)).encode()
+        + b" /Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null] >>"
+    )
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + sdict + b"\nstream\n" + hexed + b"\nendstream\nendobj\n"
+    )
+    assert pdf_to_text(body) == "x\n\x0c"
