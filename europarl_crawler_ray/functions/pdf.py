@@ -297,6 +297,7 @@ class _PdfDocument:
         self.data = data
         self.offsets: dict[int, int] = {}  # obj num -> byte offset
         self.compressed: dict[int, tuple[int, int]] = {}  # num -> (objstm, idx)
+        self._free: set[int] = set()  # newest revision marked these deleted
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._load_xref()
@@ -318,6 +319,24 @@ class _PdfDocument:
             seen_offsets.add(offset)
             offset = self._parse_xref_section(offset)
 
+    def _register(self, num: int, typ: int, a: int = 0, b: int = 0) -> None:
+        """Record one xref entry with newest-first precedence across ALL
+        three maps: sections are parsed newest-first, so whichever map
+        claims an object first wins — an older on-disk ('n'/type-1) entry
+        never overrides a newer compressed (type-2) one, and an object
+        the newest revision marked FREE (type-0/'f') stays deleted
+        instead of being resurrected from an older section (review
+        findings)."""
+        if num in self.offsets or num in self.compressed or num in self._free:
+            return
+        if typ == 0:
+            if num != 0:  # entry 0 is the permanent free-list head
+                self._free.add(num)
+        elif typ == 1:
+            self.offsets[num] = a
+        else:
+            self.compressed[num] = (a, b)
+
     def _parse_xref_section(self, offset: int) -> int:
         """Parse one classic xref table + trailer; returns /Prev or 0."""
         lex = _Lexer(self.data, offset)
@@ -327,17 +346,27 @@ class _PdfDocument:
             # brute-force object scan still backstops truly damaged files
             return self._parse_xref_stream(lex.pos)
         lex.pos += 4
+        # entries are COLLECTED first: in a hybrid-reference file the
+        # trailer's /XRefStm entries take precedence over this classic
+        # section's (which typically marks ObjStm-packed objects free),
+        # so the stream must register before the table (review finding)
+        entries: list[tuple[int, int, int]] = []
         while True:
             lex.skip_ws()
             if self.data[lex.pos : lex.pos + 7] == b"trailer":
                 lex.pos += 7
                 trailer, _ = lex.parse_object()
-                if isinstance(trailer, dict):
-                    for k, v in trailer.items():
-                        self.trailer.setdefault(k, v)
-                    prev = trailer.get("Prev")
-                    return int(prev) if isinstance(prev, (int, float)) else 0
-                return 0
+                if not isinstance(trailer, dict):
+                    return 0
+                xrefstm = trailer.get("XRefStm")
+                if isinstance(xrefstm, (int, float)) and 0 < int(xrefstm) < len(self.data):
+                    self._parse_xref_stream(int(xrefstm))
+                for num, typ, off in entries:
+                    self._register(num, typ, off)
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, (int, float)) else 0
             m = re.match(rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40])
             if not m:
                 return 0
@@ -350,14 +379,9 @@ class _PdfDocument:
                 if not em:
                     return 0
                 lex.pos += em.end()
-                if em.group(3) == b"n":
-                    # earlier sections win (incremental updates are parsed
-                    # newest-first) — across BOTH maps: a newer type-2
-                    # (compressed) entry must not be overridden by an older
-                    # on-disk one (review finding)
-                    num = start + i
-                    if num not in self.offsets and num not in self.compressed:
-                        self.offsets[num] = int(em.group(1))
+                entries.append(
+                    (start + i, 1 if em.group(3) == b"n" else 0, int(em.group(1)))
+                )
 
     def _parse_xref_stream(self, pos: int) -> int:
         """Parse a /Type/XRef cross-reference STREAM at ``pos`` (W-packed
@@ -401,16 +425,7 @@ class _PdfDocument:
                 if row is None or len(row) < row_w:
                     break
                 typ = field(row, 0, 1)  # w1=0 → default type 1
-                num = start + i
-                if typ == 1:
-                    # newest-first precedence across both maps (see the
-                    # classic-table branch)
-                    if num not in self.offsets and num not in self.compressed:
-                        self.offsets[num] = field(row, 1, 0)
-                elif typ == 2:
-                    if num not in self.offsets and num not in self.compressed:
-                        self.compressed[num] = (field(row, 1, 0), field(row, 2, 0))
-                # typ 0: free entry
+                self._register(start + i, typ, field(row, 1, 0), field(row, 2, 0))
         for k, v in value.items():
             if k not in ("Type", "W", "Index", "Length", "Filter", "DecodeParms", "DP"):
                 self.trailer.setdefault(k, v)

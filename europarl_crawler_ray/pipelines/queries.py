@@ -124,7 +124,11 @@ def q_unchecked_days(sf_dir: str):
         lambda t: pa.table({"day": pc.cast(t.column("ts"), pa.date32())}),
         batch_format="pyarrow",
     ).unique("day")
-    obs = set(observed)
+    # `unique` returns None on an empty dataset (review finding — same
+    # class as q_todo_combos); an empty events table has no day window
+    obs = set(observed or [])
+    if not obs:
+        return pa.table({"day": pa.array([], pa.date32())})
     lo, hi = min(obs), max(obs)
     hi_ext = hi + timedelta(days=14)
     cand = [lo + timedelta(days=i) for i in range((hi_ext - lo).days + 1)]

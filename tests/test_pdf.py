@@ -494,3 +494,50 @@ def test_decodeparms_shorter_than_filter_list_still_applies_all_filters():
         b"4 0 obj\n" + sdict + b"\nstream\n" + hexed + b"\nendstream\nendobj\n"
     )
     assert pdf_to_text(body) == "x\n\x0c"
+
+
+def test_freed_object_is_not_resurrected_from_older_section():
+    """Review finding: an update marking object 5 FREE must delete it —
+    not let the older section's 'n' entry resurrect the old body."""
+    import re
+
+    base = render_pdf_text("old text", compress=False)
+    prev = int(re.search(rb"(?s)startxref\s+(\d+)", base).group(1))
+    upd = bytearray(base)
+    xref_off = len(upd)
+    upd += (
+        b"xref\n5 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev "
+        + str(prev).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    # the page's /Contents now resolves to nothing -> empty page
+    assert pdf_to_text(bytes(upd)) == "\x0c"
+    assert unwrap_lines(pdf_to_text(base)) == "old text"
+
+
+def test_hybrid_reference_file_follows_xrefstm():
+    """Review finding: hybrid-reference PDFs (classic table marks packed
+    objects free; trailer /XRefStm points at the stream that maps them
+    type-2) must load the stream's entries first."""
+    import re
+
+    base = render_pdf_text("hybrid text", xref_stream=True, objstm=True)
+    stream_off = int(re.search(rb"(?s)startxref\s+(\d+)", base).group(1))
+    hyb = bytearray(base)
+    xref_off = len(hyb)
+    # classic section marking the ObjStm-packed objects (1-4) free — the
+    # shape Acrobat-era hybrid writers emit for downlevel readers
+    hyb += (
+        b"xref\n0 5\n"
+        b"0000000000 65535 f \n"
+        + b"".join(b"0000000000 00001 f \n" for _ in range(4))
+        + b"trailer\n<< /Size 8 /Root 1 0 R /XRefStm "
+        + str(stream_off).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    assert unwrap_lines(pdf_to_text(bytes(hyb))) == "hybrid text"
