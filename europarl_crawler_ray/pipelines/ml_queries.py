@@ -428,6 +428,183 @@ JOIN sz zb ON zb.doc_id = s.doc_b
 DEDUP_VERIFY_SQL = _dedup_verify_sql()
 
 
+# ------------------------------------------- near-dup cluster assignment
+
+
+def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
+                     max_iters: int = 50):
+    """Connected components over the MinHash candidate pairs — the step a
+    real dedup pipeline runs after pair generation (keep one doc per
+    cluster). Distributed iterative min-label propagation: each round is
+    a bucketed label⨝edge exchange (labels flow across edges) followed by
+    a per-node min; convergence is detected from a per-round changed-
+    count scalar. Rounds needed = graph diameter — fine for near-dup
+    graphs (dups cluster tightly); at adversarial diameters you would
+    swap the same exchanges into the alternating large-star/small-star
+    algorithm (Kiveris et al. 2014), which this structure accommodates.
+    Output: (doc_id, cluster_id = min doc_id of the component), one row
+    per doc that appears in any candidate pair."""
+    assert n_buckets & (n_buckets - 1) == 0
+    pairs = q_dedup_minhash(sf_dir, min_agree)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        # both directions: labels must flow both ways
+        u = np.concatenate([a, b]).astype(np.int64)
+        v = np.concatenate([b, a]).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "bucket": pa.array((u & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    # narrow (16 B/edge) and reused every round → materialize once
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("u").to_numpy())
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "label": pa.array(u, pa.int64()),
+                "bucket": pa.array((u & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def dedup_labels(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates("node")
+        return out[["node", "label", "bucket"]]
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def _label_table(node, label, changed) -> pa.Table:
+        node = np.asarray(node, dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "label": pa.array(np.asarray(label, dtype=np.int64)),
+                "bucket": pa.array((node & (n_buckets - 1)).astype(np.int32)),
+                "changed": pa.array(np.asarray(changed, dtype=np.int64)),
+            }
+        )
+
+    for _ in range(max_iters):
+        # exchange 1: co-locate edges with their SOURCE node's label and
+        # emit (dst, source_label) proposals
+        def send(g: pd.DataFrame) -> pa.Table:
+            lab = g[g["v"].isna()][["u", "label"]]
+            e = g.loc[g["v"].notna(), ["u", "v"]]  # drop the null label col
+            m = e.merge(lab, on="u", how="inner")
+            v = m["v"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(v),
+                    "label": pa.array(m["label"].to_numpy().astype(np.int64)),
+                    "bucket": pa.array((v & (n_buckets - 1)).astype(np.int32)),
+                    "is_old": pa.array(np.zeros(len(v), dtype=np.int8)),
+                }
+            )
+
+        def lab_prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t.column("node"),
+                    "v": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t.column("label"),
+                    "bucket": t.column("bucket"),
+                }
+            )
+
+        def edge_prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t.column("u"),
+                    "v": t.column("v"),
+                    "label": pa.nulls(t.num_rows, pa.int64()),
+                    "bucket": t.column("bucket"),
+                }
+            )
+
+        proposals = (
+            edges.map_batches(edge_prep, batch_format="pyarrow")
+            .union(labels.map_batches(lab_prep, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+        )
+
+        def old_prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": t.column("label"),
+                    "bucket": t.column("bucket"),
+                    "is_old": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        # exchange 2: per-node min over {old label} ∪ proposals
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("node", as_index=False)["label"].min()
+            old = g.loc[g["is_old"] == 1, ["node", "label"]].rename(
+                columns={"label": "old"}
+            )
+            m = m.merge(old, on="node", how="left")
+            m["changed"] = (m["label"] != m["old"]).astype(np.int64)
+            m["bucket"] = (m["node"].to_numpy() & (n_buckets - 1)).astype(np.int32)
+            return m[["node", "label", "bucket", "changed"]]
+
+        new_labels = (
+            proposals.union(labels.map_batches(old_prep, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(take_min, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_clusters_sql(min_agree: int = 26) -> str:
+    """Recursive-CTE reachability oracle over the same candidate pairs."""
+    base = _dedup_minhash_sql(min_agree)
+    head, _, _tail = base.rpartition(
+        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    )
+    return (
+        "WITH RECURSIVE "
+        + head.strip().removeprefix("WITH")
+        + f""", surv AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= {min_agree}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM surv
+      UNION SELECT doc_b, doc_a FROM surv),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+)
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u
+"""
+    )
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
 # --------------------------------------------------------------- simhash
 
 
@@ -1301,6 +1478,7 @@ ML_SQL_QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
 }
 

@@ -164,3 +164,36 @@ def test_capped_bucket_surfaces_in_query_output(ray_session, sf_dir):
     # the tiny cap must have truncated at least one bucket somewhere
     if len(capped) < len(uncapped):
         assert (capped["n_capped"] > 0).any() or capped.empty
+
+
+def test_dedup_clusters_propagates_across_chains(ray_session, sf_dir):
+    """Cluster ids must propagate across multi-hop chains (a-b, b-c ⇒ all
+    three share min(component)), not just direct pairs."""
+    from europarl_crawler_ray.pipelines.ml_queries import (
+        q_dedup_clusters,
+        q_dedup_minhash,
+    )
+
+    pairs = q_dedup_minhash(sf_dir).to_pandas()
+    clusters = q_dedup_clusters(sf_dir).to_pandas()
+    got = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+
+    # independent union-find over the pairs = expected components
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(ns) for r, ns in comp.items() for n in ns}
+    assert got == expected
+    # every doc in a pair is assigned, and ids are component minima
+    assert set(got) == set(pairs["doc_a"]) | set(pairs["doc_b"])
