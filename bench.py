@@ -269,10 +269,14 @@ def _steal_pct() -> float:
 def run_scaling(sf_dir: str, levels=None) -> dict:
     if levels is None:
         levels = tuple(
-            # default N=4 → 4N=16: levels where this host actually delivers
-            # ~4x compute (hardware control 0.88); at 8→32 the host itself
-            # caps at 0.58-0.73 — see BENCH/BASELINE.md round-2 table
-            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
+            # default N=2 → 4N=8: the host delivers ~4x compute between
+            # these levels (control 0.88-0.98) AND the walls are long
+            # enough (~200 s / ~55 s) that run-to-run host noise stays
+            # small — at 4→16 the 16-cpu wall is ~35-60 s and swung the
+            # raw efficiency 0.73-1.02 across r3 repeats (same binary,
+            # same input); at 8→32 the host itself caps at 0.58-0.73.
+            # See BENCH/BASELINE.md.
+            int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")
         )
     results = {}
     for n in levels:
