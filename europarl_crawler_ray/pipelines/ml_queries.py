@@ -21,6 +21,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Sum
@@ -603,6 +604,69 @@ SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def q_dedup_keep_canonical(sf_dir: str, min_agree: int = 26, n_buckets: int = 32):
+    """The end product of the dedup chain: the corpus with every
+    non-canonical near-dup cluster member removed (keep the min-doc_id
+    representative per component — pairs → clusters → filtered corpus).
+    The drop-set scales with the corpus' duplication rate, so the
+    removal is a partitioned bucket ANTI-join (the ``uncrawled_orders``
+    shape), never a driver-side set."""
+    assert n_buckets & (n_buckets - 1) == 0
+    clusters = q_dedup_clusters(sf_dir, min_agree)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        d = t.filter(keep).column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "side": pa.array(np.zeros(len(d), dtype=np.int8)),
+                "bucket": pa.array((d & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(d, pa.int64()),
+                "side": pa.array(np.ones(len(d), dtype=np.int8)),
+                "bucket": pa.array((d & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["side"] == 1, "key"].unique()
+        drop = g.loc[g["side"] == 0, "key"].unique()
+        keep = np.setdiff1d(docs, drop, assume_unique=True)
+        return pd.DataFrame({"doc_id": np.sort(keep).astype(np.int64)})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+        .union(clusters.map_batches(drop_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pandas")
+    )
+
+
+def _dedup_keep_canonical_sql(min_agree: int = 26) -> str:
+    base = _dedup_clusters_sql(min_agree)
+    head, _, _tail = base.rpartition(
+        "SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u"
+    )
+    return (
+        head
+        + """, comp AS (SELECT u, MIN(v) AS cid FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT u FROM comp WHERE u <> cid)
+"""
+    )
+
+
+DEDUP_KEEP_CANONICAL_SQL = _dedup_keep_canonical_sql()
 
 
 # --------------------------------------------------------------- simhash
@@ -1479,6 +1543,7 @@ ML_SQL_QUERIES: dict = {
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_keep_canonical": (q_dedup_keep_canonical, DEDUP_KEEP_CANONICAL_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
 }
 
