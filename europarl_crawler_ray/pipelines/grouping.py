@@ -48,3 +48,47 @@ def with_coarse_group(
         return t.append_column("_g", pa.array((h % n).astype(np.int64)))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def partitioned_anti_join(
+    keep: ray.data.Dataset,
+    remove: ray.data.Dataset,
+    keep_col: str,
+    remove_col: str,
+    out_col: str,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """``keep`` ANTI-JOIN ``remove`` on integer keys with BOTH sides
+    data-scaled: per-batch distinct (combiner), bucket by
+    ``key & (B-1)``, one ``groupby(bucket)`` shuffle co-locates each
+    key's rows, per-bucket ``np.setdiff1d``. The driver never touches a
+    key set. Shared by ``q_uncrawled_orders`` and
+    ``q_dedup_keep_canonical`` (review finding: the shape was duplicated
+    per call site). Salt hot keys into sub-buckets if skewed."""
+    assert n_buckets & (n_buckets - 1) == 0
+
+    def prep(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = np.unique(t.column(col).to_numpy().astype(np.int64))
+            return pa.table(
+                {
+                    "key": pa.array(keys, pa.int64()),
+                    "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+                    "bucket": pa.array((keys & (n_buckets - 1)).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, "key"].unique()
+        right = g.loc[g["side"] == 1, "key"].unique()
+        out = np.setdiff1d(left, right, assume_unique=True)
+        return pd.DataFrame({out_col: np.sort(out).astype(np.int64)})
+
+    return (
+        keep.map_batches(prep(keep_col, 0), batch_format="pyarrow")
+        .union(remove.map_batches(prep(remove_col, 1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pandas")
+    )

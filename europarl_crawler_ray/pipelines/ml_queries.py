@@ -300,10 +300,12 @@ def q_dedup_verify(
 
     def set_prep(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
+        # sentinel -1 instead of nulls: a null int64 column realizes as
+        # float64 in pandas and corrupts ids above 2^53 (review finding)
         return pa.table(
             {
-                "doc_a": pa.nulls(len(ids), pa.int64()),
-                "doc_b": pa.nulls(len(ids), pa.int64()),
+                "doc_a": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "doc_b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
                 "hs": t.column("hs"),
                 "side": pa.array(np.zeros(len(ids), dtype=np.int8)),
                 "key": pa.array(ids, pa.int64()),
@@ -451,19 +453,24 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy()
         b = t.column("doc_b").to_numpy()
-        # both directions: labels must flow both ways
+        nc = t.column("n_capped").to_numpy()
+        # both directions: labels must flow both ways; n_capped rides
+        # along so the capped-bucket signal stays attributable (review
+        # finding — same contract as the pair queries)
         u = np.concatenate([a, b]).astype(np.int64)
         v = np.concatenate([b, a]).astype(np.int64)
         return pa.table(
             {
                 "u": pa.array(u),
                 "v": pa.array(v),
+                "n_capped": pa.array(np.concatenate([nc, nc]).astype(np.int64)),
                 "bucket": pa.array((u & (n_buckets - 1)).astype(np.int32)),
             }
         )
 
-    # narrow (16 B/edge) and reused every round → materialize once
+    # narrow (24 B/edge) and reused every round → materialize once
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    cap_max = int(edges.max("n_capped") or 0)
 
     def init_labels(t: pa.Table) -> pa.Table:
         u = np.unique(t.column("u").to_numpy())
@@ -486,23 +493,16 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
         .materialize()
     )
 
-    def _label_table(node, label, changed) -> pa.Table:
-        node = np.asarray(node, dtype=np.int64)
-        return pa.table(
-            {
-                "node": pa.array(node),
-                "label": pa.array(np.asarray(label, dtype=np.int64)),
-                "bucket": pa.array((node & (n_buckets - 1)).astype(np.int32)),
-                "changed": pa.array(np.asarray(changed, dtype=np.int64)),
-            }
-        )
-
+    # sentinel -1 (doc_ids are nonnegative) instead of Arrow nulls: a
+    # null int64 column realizes as float64 in pandas, which silently
+    # corrupts ids above 2^53 (review finding) — sentinels keep every
+    # column int64 end to end
     for _ in range(max_iters):
         # exchange 1: co-locate edges with their SOURCE node's label and
         # emit (dst, source_label) proposals
         def send(g: pd.DataFrame) -> pa.Table:
-            lab = g[g["v"].isna()][["u", "label"]]
-            e = g.loc[g["v"].notna(), ["u", "v"]]  # drop the null label col
+            lab = g.loc[g["v"] == -1, ["u", "label"]]
+            e = g.loc[g["v"] != -1, ["u", "v"]]
             m = e.merge(lab, on="u", how="inner")
             v = m["v"].to_numpy().astype(np.int64)
             return pa.table(
@@ -518,7 +518,7 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
             return pa.table(
                 {
                     "u": t.column("node"),
-                    "v": pa.nulls(t.num_rows, pa.int64()),
+                    "v": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
                     "label": t.column("label"),
                     "bucket": t.column("bucket"),
                 }
@@ -529,7 +529,7 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
                 {
                     "u": t.column("u"),
                     "v": t.column("v"),
-                    "label": pa.nulls(t.num_rows, pa.int64()),
+                    "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
                     "bucket": t.column("bucket"),
                 }
             )
@@ -569,13 +569,35 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
             .materialize()
         )
         n_changed = new_labels.sum("changed") or 0
-        labels = new_labels.drop_columns(["changed"]).materialize()
+        # keep the changed column — every consumer builds its columns
+        # explicitly, so dropping it cost a second full materialization
+        # per round for nothing (review finding)
+        labels = new_labels
         if n_changed == 0:
             break
+    else:
+        import logging
+
+        # no silent wrong answers (repo contract, see _cap_bucket): an
+        # exhausted loop means some component's diameter exceeds
+        # max_iters and the returned ids are NOT fixed-point labels
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation did NOT converge in %d "
+            "rounds (%d labels still changing) — cluster ids are "
+            "incomplete; raise max_iters or switch to large/small-star",
+            max_iters,
+            int(n_changed),
+        )
 
     return labels.map_batches(
         lambda t: pa.table(
-            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+            {
+                "doc_id": t.column("node"),
+                "cluster_id": t.column("label"),
+                "n_capped": pa.array(
+                    np.full(t.num_rows, cap_max, dtype=np.int64)
+                ),
+            }
         ),
         batch_format="pyarrow",
     )
@@ -598,7 +620,9 @@ reach(u, v) AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
 )
-SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u
+SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id,
+       CAST(0 AS BIGINT) AS n_capped
+FROM reach GROUP BY u
 """
     )
 
@@ -611,52 +635,29 @@ def q_dedup_keep_canonical(sf_dir: str, min_agree: int = 26, n_buckets: int = 32
     non-canonical near-dup cluster member removed (keep the min-doc_id
     representative per component — pairs → clusters → filtered corpus).
     The drop-set scales with the corpus' duplication rate, so the
-    removal is a partitioned bucket ANTI-join (the ``uncrawled_orders``
-    shape), never a driver-side set."""
-    assert n_buckets & (n_buckets - 1) == 0
+    removal is the shared partitioned bucket ANTI-join
+    (``grouping.partitioned_anti_join``), never a driver-side set.
+    Cap attributability: a triggered LSH bucket cap surfaces in
+    ``dedup_clusters``' own n_capped column; this query's divergence
+    would be diagnosed there."""
+    from .grouping import partitioned_anti_join
+
     clusters = q_dedup_clusters(sf_dir, min_agree)
-
-    def drop_rows(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
-        d = t.filter(keep).column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "key": pa.array(d, pa.int64()),
-                "side": pa.array(np.zeros(len(d), dtype=np.int8)),
-                "bucket": pa.array((d & (n_buckets - 1)).astype(np.int32)),
-            }
-        )
-
-    def doc_rows(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "key": pa.array(d, pa.int64()),
-                "side": pa.array(np.ones(len(d), dtype=np.int8)),
-                "bucket": pa.array((d & (n_buckets - 1)).astype(np.int32)),
-            }
-        )
-
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g.loc[g["side"] == 1, "key"].unique()
-        drop = g.loc[g["side"] == 0, "key"].unique()
-        keep = np.setdiff1d(docs, drop, assume_unique=True)
-        return pd.DataFrame({"doc_id": np.sort(keep).astype(np.int64)})
-
+    non_canonical = clusters.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    return (
-        docs.map_batches(doc_rows, batch_format="pyarrow")
-        .union(clusters.map_batches(drop_rows, batch_format="pyarrow"))
-        .groupby("bucket")
-        .map_groups(anti_bucket, batch_format="pandas")
+    return partitioned_anti_join(
+        docs, non_canonical, "doc_id", "doc_id", "doc_id", n_buckets
     )
 
 
 def _dedup_keep_canonical_sql(min_agree: int = 26) -> str:
     base = _dedup_clusters_sql(min_agree)
-    head, _, _tail = base.rpartition(
-        "SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id FROM reach GROUP BY u"
-    )
+    head, _, _tail = base.rpartition("SELECT u AS doc_id, CAST(MIN(v) AS BIGINT)")
     return (
         head
         + """, comp AS (SELECT u, MIN(v) AS cid FROM reach GROUP BY u)

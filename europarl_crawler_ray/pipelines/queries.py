@@ -320,42 +320,20 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
 def q_uncrawled_orders(sf_dir: str, n_buckets: int = 32):
     """orders ANTI-JOIN lineitem with BOTH sides large (lineitem's key set
     is the big side — a driver-collected broadcast would OOM at 100×).
-    Partitioned-hash anti-join: map-side distinct per batch, bucket by
-    ``key & (B-1)``, one ``groupby(bucket)`` shuffle co-locates each
-    key's rows, per-bucket set difference. Same shape as
-    ``q_partitioned_join``; the driver never touches the key set."""
-    assert n_buckets & (n_buckets - 1) == 0
+    The shared partitioned-hash anti-join (``grouping.
+    partitioned_anti_join``): map-side distinct per batch (lineitem has
+    ~4 rows per order → the combiner shrinks the shuffle ~4×), bucket by
+    ``key & (B-1)``, one ``groupby(bucket)`` shuffle, per-bucket set
+    difference. The driver never touches the key set."""
+    from .grouping import partitioned_anti_join
 
-    def prep(col: str, side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            # per-batch distinct (lineitem has ~4 rows per order) shrinks
-            # the shuffle ~4× before the bucket exchange
-            keys = np.unique(t.column(col).to_numpy())
-            return pa.table(
-                {
-                    "key": pa.array(keys, pa.int64()),
-                    "side": pa.array(np.full(len(keys), side, dtype=np.int8)),
-                    "bucket": pa.array((keys & (n_buckets - 1)).astype(np.int32)),
-                }
-            )
-
-        return fn
-
-    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
-        prep("o_orderkey", 0), batch_format="pyarrow"
-    )
-    items = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
-        prep("l_orderkey", 1), batch_format="pyarrow"
-    )
-
-    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g.loc[g["side"] == 0, "key"].unique()
-        right = g.loc[g["side"] == 1, "key"].unique()
-        keep = np.setdiff1d(left, right, assume_unique=True)
-        return pd.DataFrame({"o_orderkey": np.sort(keep).astype(np.int64)})
-
-    return (
-        orders.union(items).groupby("bucket").map_groups(anti_bucket, batch_format="pandas")
+    return partitioned_anti_join(
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        "o_orderkey",
+        "l_orderkey",
+        "o_orderkey",
+        n_buckets,
     )
 
 
