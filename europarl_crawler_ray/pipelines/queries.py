@@ -1354,6 +1354,70 @@ FROM s JOIN p ON s.rn = ((s.n - 1) * p.pct) // 100 + 1
 """
 
 
+# ==================== WARC source round trip (Common-Crawl container)
+
+
+def q_warc_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → .warc.gz shards (ISO 28500, one gzip member per
+    record, one shard per hash bucket — written distributed) → the
+    ``sources.warc.read_warc`` Dataset source → text recovered from the
+    payload bytes. Proves the WARC reader/writer byte-exact end to end;
+    the oracle is the documents table itself. The WARC file is the
+    parallelism unit, as in real Common-Crawl dumps."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    from ..sources.warc import read_warc, write_warc_gz
+
+    shard_dir = os.path.join(
+        "/tmp", "europarl_warc_" + _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g",
+            pc.cast(pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        recs = sorted(
+            (
+                (f"https://corpus.example/doc/{int(d)}", t.encode(), "2021-01-01T00:00:00Z")
+                for d, t in zip(g["doc_id"], g["text"])
+            )
+        )
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(write_warc_gz(recs))
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.warc.gz"))
+        return pd.DataFrame({"n": [len(recs)]})
+
+    n_written = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    assert n_written and n_written > 0
+
+    def decode(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in t.column("url").to_pylist()]
+        texts = [p.decode("utf-8") for p in t.column("html").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    return read_warc(shard_dir).map_batches(decode, batch_format="pyarrow")
+
+
+WARC_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
+
+
 # ================= KMV distinct-count sketch (deterministic, oracled)
 
 
@@ -1471,6 +1535,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "distinct_tokens_kmv": (q_distinct_tokens_kmv, DISTINCT_TOKENS_KMV_SQL),
+    "warc_roundtrip": (q_warc_roundtrip, WARC_ROUNDTRIP_SQL),
     "url_generation": (q_url_generation, _urlgen_sql()),
     "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),
     "retry_pairs": (q_retry_pairs, RETRY_PAIRS_SQL),
