@@ -1354,6 +1354,81 @@ FROM s JOIN p ON s.rn = ((s.n - 1) * p.pct) // 100 + 1
 """
 
 
+# =============== predicate/projection pushdown at the parquet read
+
+
+def q_pushdown_scan(sf_dir: str, min_qty: int = 45):
+    """Scan-level pruning as a first-class checked operator: the filter
+    and the 2-column projection are pushed INTO ``read_parquet`` (row
+    groups whose ``l_quantity`` statistics exclude the predicate are
+    never read — at 100 TB this is the difference between scanning the
+    lake and scanning the answer), then a per-batch partial aggregate →
+    one tiny global sum."""
+    import pyarrow.compute as _pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        filter=(_pc.field("l_quantity") > min_qty),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy()
+        return pa.table(
+            {
+                "part_rows": pa.array([len(qty)], pa.int64()),
+                "part_orders": pa.array(
+                    [len(np.unique(t.column("l_orderkey").to_numpy()))], pa.int64()
+                ),
+                "part_qty": pa.array([float(qty.sum())], pa.float64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").sum(
+        ["part_rows", "part_qty"]
+    )
+    # n_orders needs a true distinct across batches — reuse the scan with
+    # a per-batch distinct combiner and a coarse-bucket exchange
+    orders = li.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.unique(t.column("l_orderkey").to_numpy()), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column("k"),
+                "_g": pc.cast(pc.bit_wise_and(t.column("k"), 63), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_orders = (
+        orders.groupby("_g")
+        .map_groups(
+            lambda g: pd.DataFrame({"n": [g["k"].nunique()]}), batch_format="pandas"
+        )
+        .sum("n")
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([int(agg["sum(part_rows)"])], pa.int64()),
+            "n_orders": pa.array([int(n_orders or 0)], pa.int64()),
+            "sum_qty": pa.array([int(round(agg["sum(part_qty)"]))], pa.int64()),
+        }
+    )
+
+
+PUSHDOWN_SCAN_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
 # ==================== WARC source round trip (Common-Crawl container)
 
 
@@ -1536,6 +1611,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "distinct_tokens_kmv": (q_distinct_tokens_kmv, DISTINCT_TOKENS_KMV_SQL),
     "warc_roundtrip": (q_warc_roundtrip, WARC_ROUNDTRIP_SQL),
+    "pushdown_scan": (q_pushdown_scan, PUSHDOWN_SCAN_SQL),
     "url_generation": (q_url_generation, _urlgen_sql()),
     "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),
     "retry_pairs": (q_retry_pairs, RETRY_PAIRS_SQL),

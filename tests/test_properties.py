@@ -126,3 +126,24 @@ def test_pdf15_roundtrip_arbitrary_spacing(text):
 
     safe = text.replace("\n", " ")
     assert unwrap_lines(pdf_to_text(render_pdf_text(safe, xref_stream=True, objstm=True))) == safe
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9), st.binary(max_size=300)),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_property(items):
+    """Arbitrary binary payloads (incl. CRLF runs and fake WARC headers)
+    survive the write→parse round trip byte-exactly."""
+    from europarl_crawler_ray.sources.warc import parse_warc, write_warc_gz
+
+    recs = [
+        (f"https://ex.org/{i}", payload, "2021-01-01T00:00:00Z")
+        for i, (_, payload) in enumerate(items)
+    ]
+    out = parse_warc(write_warc_gz(recs)) if recs else []
+    assert [(r["uri"], r["payload"]) for r in out] == [(u, p) for u, p, _ in recs]
