@@ -1008,6 +1008,8 @@ def q_ann_lsh(sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     planes = _lsh_planes(n_planes)
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:  # empty table: no query vectors -> no results
+        return ray.data.from_arrow(pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}))
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -1113,6 +1115,8 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
         )
 
     cands = emb.map_batches(cent_candidates, batch_format="pandas").to_pandas()
+    if cands.empty:  # empty table: no centroids, no queries, no results
+        return ray.data.from_arrow(pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}))
     # ascending vec_id order: np.argmax's first-max tie-break then picks
     # the lowest centroid id, matching the oracle's `c.cid ASC`
     cent_df = cands.sort_values("md5").head(n_centroids).sort_values("vec_id")
@@ -1148,6 +1152,8 @@ def q_ann_ivf(sf_dir: str, n_centroids: int = 16, n_probe: int = 4, k: int = 10,
                     cent[c] = v / np.linalg.norm(v)
 
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:
+        return ray.data.from_arrow(pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}))
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qok = np.linalg.norm(qmat, axis=1) > 0
     qids = qdf["vec_id"].to_numpy()[qok]
@@ -1243,6 +1249,8 @@ def q_ann_ivf_kmeans(sf_dir: str):
 def q_cosine_nn(sf_dir: str, n_queries: int = 100):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    if qdf.empty:  # empty table: no query vectors -> no results
+        return ray.data.from_arrow(pa.table({"query_id": pa.array([], pa.int64()), "nn_id": pa.array([], pa.int64())}))
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

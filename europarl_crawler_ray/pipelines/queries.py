@@ -374,6 +374,16 @@ def q_nation_order_stats(sf_dir: str, n_buckets: int = 32):
     assert n_buckets & (n_buckets - 1) == 0
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    if customer.empty or nation.empty:  # inner-join semantics: no output
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                }
+            )
+        )
     cust_nation = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     ck = cust_nation["c_custkey"].to_numpy()
     order_ = np.argsort(ck)
@@ -887,6 +897,8 @@ FROM documents
 def q_ann_topk(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    if qdf.empty:  # empty table: no query vectors -> no results
+        return ray.data.from_arrow(pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}))
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -1322,6 +1334,8 @@ def q_length_quantiles(sf_dir: str, pcts: tuple = (25, 50, 75, 90)):
         .to_pandas()  # value-domain-sized (small), NOT data-sized
     )
     out_lang, out_pct, out_val = [], [], []
+    if h.empty:  # empty corpus: Ray's empty to_pandas has no columns
+        h = pd.DataFrame({"lang": [], "n_chars": [], "n": []})
     for lang, g in h.groupby("lang"):
         g = g.sort_values("n_chars")
         vals = g["n_chars"].to_numpy()
@@ -1412,6 +1426,15 @@ def q_pushdown_scan(sf_dir: str, min_qty: int = 45):
         )
         .sum("n")
     )
+    if not agg or agg.get("sum(part_rows)") is None:
+        # zero matching rows: COUNTs are 0, SUM is NULL (SQL semantics)
+        return pa.table(
+            {
+                "n_rows": pa.array([0], pa.int64()),
+                "n_orders": pa.array([0], pa.int64()),
+                "sum_qty": pa.array([None], pa.int64()),
+            }
+        )
     return pa.table(
         {
             "n_rows": pa.array([int(agg["sum(part_rows)"])], pa.int64()),
@@ -1478,7 +1501,10 @@ def q_warc_roundtrip(sf_dir: str, n_shards: int = 8):
         .map_groups(write_shard, batch_format="pandas")
         .sum("n")
     )
-    assert n_written and n_written > 0
+    if not n_written:  # empty corpus: no shards to read back
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
 
     def decode(t: pa.Table) -> pa.Table:
         ids = [int(u.rsplit("/", 1)[1]) for u in t.column("url").to_pylist()]
@@ -1557,6 +1583,8 @@ def q_distinct_tokens_kmv(sf_dir: str, k: int = 64):
         .to_pandas()  # ≤ 64 buckets × n_langs rows — bounded, not data-sized
     )
     out_lang, out_n, out_hk = [], [], []
+    if per_bucket.empty:
+        per_bucket = pd.DataFrame({"lang": [], "n_distinct": [], "hmin": []})
     for lang, g in per_bucket.groupby("lang"):
         out_lang.append(lang)
         out_n.append(int(g["n_distinct"].sum()))  # disjoint buckets
