@@ -124,6 +124,25 @@ def predict_lang(text: str) -> str:
     return best
 
 
+def bigram_stats(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(n_bigrams, top_bigram_n) per text over lowercased whitespace
+    tokens — the dominant-bigram repetition signal (Gopher §A1.1).
+    Per-doc Counter is the string-kernel floor; runs inside map_batches."""
+    from collections import Counter
+
+    n_bg = np.zeros(len(texts), dtype=np.int64)
+    top = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = _TOKEN_RE.findall(t.lower())
+        if len(ws) >= 2:
+            c = Counter(zip(ws, ws[1:]))
+            n_bg[i] = len(ws) - 1
+            top[i] = max(c.values())
+    return n_bg, top
+
+
 def rolling_hashes(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> np.ndarray:
     """Rabin-Karp rolling hashes over characters (document fingerprinting /
     winnowing building block). Vector of len(text)-window+1 hashes."""

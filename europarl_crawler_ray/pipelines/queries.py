@@ -873,6 +873,116 @@ FROM documents
 """
 
 
+# ================================ composite quality gate (FineWeb-style)
+
+# Integer-compare thresholds (fraction bars scaled by 100 so the DuckDB
+# oracle is exact — no float ratios anywhere in the decision):
+QF_MIN_CHARS = 100          # Gopher: drop very short docs
+QF_MAX_CHARS = 500          # and very long outliers
+QF_MIN_ALPHA_PCT = 50       # alpha chars must be >=50% of all chars
+QF_MIN_STOPWORD_PCT = 5     # EN docs: stopwords >=5% of words
+QF_MAX_TOP_BIGRAM_PCT = 10  # dominant bigram must be <=10% of bigrams
+
+
+def q_quality_filter(sf_dir: str):
+    """Composite training-data quality gate: one streaming pass over the
+    corpus computes length / alpha-fraction / stopword-fraction /
+    dominant-bigram signals (Rae et al. 2021 "Gopher" §A1.1; Penedo et
+    al. 2024 "FineWeb") and emits per-rule flags plus the final keep
+    decision. All comparisons are integer (fraction bars pre-scaled), so
+    the SQL oracle reproduces the decision bit-for-bit. Mirrors the
+    reference's per-rule postprocess gating idea
+    (europarl/rules/extraction.py) generalized to corpus filtering.
+
+    Scale: embarrassingly parallel — a single ``map_batches`` pass, no
+    shuffle; at 100 TB this runs at read bandwidth."""
+    from ..functions.textstats import bigram_stats, stopword_counts
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_stats(df["text"])
+        n_stop, n_words = stopword_counts(df["text"])
+        n_bg, top_bg = bigram_stats(df["text"])
+        n_chars = q["n_chars"].to_numpy()
+        is_en = (df["lang"] == "en").to_numpy()
+        f_short = (n_chars < QF_MIN_CHARS).astype(np.int64)
+        f_long = (n_chars > QF_MAX_CHARS).astype(np.int64)
+        f_alpha = (q["n_alpha"].to_numpy() * 100 < n_chars * QF_MIN_ALPHA_PCT).astype(np.int64)
+        f_stop = (is_en & (n_stop * 100 < n_words * QF_MIN_STOPWORD_PCT)).astype(np.int64)
+        f_bigram = (top_bg * 100 > n_bg * QF_MAX_TOP_BIGRAM_PCT).astype(np.int64)
+        keep = ((f_short | f_long | f_alpha | f_stop | f_bigram) == 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "n_stopwords": n_stop,
+                "n_bigrams": n_bg,
+                "top_bigram_n": top_bg,
+                "f_short": f_short,
+                "f_long": f_long,
+                "f_alpha": f_alpha,
+                "f_stopword": f_stop,
+                "f_bigram": f_bigram,
+                "keep": keep,
+            }
+        )
+
+    return d.map_batches(gate, batch_format="pandas")
+
+
+def _quality_filter_sql() -> str:
+    from ..functions.textstats import STOPWORDS_EN
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                         w -> w IN ({sw}))) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(MAX(c), 0) AS BIGINT) AS top_bigram_n
+  FROM (
+    SELECT doc_id, b, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+            FROM documents)
+      WHERE len(ws) >= 2)
+    GROUP BY 1, 2)
+  GROUP BY doc_id),
+f AS (
+  SELECT base.doc_id, lang, n_chars, n_words, n_stopwords,
+    COALESCE(bg.n_bigrams, 0) AS n_bigrams,
+    COALESCE(bg.top_bigram_n, 0) AS top_bigram_n,
+    CASE WHEN n_chars < {QF_MIN_CHARS} THEN 1 ELSE 0 END AS f_short,
+    CASE WHEN n_chars > {QF_MAX_CHARS} THEN 1 ELSE 0 END AS f_long,
+    CASE WHEN n_alpha * 100 < n_chars * {QF_MIN_ALPHA_PCT} THEN 1 ELSE 0 END AS f_alpha,
+    CASE WHEN lang = 'en' AND n_stopwords * 100 < n_words * {QF_MIN_STOPWORD_PCT}
+         THEN 1 ELSE 0 END AS f_stopword,
+    CASE WHEN COALESCE(bg.top_bigram_n, 0) * 100 > COALESCE(bg.n_bigrams, 0) * {QF_MAX_TOP_BIGRAM_PCT}
+         THEN 1 ELSE 0 END AS f_bigram
+  FROM base LEFT JOIN bg ON base.doc_id = bg.doc_id)
+SELECT doc_id, lang, n_chars, n_words, n_stopwords, n_bigrams, top_bigram_n,
+  CAST(f_short AS BIGINT) AS f_short,
+  CAST(f_long AS BIGINT) AS f_long,
+  CAST(f_alpha AS BIGINT) AS f_alpha,
+  CAST(f_stopword AS BIGINT) AS f_stopword,
+  CAST(f_bigram AS BIGINT) AS f_bigram,
+  CAST(CASE WHEN f_short + f_long + f_alpha + f_stopword + f_bigram = 0
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+"""
+
+
 # ================================================= document fingerprinting
 
 
@@ -1661,6 +1771,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "stopword_stats": (q_stopword_stats, _stopword_sql()),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
