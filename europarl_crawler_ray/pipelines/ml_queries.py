@@ -1366,6 +1366,70 @@ FROM p
 """
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio twin of ``multimodal_meta``: attach a REAL WAV file per doc
+    (from-scratch RIFF/PCM encoder, ``functions/audiocodec.py``), decode
+    it back through the actor-pool ``DecodeAudioMeta`` stage, and emit
+    integer sample statistics. The recipe is md5-derived, so the DuckDB
+    oracle recomputes what the stage ENCODED into bytes and DECODED back
+    out of the PCM stream — an end-to-end check through both codec
+    directions (any wrong byte anywhere breaks sample_sum)."""
+    from ..stages.multimodal import DecodeAudioMeta, make_fake_audio
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.append_column(
+            "audio", pa.array([make_fake_audio(str(i)) for i in ids], pa.binary())
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow").map_batches(
+        DecodeAudioMeta,
+        batch_format="pyarrow",
+        batch_size=256,  # ~1 KB blobs: larger batches than images
+        concurrency=(2, 8),  # autoscaling pool (fixed pools starve small sessions)
+        num_cpus=1,
+    )
+
+
+# The audio recipe (rate, channels, depth, length, sawtooth coefficients)
+# is md5-derived (stages/multimodal.py fake_audio_params); sample[k] =
+# ((a + k*b) mod 2^bits) - 2^(bits-1), so the oracle unnests range(n) and
+# recomputes the exact integer sample stats the decoder extracted from
+# the real WAV bytes.
+MULTIMODAL_AUDIO_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    ([8000, 16000, 22050, 44100])[CAST({_md5u("'audr:42:' || CAST(doc_id AS VARCHAR)")} % 4 AS INTEGER) + 1] AS sample_rate,
+    CAST(1 + {_md5u("'audc:42:' || CAST(doc_id AS VARCHAR)")} % 2 AS BIGINT) AS channels,
+    CASE WHEN {_md5u("'audt:42:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 THEN 8 ELSE 16 END AS bits,
+    CAST(64 + {_md5u("'audn:42:' || CAST(doc_id AS VARCHAR)")} % 448 AS BIGINT) AS n_frames,
+    CAST({_md5u("'auda:42:' || CAST(doc_id AS VARCHAR)")} % 65536 AS BIGINT) AS a,
+    CAST(1 + {_md5u("'audb:42:' || CAST(doc_id AS VARCHAR)")} % 9973 AS BIGINT) AS b
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         ((a + k * b) % (CASE WHEN bits = 8 THEN 256 ELSE 65536 END))
+           - (CASE WHEN bits = 8 THEN 128 ELSE 32768 END) AS v
+  FROM (SELECT p.*, unnest(range(0, n_frames * channels)) AS k FROM p)),
+agg AS (
+  SELECT doc_id, SUM(v) AS sample_sum, MIN(v) AS sample_min, MAX(v) AS sample_max
+  FROM s GROUP BY doc_id)
+SELECT p.doc_id,
+  CAST(sample_rate AS BIGINT) AS sample_rate,
+  channels,
+  CAST(bits AS BIGINT) AS bits,
+  n_frames,
+  n_frames * channels * bits // 8 AS n_data_bytes,
+  n_frames * 1000 // sample_rate AS duration_ms,
+  CAST(sample_sum AS BIGINT) AS sample_sum,
+  CAST(sample_min AS BIGINT) AS sample_min,
+  CAST(sample_max AS BIGINT) AS sample_max
+FROM p JOIN agg USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- crawl sim
 
 
@@ -1548,6 +1612,7 @@ ML_SQL_QUERIES: dict = {
     "langid_predict": (q_langid, LANGID_SQL),
     "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_audio": (q_multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),

@@ -151,3 +151,98 @@ class DecodeImageMeta:
         out = out.append_column("pixel_sum", pa.array(psum, pa.int64()))
         out = out.append_column("n_bytes", pa.array(nb, pa.int64()))
         return out
+
+
+# --------------------------------------------------------------- audio
+
+
+AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def fake_audio_params(key: str, seed: int = 42) -> dict:
+    """The md5-derived recipe for a key's audio clip (shared by the
+    encoder and the SQL oracle): rate, channels, bit depth, length, and
+    the (a, b) coefficients of the integer sawtooth sample formula
+    ``sample[k] = ((a + k*b) mod 2^bits) - 2^(bits-1)``."""
+    return {
+        "sample_rate": AUDIO_RATES[_md5_64(f"audr:{seed}:{key}") % 4],
+        "channels": 1 + _md5_64(f"audc:{seed}:{key}") % 2,
+        "bits": 8 if _md5_64(f"audt:{seed}:{key}") % 2 == 0 else 16,
+        "n_frames": 64 + _md5_64(f"audn:{seed}:{key}") % 448,
+        "a": _md5_64(f"auda:{seed}:{key}") % 65536,
+        "b": 1 + _md5_64(f"audb:{seed}:{key}") % 9973,
+    }
+
+
+def make_fake_audio(key: str, seed: int = 42) -> bytes:
+    """Deterministic REAL WAV file for a key: integer-sawtooth PCM
+    frames (8- or 16-bit, mono or stereo); every third file gains a
+    LIST/INFO chunk so decode exercises the chunk walker."""
+    from ..functions.audiocodec import wav_encode
+
+    p = fake_audio_params(key, seed)
+    n = p["n_frames"] * p["channels"]
+    k = np.arange(n, dtype=np.int64)
+    mod = 256 if p["bits"] == 8 else 65536
+    v = (p["a"] + k * p["b"]) % mod - mod // 2
+    samples = v.reshape(p["n_frames"], p["channels"])
+    info = b"synthetic clip" if _md5_64(f"audi:{seed}:{key}") % 3 == 0 else None
+    return wav_encode(samples, p["sample_rate"], bits=p["bits"], info=info)
+
+
+class DecodeAudioMeta:
+    """Actor-pool stage: binary WAV column → decoded audio metadata +
+    integer sample stats. Same shape as ``DecodeImageMeta``: use with
+    ``map_batches(DecodeAudioMeta, concurrency=(2, N), batch_size=B)``.
+
+    Output per row: ``sample_rate``/``channels``/``bits``/``n_frames``/
+    ``n_data_bytes``/``duration_ms`` (all from the DECODED stream) plus
+    ``sample_sum``/``sample_min``/``sample_max`` over every decoded
+    sample — exact integers, so the oracle recomputes them end-to-end
+    through both codec directions. Undecodable blobs yield nulls."""
+
+    def __init__(self, binary_col: str = "audio"):
+        from ..functions.audiocodec import WavError, wav_decode
+
+        self.binary_col = binary_col
+        self._decode_fn = wav_decode
+        self._err = WavError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.binary_col)
+        cols = {name: [] for name in (
+            "sample_rate", "channels", "bits", "n_frames", "n_data_bytes",
+            "duration_ms", "sample_sum", "sample_min", "sample_max")}
+        for i in range(len(blobs)):
+            blob = blobs[i].as_py()
+            try:
+                d = self._decode_fn(bytes(blob)) if blob else None
+            except (self._err, struct.error):
+                d = None  # malformed input -> null row, never a task failure
+            if d is None or d["samples"].size == 0:
+                ok = d is not None
+                for name in cols:
+                    cols[name].append(None)
+                if ok:  # valid but empty stream: keep the header facts
+                    cols["sample_rate"][-1] = d["sample_rate"]
+                    cols["channels"][-1] = d["channels"]
+                    cols["bits"][-1] = d["bits"]
+                    cols["n_frames"][-1] = 0
+                    cols["n_data_bytes"][-1] = 0
+                    cols["duration_ms"][-1] = 0
+                continue
+            s = d["samples"]
+            n_frames = s.shape[0]
+            cols["sample_rate"].append(d["sample_rate"])
+            cols["channels"].append(d["channels"])
+            cols["bits"].append(d["bits"])
+            cols["n_frames"].append(n_frames)
+            cols["n_data_bytes"].append(n_frames * d["channels"] * d["bits"] // 8)
+            cols["duration_ms"].append(n_frames * 1000 // d["sample_rate"])
+            cols["sample_sum"].append(int(s.sum(dtype=np.int64)))
+            cols["sample_min"].append(int(s.min()))
+            cols["sample_max"].append(int(s.max()))
+        out = batch.drop_columns([self.binary_col])
+        for name, vals in cols.items():
+            out = out.append_column(name, pa.array(vals, pa.int64()))
+        return out
