@@ -225,3 +225,34 @@ def filesize(html_bytes: bytes | None) -> int | None:
     if html_bytes is None:
         return None
     return len(html_bytes)
+
+
+class LinkExtractor(HTMLParser):
+    """Collect anchor hrefs the way a DOM walk would (crawl-frontier
+    outlink discovery). Built on the same stdlib parser as the
+    byte-identical text contract above, so script/style contents are
+    CDATA (an ``<a href>`` string inside a script is NOT a link) and
+    comments never surface — the failure modes a naive regex extractor
+    has. Mirrors the reference's bs4 ``soup.find_all('a')`` usage
+    (/root/reference/europarl/downloader.py:117-138) without bs4."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+                    break
+
+    handle_startendtag = handle_starttag
+
+
+def extract_hrefs(html: str) -> list[str]:
+    """All <a href> values in document order."""
+    p = LinkExtractor()
+    p.feed(html)
+    p.close()
+    return p.hrefs

@@ -873,6 +873,124 @@ FROM documents
 """
 
 
+# ===================== outlink extraction / frontier expansion graph
+
+
+def _link_targets(doc_id: int, n_docs: int) -> list[int]:
+    """Deterministic outlink targets for a doc (shared with the SQL
+    oracle): k = 1 + md5 % 4 links to (doc_id*37 + j*101) mod n_docs."""
+    from ..stages.multimodal import _md5_64
+
+    k = 1 + _md5_64(f"lnkk:42:{doc_id}") % 4
+    return [(doc_id * 37 + j * 101) % n_docs for j in range(1, k + 1)]
+
+
+def _render_link_page(doc_id: int, targets: list[int]) -> str:
+    """A crawled page whose REAL anchors point at ``/doc/<id>`` — plus
+    the decoys a regex extractor would wrongly pick up: an anchor inside
+    a comment, one inside script CDATA text, and an external link (the
+    parser sees it; the internal-link filter must drop it)."""
+    links = "\n".join(f'<li><a href="/doc/{t}">doc {t}</a></li>' for t in targets)
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>doc {doc_id}</title>\n"
+        "<script>var decoy = '<a href=\"/doc/999999\">not a link</a>';</script>\n"
+        "</head><body>\n"
+        f"<h1>Document {doc_id}</h1>\n"
+        '<!-- <a href="/doc/888888">commented out</a> -->\n'
+        f'<p>See also <a href="https://example.invalid/ext/{doc_id}">external</a>.</p>\n'
+        f"<ul>\n{links}\n</ul>\n"
+        "</body></html>\n"
+    )
+
+
+def q_link_graph(sf_dir: str):
+    """Frontier expansion as an operator: render a real HTML page per
+    doc, extract its outlinks with the DOM-walking ``LinkExtractor``
+    (regex decoys in comments/script must NOT count), keep internal
+    ``/doc/<id>`` links, and aggregate per-doc out-degree and in-degree.
+
+    Scale shape: edge extraction is one streaming ``map_batches`` pass;
+    the degree aggregate keys on doc_id (data-scaled cardinality), so it
+    runs as a per-batch combiner (one row per doc per block) followed by
+    a coarse-hash-keyed pandas sum — never a per-key Ray groupby. The
+    doc count (for the synthetic target formula) comes from parquet
+    metadata, not a scan."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.extract import extract_hrefs
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "out_degree": pa.array([], pa.int64()),
+            "in_degree": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    internal = _re.compile(r"^/doc/([0-9]+)$")
+
+    def edges_partial(t: pa.Table) -> pa.Table:
+        """Render → parse → per-batch degree combiner. Emits one row per
+        doc appearing in this batch's edges (as source or target)."""
+        out_n: dict[int, int] = {}
+        in_n: dict[int, int] = {}
+        for did in t.column("doc_id").to_pylist():
+            html = _render_link_page(did, _link_targets(did, n_docs))
+            dsts = []
+            for href in extract_hrefs(html):
+                m = internal.match(href)
+                if m:
+                    dsts.append(int(m.group(1)))
+            out_n[did] = out_n.get(did, 0) + len(dsts)
+            for dst in dsts:
+                in_n[dst] = in_n.get(dst, 0) + 1
+        ids = sorted(set(out_n) | set(in_n))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "part_out": pa.array([out_n.get(i, 0) for i in ids], pa.int64()),
+                "part_in": pa.array([in_n.get(i, 0) for i in ids], pa.int64()),
+            }
+        )
+
+    def sum_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["part_out", "part_in"]].sum()
+        return out.rename(columns={"part_out": "out_degree", "part_in": "in_degree"}).astype(
+            np.int64
+        )
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        _with_coarse_group(d.map_batches(edges_partial, batch_format="pyarrow"), "doc_id")
+        .groupby("_g")
+        .map_groups(lambda g: sum_group(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+def _link_graph_sql() -> str:
+    md5u = "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+o AS (SELECT src AS doc_id, COUNT(*) AS out_degree FROM e GROUP BY 1),
+i AS (SELECT dst AS doc_id, COUNT(*) AS in_degree FROM e GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(o.out_degree, 0) AS BIGINT) AS out_degree,
+  CAST(COALESCE(i.in_degree, 0) AS BIGINT) AS in_degree
+FROM documents d
+LEFT JOIN o ON d.doc_id = o.doc_id
+LEFT JOIN i ON d.doc_id = i.doc_id
+"""
+
+
 # ================================ composite quality gate (FineWeb-style)
 
 # Integer-compare thresholds (fraction bars scaled by 100 so the DuckDB
@@ -1772,6 +1890,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "stopword_stats": (q_stopword_stats, _stopword_sql()),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
+    "link_graph": (q_link_graph, _link_graph_sql()),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),

@@ -1,0 +1,54 @@
+"""Outlink extraction (LinkExtractor) + link_graph degree aggregation.
+Oracle parity is covered by the gate; these pin the parser's DOM
+semantics (decoys) and the degree bookkeeping on a tiny corpus."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from europarl_crawler_ray.functions.extract import extract_hrefs
+from europarl_crawler_ray.pipelines.queries import (
+    _link_targets,
+    _render_link_page,
+    q_link_graph,
+)
+
+
+def test_extractor_skips_comment_and_script_decoys():
+    html = _render_link_page(7, [1, 2, 3])
+    hrefs = extract_hrefs(html)
+    assert "/doc/999999" not in hrefs  # script CDATA decoy
+    assert "/doc/888888" not in hrefs  # commented-out decoy
+    assert [h for h in hrefs if h.startswith("/doc/")] == ["/doc/1", "/doc/2", "/doc/3"]
+    assert any(h.startswith("https://") for h in hrefs)  # external IS parsed
+
+
+def test_extractor_handles_self_closing_and_missing_href():
+    assert extract_hrefs('<a name="x">t</a><a href="/doc/4"/><a href="/doc/5">y</a>') == [
+        "/doc/4",
+        "/doc/5",
+    ]
+
+
+def test_degrees_on_tiny_corpus(ray_session, tmp_path):
+    n = 6
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = q_link_graph(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # expected degrees straight from the target formula
+    out_exp = {i: len(_link_targets(i, n)) for i in range(n)}
+    in_exp = {i: 0 for i in range(n)}
+    for i in range(n):
+        for dst in _link_targets(i, n):
+            in_exp[dst] += 1
+    assert df["out_degree"].to_dict() == out_exp
+    assert df["in_degree"].to_dict() == in_exp
+    assert df["out_degree"].between(1, 4).all()
