@@ -792,6 +792,74 @@ SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100
 """
 
 
+# ======================= tf-idf top terms (search-indexing building block)
+
+
+def q_tfidf_topk(sf_dir: str, k: int = 3):
+    """Top-k characteristic terms per document by an integer tf-idf
+    score ``(tf * 1e6) // df`` (floats avoided so the DuckDB oracle is
+    exact; rarity still dominates). Tie-break: score DESC, term ASC.
+
+    Scale shape — two coarse-hash exchanges, both keyed on data-scaled
+    columns, neither a per-key Ray groupby:
+    1. per-batch tokenize + in-batch (doc, term) tf combiner (the
+       shuffle moves one row per distinct doc-term per block);
+    2. exchange on ``term``: every row of a term lands in one task, so
+       df is computed AND attached there in one pass — no separate df
+       table, no broadcast of a data-scaled vocabulary;
+    3. exchange on ``doc_id``: vectorized per-doc top-k
+       (sort + groupby.head) inside each coarse task."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.lower().str.findall(r"[^ \t\n\r\f]+").explode().dropna()
+        g = toks.reset_index().groupby(["doc_id", "text"], as_index=False).size()
+        g.columns = ["doc_id", "term", "tf"]
+        return g.astype({"tf": np.int64})
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"])
+        g["df"] = g.groupby("term")["term"].transform("size").astype(np.int64)
+        g["score"] = g["tf"].to_numpy() * 1_000_000 // g["df"].to_numpy()
+        return g
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = g.groupby("doc_id").head(k).copy()
+        out["rank"] = out.groupby("doc_id").cumcount().to_numpy() + 1
+        return out.astype({"rank": np.int64})
+
+    tf = d.map_batches(tf_partial, batch_format="pandas")
+    scored = (
+        _with_coarse_group(tf, "term").groupby("_g").map_groups(attach_df, batch_format="pandas")
+    )
+    return (
+        _with_coarse_group(scored, "doc_id")
+        .groupby("_g")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+TFIDF_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, tf.tf * 1000000 // dfx.df AS score
+  FROM tf JOIN dfx USING (term)),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
 # =============================== BPE-ish token counting + stopword quality
 
 
@@ -1886,6 +1954,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "sample_per_group": (q_sample_per_group, SAMPLE_PER_GROUP_SQL),
     "token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "token_topk": (q_token_topk, TOKEN_TOPK_SQL),
+    "tfidf_topk": (q_tfidf_topk, TFIDF_TOPK_SQL),
     "bpe_token_stats": (q_bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "stopword_stats": (q_stopword_stats, _stopword_sql()),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
