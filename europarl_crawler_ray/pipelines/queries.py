@@ -1059,6 +1059,156 @@ LEFT JOIN i ON d.doc_id = i.doc_id
 """
 
 
+# ============================ PageRank (integer, deterministic) over the
+# synthetic outlink graph — graph compute as bucketed exchanges
+
+PR_SCALE = 1_000_000   # pr is a scaled integer: 1.0 == 1e6
+PR_DAMP_NUM = 85       # damping 0.85 as a ratio (85/100)
+PR_ITERS = 3
+
+
+def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
+    """PageRank over the link_graph edge set, in SCALED-INTEGER
+    arithmetic so every iteration is bit-exact against the SQL oracle:
+    ``pr0 = 1e6``; ``pr_{t+1}(v) = 0.15e6 + Σ_{(u,v)} pr_t(u)*85 //
+    (outdeg(u)*100)`` (floor division per edge — order-independent).
+
+    Scale shape (the dedup_clusters label-propagation structure): the
+    edge list is materialized once (narrow rows, reused every round);
+    each round is (1) a bucket exchange on src that co-locates each
+    node's pr with its out-edges and emits per-edge contributions, then
+    (2) a bucket exchange on dst that sums them — node presence is kept
+    by zero-contribution rows riding along, so dangling/unreferenced
+    nodes still get the base term. No per-key Ray groupby, nothing on
+    the driver."""
+    assert n_buckets & (n_buckets - 1) == 0
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "pagerank": pa.array([], pa.int64())})
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src, dst, deg = [], [], []
+        for did in t.column("doc_id").to_pylist():
+            targets = _link_targets(did, n_docs)
+            src.extend([did] * len(targets))
+            dst.extend(targets)
+            deg.extend([len(targets)] * len(targets))
+        s = np.asarray(src, dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+                "outdeg": pa.array(np.asarray(deg, dtype=np.int64)),
+                "bucket": pa.array((s & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    edges = d.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(ids.astype(np.int64)),
+                "pr": pa.array(np.full(len(ids), PR_SCALE, dtype=np.int64)),
+                "bucket": pa.array((ids & (n_buckets - 1)).astype(np.int32)),
+            }
+        )
+
+    pr = d.map_batches(init_pr, batch_format="pyarrow")
+
+    def as_edge_side(t: pa.Table) -> pa.Table:
+        # tag with dst = -1 sentinel for pr rows (null int64 realizes as
+        # float64 in pandas and corrupts ids > 2^53)
+        return pa.table(
+            {
+                "src": t.column("node"),
+                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "bucket": t.column("bucket"),  # same column ORDER as the
+                "pr": t.column("pr"),          # edge side: union blocks
+                                               # must share one schema
+            }
+        )
+
+    def add_pr_col(t: pa.Table) -> pa.Table:
+        return t.append_column("pr", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    for _ in range(n_iters):
+
+        def send(g: pd.DataFrame) -> pa.Table:
+            lab = g.loc[g["dst"] == -1, ["src", "pr"]]
+            e = g.loc[g["dst"] != -1, ["src", "dst", "outdeg"]]
+            m = e.merge(lab, on="src", how="inner")
+            contrib = m["pr"].to_numpy() * PR_DAMP_NUM // (m["outdeg"].to_numpy() * 100)
+            node = np.concatenate([m["dst"].to_numpy(), lab["src"].to_numpy()]).astype(np.int64)
+            val = np.concatenate([contrib, np.zeros(len(lab), dtype=np.int64)]).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(node),
+                    "contrib": pa.array(val),
+                    "bucket": pa.array((node & (n_buckets - 1)).astype(np.int32)),
+                }
+            )
+
+        def reduce_pr(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", as_index=False)["contrib"].sum()
+            out = pd.DataFrame(
+                {
+                    "node": s["node"].to_numpy().astype(np.int64),
+                    "pr": (PR_SCALE * 15 // 100 + s["contrib"].to_numpy()).astype(np.int64),
+                }
+            )
+            out["bucket"] = (out["node"].to_numpy() & (n_buckets - 1)).astype(np.int32)
+            return out
+
+        pr = (
+            edges.map_batches(add_pr_col, batch_format="pyarrow")
+            .union(pr.map_batches(as_edge_side, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(send, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_pr, batch_format="pandas")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"), "pagerank": t.column("pr")})
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def _pagerank_sql() -> str:
+    md5u = "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    rounds = []
+    prev = "pr0"
+    for t in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""c{t} AS (
+  SELECT e.dst AS doc_id, SUM({prev}.pr * {PR_DAMP_NUM} // (e.outdeg * 100)) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY 1),
+pr{t} AS (
+  SELECT d.doc_id, {PR_SCALE * 15 // 100} + COALESCE(c{t}.s, 0) AS pr
+  FROM documents d LEFT JOIN c{t} ON d.doc_id = c{t}.doc_id)"""
+        )
+        prev = f"pr{t}"
+    joined = ",\n".join(rounds)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst, k AS outdeg
+  FROM (SELECT doc_id, k, unnest(range(1, k + 1)) AS j FROM kk), n),
+pr0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM documents),
+{joined}
+SELECT doc_id, CAST(pr AS BIGINT) AS pagerank FROM {prev}
+"""
+
+
 # ================================ composite quality gate (FineWeb-style)
 
 # Integer-compare thresholds (fraction bars scaled by 100 so the DuckDB
@@ -1960,6 +2110,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "link_graph": (q_link_graph, _link_graph_sql()),
+    "pagerank": (q_pagerank, _pagerank_sql()),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
