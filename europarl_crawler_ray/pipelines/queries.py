@@ -1073,15 +1073,20 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
     ``pr0 = 1e6``; ``pr_{t+1}(v) = 0.15e6 + Σ_{(u,v)} pr_t(u)*85 //
     (outdeg(u)*100)`` (floor division per edge — order-independent).
 
-    Scale shape (the dedup_clusters label-propagation structure): the
-    edge list is materialized once (narrow rows, reused every round);
-    each round is (1) a bucket exchange on src that co-locates each
-    node's pr with its out-edges and emits per-edge contributions, then
-    (2) a bucket exchange on dst that sums them — node presence is kept
-    by zero-contribution rows riding along, so dangling/unreferenced
-    nodes still get the base term. No per-key Ray groupby, nothing on
-    the driver."""
+    Scale shape — Pregel-style message passing with ONE bucket exchange
+    per round (a naive two-exchange round — join pr to edges on src,
+    then re-key contributions by dst — was measured ~1.5× slower at
+    bench scale from the extra shuffle barriers): a node's state lives
+    in the same bucket as its OUT-edges (bucket = src & mask), so each
+    round's task computes new pr from incoming messages and immediately
+    emits next-round messages keyed by dst bucket; edges and the node
+    roster ride along in their home buckets. Zero-contribution roster
+    rows keep dangling/unreferenced nodes present (they get the base
+    term). Sentinel -1 instead of Arrow nulls: a null int64 column
+    realizes as float64 in pandas and corrupts ids above 2^53. No
+    per-key Ray groupby, nothing on the driver."""
     assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
     d = _read(sf_dir, "documents", columns=["doc_id"])
     import pyarrow.parquet as _pq
 
@@ -1091,95 +1096,91 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
             pa.table({"doc_id": pa.array([], pa.int64()), "pagerank": pa.array([], pa.int64())})
         )
 
-    def edge_rows(t: pa.Table) -> pa.Table:
+    # unified stream schema (kind 0 = edge src→dst, 1 = node roster,
+    # 2 = message carrying a contribution to node n1)
+    def _stream_table(n1, n2, outdeg, contrib, kind) -> pa.Table:
+        n1 = np.asarray(n1, dtype=np.int64)
+        return pa.table(
+            {
+                "n1": pa.array(n1),
+                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
+                "outdeg": pa.array(np.asarray(outdeg, dtype=np.int64)),
+                "contrib": pa.array(np.asarray(contrib, dtype=np.int64)),
+                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
+                "bucket": pa.array((n1 & mask).astype(np.int32)),
+            }
+        )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
         src, dst, deg = [], [], []
-        for did in t.column("doc_id").to_pylist():
+        for did in ids:
             targets = _link_targets(did, n_docs)
             src.extend([did] * len(targets))
             dst.extend(targets)
             deg.extend([len(targets)] * len(targets))
-        s = np.asarray(src, dtype=np.int64)
-        return pa.table(
+        n_e, n_r = len(src), len(ids)
+        return _stream_table(
+            src + list(ids),
+            dst + [-1] * n_r,
+            deg + [0] * n_r,
+            np.zeros(n_e + n_r, dtype=np.int64),
+            np.concatenate([np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]),
+        )
+
+    def _pr_of(g: pd.DataFrame, first: bool) -> pd.DataFrame:
+        """New pr per node of this bucket: base + Σ incoming messages
+        (roster rows contribute 0 and guarantee presence)."""
+        roster = g.loc[g["kind"] == 1, ["n1"]].assign(contrib=np.int64(0))
+        if first:
+            return roster.drop_duplicates("n1").assign(pr=np.int64(PR_SCALE))[["n1", "pr"]]
+        msgs = g.loc[g["kind"] == 2, ["n1", "contrib"]]
+        s = pd.concat([roster, msgs]).groupby("n1", as_index=False)["contrib"].sum()
+        return pd.DataFrame(
             {
-                "src": pa.array(s),
-                "dst": pa.array(np.asarray(dst, dtype=np.int64)),
-                "outdeg": pa.array(np.asarray(deg, dtype=np.int64)),
-                "bucket": pa.array((s & (n_buckets - 1)).astype(np.int32)),
+                "n1": s["n1"].to_numpy().astype(np.int64),
+                "pr": (PR_SCALE * 15 // 100 + s["contrib"].to_numpy()).astype(np.int64),
             }
         )
 
-    edges = d.map_batches(edge_rows, batch_format="pyarrow").materialize()
-
-    def init_pr(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "node": pa.array(ids.astype(np.int64)),
-                "pr": pa.array(np.full(len(ids), PR_SCALE, dtype=np.int64)),
-                "bucket": pa.array((ids & (n_buckets - 1)).astype(np.int32)),
-            }
-        )
-
-    pr = d.map_batches(init_pr, batch_format="pyarrow")
-
-    def as_edge_side(t: pa.Table) -> pa.Table:
-        # tag with dst = -1 sentinel for pr rows (null int64 realizes as
-        # float64 in pandas and corrupts ids > 2^53)
-        return pa.table(
-            {
-                "src": t.column("node"),
-                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
-                "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
-                "bucket": t.column("bucket"),  # same column ORDER as the
-                "pr": t.column("pr"),          # edge side: union blocks
-                                               # must share one schema
-            }
-        )
-
-    def add_pr_col(t: pa.Table) -> pa.Table:
-        return t.append_column("pr", pa.array(np.zeros(len(t), dtype=np.int64)))
-
-    for _ in range(n_iters):
-
-        def send(g: pd.DataFrame) -> pa.Table:
-            lab = g.loc[g["dst"] == -1, ["src", "pr"]]
-            e = g.loc[g["dst"] != -1, ["src", "dst", "outdeg"]]
-            m = e.merge(lab, on="src", how="inner")
-            contrib = m["pr"].to_numpy() * PR_DAMP_NUM // (m["outdeg"].to_numpy() * 100)
-            node = np.concatenate([m["dst"].to_numpy(), lab["src"].to_numpy()]).astype(np.int64)
-            val = np.concatenate([contrib, np.zeros(len(lab), dtype=np.int64)]).astype(np.int64)
-            return pa.table(
-                {
-                    "node": pa.array(node),
-                    "contrib": pa.array(val),
-                    "bucket": pa.array((node & (n_buckets - 1)).astype(np.int32)),
-                }
+    def make_step(first: bool):
+        def step(g: pd.DataFrame) -> pa.Table:
+            pr = _pr_of(g, first)
+            e = g.loc[g["kind"] == 0, ["n1", "n2", "outdeg"]].merge(pr, on="n1", how="inner")
+            dst = e["n2"].to_numpy().astype(np.int64)
+            contrib = e["pr"].to_numpy() * PR_DAMP_NUM // (e["outdeg"].to_numpy() * 100)
+            msgs = _stream_table(
+                dst,
+                np.full(len(dst), -1, dtype=np.int64),
+                np.zeros(len(dst), dtype=np.int64),
+                contrib,
+                np.full(len(dst), 2, dtype=np.int8),
             )
-
-        def reduce_pr(g: pd.DataFrame) -> pd.DataFrame:
-            s = g.groupby("node", as_index=False)["contrib"].sum()
-            out = pd.DataFrame(
-                {
-                    "node": s["node"].to_numpy().astype(np.int64),
-                    "pr": (PR_SCALE * 15 // 100 + s["contrib"].to_numpy()).astype(np.int64),
-                }
+            keep = g.loc[g["kind"] != 2]  # edges + roster stay resident
+            kept = _stream_table(
+                keep["n1"].to_numpy(),
+                keep["n2"].to_numpy(),
+                keep["outdeg"].to_numpy(),
+                keep["contrib"].to_numpy(),
+                keep["kind"].to_numpy(),
             )
-            out["bucket"] = (out["node"].to_numpy() & (n_buckets - 1)).astype(np.int32)
-            return out
+            return pa.concat_tables([kept, msgs])
 
-        pr = (
-            edges.map_batches(add_pr_col, batch_format="pyarrow")
-            .union(pr.map_batches(as_edge_side, batch_format="pyarrow"))
-            .groupby("bucket")
-            .map_groups(send, batch_format="pandas")
-            .groupby("bucket")
-            .map_groups(reduce_pr, batch_format="pandas")
+        return step
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        pr = _pr_of(g, False)
+        return pd.DataFrame(
+            {
+                "doc_id": pr["n1"].to_numpy().astype(np.int64),
+                "pagerank": pr["pr"].to_numpy().astype(np.int64),
+            }
         )
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("node"), "pagerank": t.column("pr")})
-
-    return pr.map_batches(finish, batch_format="pyarrow")
+    stream = d.map_batches(seed_rows, batch_format="pyarrow")
+    for i in range(n_iters):
+        stream = stream.groupby("bucket").map_groups(make_step(i == 0), batch_format="pandas")
+    return stream.groupby("bucket").map_groups(final, batch_format="pandas")
 
 
 def _pagerank_sql() -> str:
