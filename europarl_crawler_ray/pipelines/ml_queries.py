@@ -431,6 +431,108 @@ JOIN sz zb ON zb.doc_id = s.doc_b
 DEDUP_VERIFY_SQL = _dedup_verify_sql()
 
 
+# -------------------------- n-gram Jaccard with min-anchor blocking
+
+
+def q_dedup_ngram(sf_dir: str, num: int = 1, den: int = 2, bucket_cap: int | None = None):
+    """Standalone n-gram-Jaccard near-dup pairs — the third blocking
+    scheme of the dedup family (exact hash / MinHash bands / SimHash
+    bands / this): candidates are docs sharing their single SMALLEST
+    mod-p 3-shingle hash ("min-anchor" — for any pair, P(anchor match)
+    equals their Jaccard, Broder 1997 with one permutation, so
+    recall ≈ J and pairs above the 0.5 threshold are likely caught),
+    then EXACT distinct-shingle Jaccard is computed inside the bucket.
+    Emits (doc_a, doc_b, n_inter, n_union) for J = n_inter/n_union ≥
+    num/den, as integers so the DuckDB oracle is exact.
+
+    Scale shape: one shingle pass (shared ``_shingle_sets``), one
+    coarse-hash exchange on the anchor value; the all-pairs step is
+    per-anchor-bucket (tiny by construction, ``BUCKET_CAP`` bounds the
+    adversarial case and surviving pairs carry ``n_capped``)."""
+    sets = _shingle_sets(sf_dir)
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        anchors = [
+            int(np.frombuffer(b, dtype=np.uint64).min()) for b in t.column("hs").to_pylist()
+        ]
+        return t.append_column("anchor", pa.array(np.asarray(anchors, dtype=np.uint64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("anchor"):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            grp, dropped = _cap_bucket(grp, "dedup_ngram", bucket_cap)
+            ids = grp["doc_id"].to_numpy().astype(np.int64)
+            hsets = [np.frombuffer(b, dtype=np.uint64) for b in grp["hs"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ni = np.intersect1d(hsets[i], hsets[j], assume_unique=True).size
+                    nu = hsets[i].size + hsets[j].size - ni
+                    if ni * den >= nu * num:
+                        rows.append((ids[i], ids[j], ni, nu, dropped))
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "n_inter", "n_union", "n_capped"]
+        ).astype(np.int64)
+
+    from ..pipelines.grouping import with_coarse_group
+
+    return (
+        with_coarse_group(sets.map_batches(anchor_rows, batch_format="pyarrow"), "anchor")
+        .groupby("_g")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+def _dedup_ngram_sql(num: int = 1, den: int = 2) -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS s
+  FROM w WHERE len(ws) > 0
+),
+hd AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % 2147483647 AS h
+  FROM sh
+),
+anch AS (SELECT doc_id, MIN(h) AS anchor FROM hd GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY 1),
+ov AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN hd a ON a.doc_id = c.doc_a
+  JOIN hd b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc_a, c.doc_b, COALESCE(ov.n_inter, 0) AS n_inter,
+         za.n + zb.n - COALESCE(ov.n_inter, 0) AS n_union
+  FROM cand c
+  LEFT JOIN ov ON ov.doc_a = c.doc_a AND ov.doc_b = c.doc_b
+  JOIN sz za ON za.doc_id = c.doc_a
+  JOIN sz zb ON zb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union, CAST(0 AS BIGINT) AS n_capped
+FROM j WHERE n_inter * {den} >= n_union * {num}
+"""
+
+
+DEDUP_NGRAM_SQL = _dedup_ngram_sql()
+
+
 # ------------------------------------------- near-dup cluster assignment
 
 
@@ -1615,6 +1717,7 @@ ML_SQL_QUERIES: dict = {
     "multimodal_audio": (q_multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
+    "dedup_ngram": (q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_canonical": (q_dedup_keep_canonical, DEDUP_KEEP_CANONICAL_SQL),

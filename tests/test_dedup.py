@@ -197,3 +197,50 @@ def test_dedup_clusters_propagates_across_chains(ray_session, sf_dir):
     assert got == expected
     # every doc in a pair is assigned, and ids are component minima
     assert set(got) == set(pairs["doc_a"]) | set(pairs["doc_b"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_pipeline_exact_jaccard(tmp_path):
+    """dedup_ngram: planted near-dup pair surfaces via the min-anchor
+    block, and the reported (n_inter, n_union) equal the true distinct
+    3-shingle overlap computed independently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.functions.dedup import md5_hash31, shingle_strings
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_ngram
+
+    texts = [BASE, NEAR, OTHER] + [
+        f"filler document {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        for i in range(30)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_dedup_ngram(str(tmp_path)).to_pandas()
+    pairs = {(a, b): (ni, nu) for a, b, ni, nu in
+             zip(out["doc_a"], out["doc_b"], out["n_inter"], out["n_union"])}
+    assert (0, 1) in pairs
+    sa = set(np.unique(md5_hash31(shingle_strings(BASE))))
+    sb = set(np.unique(md5_hash31(shingle_strings(NEAR))))
+    assert pairs[(0, 1)] == (len(sa & sb), len(sa | sb))
+    # J >= 1/2 holds for every emitted pair
+    assert (out["n_inter"] * 2 >= out["n_union"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_bucket_cap_bounds_identical_docs(tmp_path):
+    """All-identical corpus lands in ONE anchor bucket: the cap must
+    bound pair emission and flag survivors via n_capped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.ml_queries import q_dedup_ngram
+
+    n = 120
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["same boilerplate page body text"] * n, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_dedup_ngram(str(tmp_path), bucket_cap=40).to_pandas()
+    assert len(out) == 40 * 39 // 2
+    assert (out["n_capped"] == n - 40).all()
