@@ -1504,6 +1504,116 @@ FROM events
 """
 
 
+# =================== pure range join (interval containment, no equi key)
+
+RANGE_JOIN_US = 3_600_000_000  # window width: 1 hour in microseconds
+
+
+def q_range_join(sf_dir: str):
+    """Pure range join — NO equi key (the non-equi twin of
+    ``q_asof_join``): every 'purchase' event anchors a ``[ts, ts+1h)``
+    window, and the query counts ALL events (any user) inside each
+    window and sums their integer cent values.
+
+    Distributed shape — time-bucket replication: the time axis is cut
+    into buckets exactly the window's width, so a window overlaps at
+    most TWO buckets. Probe events land in exactly ONE bucket
+    (``floor(ts/W)``); anchors are REPLICATED to the ≤2 buckets their
+    window touches; one coarse exchange on the bucket co-locates them,
+    and matching inside the task is a prefix-sum + ``searchsorted``
+    (vectorized over all anchors of a bucket — no per-row loop). Each
+    anchor copy is matched only against ITS bucket's probes, so two
+    copies co-located in one coarse group never double-count. A second,
+    anchor-keyed coarse exchange sums the ≤2 partials per anchor.
+    Partitioning assumptions: ~1/N_COARSE_GROUPS of the probe stream
+    per task; salt a hot time bucket by splitting its probes and
+    duplicating that bucket's anchor copies per salt."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def exchange_rows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        ids = t.column("event_id").to_numpy()
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pb = ts // RANGE_JOIN_US
+        is_anchor = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        a_ts, a_ids, a_b = ts[is_anchor], ids[is_anchor], pb[is_anchor]
+        # probes (kind 0, one copy) + anchors (kind 1, copies at b and b+1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([pb, a_b, a_b + 1])),
+                "kind": pa.array(
+                    np.repeat(
+                        np.array([0, 1, 1], np.int8), [len(ts), len(a_ts), len(a_ts)]
+                    )
+                ),
+                "ts_us": pa.array(np.concatenate([ts, a_ts, a_ts])),
+                "event_id": pa.array(np.concatenate([ids, a_ids, a_ids])),
+                "cents": pa.array(np.concatenate([cents, a_ids * 0, a_ids * 0])),
+            }
+        )
+
+    def bucket_match(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, gb in g.groupby("bucket", sort=False):
+            p = gb[gb["kind"] == 0].sort_values("ts_us")
+            a = gb[gb["kind"] == 1]
+            if p.empty or a.empty:
+                continue
+            pts = p["ts_us"].to_numpy()
+            cum = np.concatenate([[0], np.cumsum(p["cents"].to_numpy())])
+            a_ts = a["ts_us"].to_numpy()
+            lo = np.searchsorted(pts, a_ts, side="left")
+            hi = np.searchsorted(pts, a_ts + RANGE_JOIN_US, side="left")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": a["event_id"].to_numpy(),
+                        "n": (hi - lo).astype(np.int64),
+                        "c": cum[hi] - cum[lo],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"event_id": [], "n": [], "c": []}).astype(np.int64)
+        return pd.concat(out, ignore_index=True)
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("event_id", as_index=False).agg(
+            n_in_window=("n", "sum"), sum_cents=("c", "sum")
+        )
+        # every anchor self-matches in its own bucket, so n ≥ 1 always;
+        # the filter only drops anchors whose probes were all elsewhere
+        # (impossible here, kept for inner-join parity with the oracle)
+        return agg[agg["n_in_window"] > 0].astype(np.int64)
+
+    partials = (
+        _with_coarse_group(ev.map_batches(exchange_rows, batch_format="pyarrow"), "bucket")
+        .groupby("_g")
+        .map_groups(lambda g: bucket_match(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+    return (
+        _with_coarse_group(partials, "event_id")
+        .groupby("_g")
+        .map_groups(lambda g: sum_partials(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH b AS (SELECT ts, CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+SELECT a.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in_window,
+       CAST(SUM(b.cents) AS BIGINT) AS sum_cents
+FROM events a
+JOIN b ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 # ========================= sessionization (gap-based streaming windows)
 
 SESSION_GAP_MIN = 30
@@ -2117,6 +2227,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    "range_join": (q_range_join, RANGE_JOIN_SQL),
     "window_counts": (q_window_counts, WINDOW_COUNTS_SQL),
     "spaced_out_dates": (q_spaced_out_dates, SPACED_OUT_DATES_SQL),
     "lang_summary": (q_lang_summary, LANG_SUMMARY_SQL),
