@@ -39,11 +39,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
+    from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_QUERIES, ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in CORPUS_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
     return out
 
@@ -55,9 +57,11 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
+    from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in CORPUS_SQL_QUERIES.items()})
     return out

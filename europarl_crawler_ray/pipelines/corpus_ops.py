@@ -1,0 +1,474 @@
+"""Corpus-analytics operators (round-3 additions): inverted index,
+cross-document duplicate-n-gram coverage, benchmark-contamination check,
+text normalization, and an event funnel.
+
+All five are SQL-oracled (driver gate) and follow the repo's scale
+idioms: per-batch combiners, coarse-hash exchanges for data-scaled keys
+(see pipelines/grouping.py for the measured per-group Ray cost), and
+bounded driver reductions only for provably-small sets (the B=8
+benchmark sample, mirroring ann_ivf's md5-ranked centroid selection).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.dedup import md5_hash31, shingle_strings
+from .grouping import with_coarse_group as _with_coarse_group
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f]+")
+_WS_RUN_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+# ================================================== event funnel analysis
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_counts(sf_dir: str):
+    """Classic funnel: how many users did signup, then (strictly later)
+    view, then click, then purchase — the greedy earliest-chain
+    definition (stage k's timestamp is the MIN event time strictly after
+    the stage-(k-1) time), which is order-deterministic and exactly
+    expressible in SQL as a chain of min-join CTEs.
+
+    Scale shape: ONE exchange on a coarse hash of user_id (every user's
+    events co-locate), the 4-stage chain computed vectorized over all
+    users of a task at once (merge + filter + groupby-min per stage, no
+    per-user Python loop), then a 4-row global sum. Emits
+    (stage, event_type, n_users)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g[g["event_type"] == FUNNEL_STAGES[0]].groupby("user_id")["ts"].min()
+        )
+        counts = [len(cur)]
+        for st in FUNNEL_STAGES[1:]:
+            nxt = g.loc[g["event_type"] == st, ["user_id", "ts"]].merge(
+                cur.rename("prev"), left_on="user_id", right_index=True
+            ).reset_index(drop=True)  # merge names the index 'user_id' -> ambiguity
+            cur = nxt[nxt["ts"] > nxt["prev"]].groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64),
+                "n_users_part": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    agg = (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: chain(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("n_users_part", alias_name="n_users"))
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        stages = t.column("stage").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_users = t.column("n_users").to_numpy(zero_copy_only=False).astype(np.int64)
+        # stages nobody reached are dropped on BOTH sides (the oracle's
+        # WHERE n_users > 0) so an empty events table yields zero rows
+        keep = n_users > 0
+        stages, n_users = stages[keep], n_users[keep]
+        names = [FUNNEL_STAGES[s - 1] for s in stages]
+        return pa.table(
+            {
+                "stage": pa.array(stages, pa.int64()),
+                "event_type": pa.array(names, pa.string()),
+                "n_users": pa.array(n_users, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(attach_name, batch_format="pyarrow")
+
+
+FUNNEL_COUNTS_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY 1),
+t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL
+  SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM t3
+  UNION ALL
+  SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM t4
+) WHERE n_users > 0
+"""
+
+
+# ======================================================== inverted index
+
+POSTINGS_K = 8
+
+
+def q_inverted_index(sf_dir: str, k: int = POSTINGS_K):
+    """Search-index building block: per term, document frequency, total
+    term frequency, and a bounded posting list (the ``k`` smallest
+    doc_ids, comma-joined — capped so output stays row-shaped at any
+    corpus size; a real index would write the full postings columnar).
+
+    Scale shape: per-batch (doc, term) tf combiner (each doc lives in
+    one batch, so (doc, term) rows are globally unique — same invariant
+    tfidf_topk relies on), ONE coarse-hash exchange on ``term``, then
+    df/tf/postings computed vectorized per task (cumcount head-k; the
+    per-term string join is a string-kernel floor, bounded at k ids)."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df.set_index("doc_id")["text"]
+            .str.lower()
+            .str.findall(_TOKEN_RE)
+            .explode()
+            .dropna()
+        )
+        g = toks.reset_index().groupby(["doc_id", "text"], as_index=False).size()
+        g.columns = ["doc_id", "term", "tf"]
+        return g.astype({"tf": np.int64})
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"), tf_total=("tf", "sum")
+        )
+        top = g[g.groupby("term").cumcount() < k].copy()
+        top["s"] = top["doc_id"].astype(str)
+        postings = top.groupby("term", as_index=False)["s"].agg(",".join)
+        out = agg.merge(postings, on="term").rename(columns={"s": "postings"})
+        return out.astype({"df": np.int64, "tf_total": np.int64})
+
+    tf = d.map_batches(tf_partial, batch_format="pandas")
+    return (
+        _with_coarse_group(tf, "term")
+        .groupby("_g")
+        .map_groups(per_term, batch_format="pandas")
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+agg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
+rk AS (SELECT term, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf),
+post AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM rk WHERE rn <= {POSTINGS_K} GROUP BY 1)
+SELECT agg.term, agg.df, agg.tf_total, post.postings
+FROM agg JOIN post ON agg.term = post.term
+"""
+
+
+# ===================== cross-document duplicate n-gram coverage (dedup QA)
+
+DUP_NGRAM_N = 5
+
+
+def _word_grams(text: str, n: int = DUP_NGRAM_N) -> list[str]:
+    """All n-token window strings (lowercased); <n tokens → []. Mirrors
+    the oracle's list_transform over range(1, len-n+2)."""
+    words = _TOKEN_RE.findall(text.lower())
+    if len(words) < n:
+        return []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def q_dup_ngram_coverage(sf_dir: str, n: int = DUP_NGRAM_N):
+    """The exact-substring-dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4 — approximated at
+    n-gram granularity): per document, how many of its n-gram positions
+    are covered by an n-gram that also appears in ANOTHER document.
+    Emits (doc_id, n_pos, n_dup_pos) for docs with ≥n tokens; the dup
+    fraction is the usual removal-candidate score.
+
+    Scale shape — the corpus-wide gram-frequency table is never held
+    anywhere whole: per-batch (gram-hash, doc, pos-count) combiner
+    (grams deduped per doc via np.unique), coarse-hash exchange on the
+    GRAM key where cross-doc multiplicity is decided and immediately
+    re-reduced to per-doc partials, then a second coarse exchange on
+    doc_id sums the partials. Two narrow-row exchanges, no broadcast."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs, cs = [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            grams = _word_grams(txt, n)
+            if not grams:
+                continue
+            h, c = np.unique(md5_hash31(grams), return_counts=True)
+            ids.append(np.full(h.size, did, dtype=np.int64))
+            hs.append(h.astype(np.int64))
+            cs.append(c.astype(np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "h": pd.Series([], dtype=np.int64),
+                    "c": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "h": np.concatenate(hs),
+                "c": np.concatenate(cs),
+            }
+        )
+
+    def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"])
+        # (h, doc_id) rows are globally unique (per-doc np.unique + one
+        # doc per batch), so rows-per-h == distinct docs containing h
+        ndocs = g.groupby("h")["h"].transform("size")
+        dup_c = np.where(ndocs.to_numpy() >= 2, g["c"].to_numpy(), 0)
+        out = g.assign(dup_c=dup_c).groupby("doc_id", as_index=False).agg(
+            n_pos_part=("c", "sum"), n_dup_part=("dup_c", "sum")
+        )
+        return out.astype({"n_pos_part": np.int64, "n_dup_part": np.int64})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop(columns=["_g"])
+            .groupby("doc_id", as_index=False)
+            .agg(n_pos=("n_pos_part", "sum"), n_dup_pos=("n_dup_part", "sum"))
+        )
+        return out.astype({"n_pos": np.int64, "n_dup_pos": np.int64})
+
+    grams = d.map_batches(gram_rows, batch_format="pandas")
+    partials = (
+        _with_coarse_group(grams, "h")
+        .groupby("_g")
+        .map_groups(mark_dup, batch_format="pandas")
+    )
+    return (
+        _with_coarse_group(partials, "doc_id")
+        .groupby("_g")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+DUP_NGRAM_COVERAGE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - {DUP_NGRAM_N} + 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM w WHERE len(ws) >= {DUP_NGRAM_N}),
+gh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(gram), 1, 16)) AS UBIGINT) % 2147483647 AS h
+  FROM g),
+pc AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c FROM gh GROUP BY 1, 2),
+nd AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pc GROUP BY 1)
+SELECT pc.doc_id,
+       CAST(SUM(pc.c) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN pc.c ELSE 0 END) AS BIGINT) AS n_dup_pos
+FROM pc JOIN nd ON nd.h = pc.h
+GROUP BY 1
+"""
+
+
+# ======================== benchmark-contamination check (eval-set overlap)
+
+BENCH_DOCS = 8
+
+
+def q_contamination_check(sf_dir: str, n_bench: int = BENCH_DOCS):
+    """Decontamination (GPT-3 appx C / FineWeb practice): flag corpus
+    documents sharing 3-gram shingles with a held-out benchmark set. The
+    benchmark here is the ``n_bench`` docs with the smallest
+    ``md5(doc_id)`` — the same deterministic-sample device as ann_ivf's
+    centroid selection, so the oracle reproduces it bit-for-bit. Emits
+    (doc_id, n_shingles, n_contaminated, contaminated) for every
+    NON-benchmark doc (docs with no tokens get zeros).
+
+    Scale shape: benchmark selection is a per-batch md5 prune → bounded
+    driver reduce (n_bench rows per block, never data-scaled); the
+    benchmark shingle-hash set is broadcast once via ray.put and probed
+    with np.isin inside map_batches — no shuffle anywhere."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cands(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "md5": pa.array([], pa.string())}
+            )
+        md5s = np.array(
+            [hashlib.md5(str(int(v)).encode()).hexdigest() for v in ids], dtype=object
+        )
+        order = np.lexsort((ids, md5s))[:n_bench]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "md5": pa.array(md5s[order], pa.string()),
+            }
+        )
+
+    cand_rows = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(cands, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cand_rows) and "md5" in cand_rows.columns:
+        cand_rows = cand_rows.sort_values(["md5", "doc_id"], kind="mergesort").head(n_bench)
+        bench_ids = np.sort(cand_rows["doc_id"].to_numpy().astype(np.int64))
+    else:  # empty documents table: Ray's empty to_pandas() has no columns
+        bench_ids = np.array([], dtype=np.int64)
+
+    # fetch the benchmark docs (bounded: n_bench rows) and build the
+    # broadcast shingle-hash set
+    import pyarrow.compute as _pc
+
+    bench_rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=_pc.field("doc_id").isin(bench_ids.tolist()),
+        ).take_all()
+        if bench_ids.size
+        else []
+    )
+    bench_hashes = np.unique(
+        np.concatenate(
+            [md5_hash31(shingle_strings(r["text"])) for r in bench_rows]
+            + [np.array([], dtype=np.uint64)]
+        )
+    ).astype(np.int64)
+    bench_ref = ray.put(bench_hashes)
+    bench_id_set = set(bench_ids.tolist())
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bh = ray.get(bench_ref)
+        ids, n_sh, n_ct = [], [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            if int(did) in bench_id_set:
+                continue
+            hs = np.unique(md5_hash31(shingle_strings(txt))).astype(np.int64)
+            ids.append(int(did))
+            n_sh.append(hs.size)
+            n_ct.append(int(np.isin(hs, bh, assume_unique=True).sum()))
+        n_ct_arr = np.asarray(n_ct, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "n_shingles": pd.Series(n_sh, dtype=np.int64),
+                "n_contaminated": n_ct_arr,
+                "contaminated": (n_ct_arr > 0).astype(np.int64),
+            }
+        )
+
+    return d.map_batches(score, batch_format="pandas")
+
+
+CONTAMINATION_CHECK_SQL = rf"""
+WITH bsel AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {BENCH_DOCS}),
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS s
+  FROM w WHERE len(ws) > 0),
+hd AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % 2147483647 AS h
+  FROM sh),
+bh AS (SELECT DISTINCT h FROM hd WHERE doc_id IN (SELECT doc_id FROM bsel)),
+cnt AS (
+  SELECT hd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(bh.h) AS BIGINT) AS n_contaminated
+  FROM hd LEFT JOIN bh ON bh.h = hd.h GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(cnt.n_shingles, 0) AS n_shingles,
+       COALESCE(cnt.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(cnt.n_contaminated, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d
+LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bsel)
+"""
+
+
+# ========================================================= normalization
+
+def normalize_text(text: str) -> str:
+    """lower → collapse whitespace runs to one space → strip → NFC.
+    Mirrors the oracle's nfc_normalize(trim(regexp_replace(lower(..))));
+    lower() agrees between Python and DuckDB on the ASCII corpus (the
+    divergent locale cases — dotted I etc. — are documented, not hit)."""
+    return unicodedata.normalize("NFC", _WS_RUN_RE.sub(" ", text.lower()).strip())
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text-normalization stage every training-data pipeline
+    runs before hashing/dedup: per doc, the md5 of the normalized text
+    and its post-normalization length. Pure map_batches — embarrassingly
+    parallel; the unicode NFC pass is a per-row string-kernel floor like
+    the md5/extract stages."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        normed = [normalize_text(t) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "norm_md5": [hashlib.md5(s.encode("utf-8")).hexdigest() for s in normed],
+                "n_chars_norm": pd.Series([len(s) for s in normed], dtype=np.int64),
+            }
+        )
+
+    return d.map_batches(norm, batch_format="pandas")
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       md5(nfc_normalize(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))))
+         AS norm_md5,
+       CAST(length(nfc_normalize(trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))))
+         AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
+    "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
+    "contamination_check": (q_contamination_check, CONTAMINATION_CHECK_SQL),
+    "normalize_text": (q_normalize_text, NORMALIZE_TEXT_SQL),
+}

@@ -1,0 +1,198 @@
+"""corpus_ops semantics on tiny planted fixtures: funnel chain ordering,
+inverted-index postings cap, dup-n-gram coverage, contamination flags,
+and normalization round trips. Oracle parity is covered by the gate."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from europarl_crawler_ray.pipelines.corpus_ops import (
+    POSTINGS_K,
+    normalize_text,
+    q_contamination_check,
+    q_dup_ngram_coverage,
+    q_funnel_counts,
+    q_inverted_index,
+    q_normalize_text,
+)
+
+
+def _write_docs(path, texts: dict[int, str]):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, path / "documents.parquet")
+
+
+# ------------------------------------------------------------- funnel
+
+
+def _write_events(path, rows):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, path / "events.parquet")
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    _write_events(
+        tmp_path,
+        [
+            # user 1 completes the full funnel in order
+            (1, "2021-01-01 10:00", "signup"),
+            (1, "2021-01-01 10:01", "view"),
+            (1, "2021-01-01 10:02", "click"),
+            (1, "2021-01-01 10:03", "purchase"),
+            # user 2: view BEFORE signup only -> stops at stage 1
+            (2, "2021-01-01 09:00", "view"),
+            (2, "2021-01-01 10:00", "signup"),
+            # user 3: signup+view but click is simultaneous with view ->
+            # strict > excludes it
+            (3, "2021-01-01 10:00", "signup"),
+            (3, "2021-01-01 10:05", "view"),
+            (3, "2021-01-01 10:05", "click"),
+            # user 4 never signs up
+            (4, "2021-01-01 10:00", "purchase"),
+        ],
+    )
+    out = (
+        q_funnel_counts(str(tmp_path)).to_pandas().set_index("stage")["n_users"].to_dict()
+    )
+    assert out == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_funnel_greedy_min_not_best_chain(ray_session, tmp_path):
+    # greedy earliest-chain semantics: t2 is the MIN view after signup,
+    # even when a LATER view would enable a click; the chain then fails
+    # at click because the only click precedes that min view's successor
+    _write_events(
+        tmp_path,
+        [
+            (1, "2021-01-01 10:00", "signup"),
+            (1, "2021-01-01 10:01", "view"),
+            (1, "2021-01-01 10:00:30", "click"),  # before min view -> not counted
+        ],
+    )
+    out = (
+        q_funnel_counts(str(tmp_path)).to_pandas().set_index("stage")["n_users"].to_dict()
+    )
+    assert out == {1: 1, 2: 1}
+
+
+# ------------------------------------------------------ inverted index
+
+
+def test_inverted_index_postings(ray_session, tmp_path):
+    _write_docs(
+        tmp_path,
+        {
+            3: "apple banana",
+            1: "apple apple",
+            2: "apple cherry cherry",
+        },
+    )
+    out = q_inverted_index(str(tmp_path)).to_pandas().set_index("term")
+    assert out.loc["apple", "df"] == 3
+    assert out.loc["apple", "tf_total"] == 4
+    assert out.loc["apple", "postings"] == "1,2,3"  # doc_id ASC
+    assert out.loc["banana", "postings"] == "3"
+    assert out.loc["cherry", "tf_total"] == 2
+
+
+def test_inverted_index_postings_capped(ray_session, tmp_path):
+    _write_docs(tmp_path, {i: "word" for i in range(POSTINGS_K + 5)})
+    out = q_inverted_index(str(tmp_path)).to_pandas().set_index("term")
+    assert out.loc["word", "df"] == POSTINGS_K + 5
+    assert out.loc["word", "postings"] == ",".join(str(i) for i in range(POSTINGS_K))
+
+
+# ------------------------------------------------- dup n-gram coverage
+
+
+def test_dup_ngram_coverage(ray_session, tmp_path):
+    shared = "one two three four five"  # a single 5-gram
+    _write_docs(
+        tmp_path,
+        {
+            0: shared + " six",          # 2 positions, gram[0] shared with doc 1
+            1: shared,                    # 1 position, shared
+            2: "a b c d e f",            # 2 positions, unique
+            3: "tiny doc",               # <5 tokens -> absent
+        },
+    )
+    out = (
+        q_dup_ngram_coverage(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [0, 1, 2]
+    assert out.loc[0].tolist() == [2, 1]   # n_pos, n_dup_pos
+    assert out.loc[1].tolist() == [1, 1]
+    assert out.loc[2].tolist() == [2, 0]
+
+
+def test_dup_ngram_within_doc_repeat_not_dup(ray_session, tmp_path):
+    # the same 5-gram repeated INSIDE one doc is not a cross-doc dup
+    _write_docs(tmp_path, {0: "a b c d e a b c d e"})
+    out = q_dup_ngram_coverage(str(tmp_path)).to_pandas()
+    assert out["n_pos"].tolist() == [6]
+    assert out["n_dup_pos"].tolist() == [0]
+
+
+# ------------------------------------------------- contamination check
+
+
+def test_contamination_flags(ray_session, tmp_path):
+    # find which doc_id of 0..9 has the smallest md5 -> that doc is the
+    # benchmark (n_bench=1); a doc sharing its 3-grams must be flagged
+    ids = list(range(10))
+    bench = min(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    texts = {i: f"unique text for document number {i}" for i in ids}
+    texts[bench] = "alpha beta gamma delta"
+    clone = next(i for i in ids if i != bench)
+    texts[clone] = "alpha beta gamma epsilon"  # shares shingle 'alpha beta gamma'
+    _write_docs(tmp_path, texts)
+    out = (
+        q_contamination_check(str(tmp_path), n_bench=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bench not in out.index
+    assert out.loc[clone, "contaminated"] == 1
+    assert out.loc[clone, "n_contaminated"] == 1
+    others = out.drop(index=clone)
+    assert (others["contaminated"] == 0).all()
+
+
+# ------------------------------------------------------- normalization
+
+
+def test_normalize_text_fn():
+    assert normalize_text("  Hello\t\tWORLD \n") == "hello world"
+    # NFC: e + combining acute -> precomposed e-acute (explicit escapes)
+    assert normalize_text("cafe\u0301") == "caf\u00e9"
+    assert normalize_text("") == ""
+
+
+def test_normalize_query_md5(ray_session, tmp_path):
+    _write_docs(tmp_path, {0: "  A  b\tC "})
+    out = q_normalize_text(str(tmp_path)).to_pandas()
+    assert out["norm_md5"][0] == hashlib.md5(b"a b c").hexdigest()
+    assert out["n_chars_norm"][0] == 5
