@@ -465,7 +465,171 @@ FROM documents
 """
 
 
+# ================================================= crawl snapshot diff
+
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-crawl bookkeeping: diff two crawl snapshots by
+    content hash, emitting (doc_id, status) with status ∈ added /
+    deleted / changed / same. The two snapshots are derived
+    deterministically from the documents table (md5(doc_id) selects
+    ~10% absent from the previous crawl → 'added', ~7.7% absent from
+    the current → 'deleted', ~14% content-perturbed → 'changed') so the
+    oracle reproduces both sides exactly.
+
+    Scale shape: each snapshot is a map_batches projection to
+    (doc_id, md5) — 33-byte rows regardless of document size — tagged
+    with its side, then ONE coarse-hash exchange on doc_id aligns the
+    two sides and the status compare runs vectorized per task (reindex
+    + np.where). This is the full-outer-join shape with the narrow
+    projection pushed below the shuffle."""
+    from ..functions.dedup import md5_hash64
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = md5_hash64([str(int(i)) for i in ids])
+        cur_md5 = np.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]], dtype=object
+        )
+        prev_md5 = np.where(
+            h % np.uint64(7) == 0,
+            np.array(
+                [hashlib.md5((t + " v1").encode("utf-8")).hexdigest() for t in df["text"]],
+                dtype=object,
+            ),
+            cur_md5,
+        )
+        in_prev = h % np.uint64(10) != 0
+        in_curr = h % np.uint64(13) != 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([ids[in_prev], ids[in_curr]]),
+                "side": np.concatenate(
+                    [
+                        np.zeros(int(in_prev.sum()), dtype=np.int8),
+                        np.ones(int(in_curr.sum()), dtype=np.int8),
+                    ]
+                ),
+                "m": np.concatenate([prev_md5[in_prev], cur_md5[in_curr]]),
+            }
+        )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"])
+        p = g[g["side"] == 0].set_index("doc_id")["m"]
+        c = g[g["side"] == 1].set_index("doc_id")["m"]
+        all_ids = p.index.union(c.index)
+        pm, cm = p.reindex(all_ids), c.reindex(all_ids)
+        status = np.where(
+            pm.isna(),
+            "added",
+            np.where(cm.isna(), "deleted", np.where(pm != cm, "changed", "same")),
+        )
+        return pd.DataFrame(
+            {"doc_id": all_ids.to_numpy().astype(np.int64), "status": status}
+        )
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        _with_coarse_group(d.map_batches(sides, batch_format="pandas"), "doc_id")
+        .groupby("_g")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+SNAPSHOT_DIFF_SQL = r"""
+WITH sel AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+  FROM documents),
+prev AS (
+  SELECT doc_id,
+         CASE WHEN h % 7 = 0 THEN md5(text || ' v1') ELSE md5(text) END AS m
+  FROM sel WHERE h % 10 <> 0),
+curr AS (SELECT doc_id, md5(text) AS m FROM sel WHERE h % 13 <> 0)
+SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'added'
+            WHEN c.doc_id IS NULL THEN 'deleted'
+            WHEN p.m <> c.m THEN 'changed'
+            ELSE 'same' END AS status
+FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+"""
+
+
+# ============================================== JSONL source round trip
+
+def q_jsonl_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → sharded JSONL (one file per hash bucket, written
+    distributed with pandas to_json — the interchange format every
+    web-text dump speaks) → ``ray.data.read_json`` → content verified
+    by md5. Proves the JSONL source end to end; the oracle is the
+    documents table itself. Mirrors q_warc_roundtrip's shard layout
+    (the file is the parallelism unit)."""
+    import os
+    import shutil
+
+    shard_dir = os.path.join(
+        "/tmp",
+        "europarl_jsonl_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "_g",
+            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        g.sort_values("doc_id")[["doc_id", "text"]].to_json(
+            tmp, orient="records", lines=True, force_ascii=False
+        )
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.jsonl"))
+        return pd.DataFrame({"n": [len(g)]})
+
+    n_written = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    if not n_written:  # empty corpus: nothing to read back
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text_md5": pa.array([], pa.string()),
+                "n_chars_out": pa.array([], pa.int64()),
+            }
+        )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+                ],
+                "n_chars_out": pd.Series([len(t) for t in df["text"]], dtype=np.int64),
+            }
+        )
+
+    return ray.data.read_json(shard_dir).map_batches(check, batch_format="pandas")
+
+
+JSONL_ROUNDTRIP_SQL = r"""
+SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars_out
+FROM documents
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
     "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),

@@ -196,3 +196,43 @@ def test_normalize_query_md5(ray_session, tmp_path):
     out = q_normalize_text(str(tmp_path)).to_pandas()
     assert out["norm_md5"][0] == hashlib.md5(b"a b c").hexdigest()
     assert out["n_chars_norm"][0] == 5
+
+
+# ------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses(ray_session, tmp_path):
+    from europarl_crawler_ray.functions.dedup import md5_hash64
+    from europarl_crawler_ray.pipelines.corpus_ops import q_snapshot_diff
+
+    ids = list(range(60))
+    _write_docs(tmp_path, {i: f"content of doc {i}" for i in ids})
+    out = q_snapshot_diff(str(tmp_path)).to_pandas().set_index("doc_id")["status"]
+    h = md5_hash64([str(i) for i in ids])
+    for i in ids:
+        in_prev = int(h[i]) % 10 != 0
+        in_curr = int(h[i]) % 13 != 0
+        changed = int(h[i]) % 7 == 0
+        if not in_prev and not in_curr:
+            assert i not in out.index
+        elif not in_prev:
+            assert out[i] == "added"
+        elif not in_curr:
+            assert out[i] == "deleted"
+        else:
+            assert out[i] == ("changed" if changed else "same")
+    assert set(out.unique()) <= {"added", "deleted", "changed", "same"}
+
+
+# ----------------------------------------------------- jsonl roundtrip
+
+
+def test_jsonl_roundtrip_unicode(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.corpus_ops import q_jsonl_roundtrip
+
+    texts = {0: 'quote " backslash \\ newline \n tab \t café', 1: ""}
+    _write_docs(tmp_path, texts)
+    out = q_jsonl_roundtrip(str(tmp_path)).to_pandas().set_index("doc_id")
+    for i, t in texts.items():
+        assert out.loc[i, "text_md5"] == hashlib.md5(t.encode("utf-8")).hexdigest()
+        assert out.loc[i, "n_chars_out"] == len(t)
