@@ -185,10 +185,11 @@ def bench_cc_ingest(num_cpus: int, n_urls: int = 60_000) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict:
+    from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
 
-    SQL_QUERIES = {**SQL_QUERIES, **ML_SQL_QUERIES}
+    SQL_QUERIES = {**SQL_QUERIES, **ML_SQL_QUERIES, **CORPUS_SQL_QUERIES}
 
     out = {}
     for name, (fn, _sql) in SQL_QUERIES.items():

@@ -627,9 +627,108 @@ FROM documents
 """
 
 
+# ============================== hive-partitioned write + pruned read-back
+
+def q_hive_partition_scan(sf_dir: str):
+    """Resumable-output layout as a checked operator: documents written
+    as hive-partitioned parquet (``partition_cols=["lang"]`` — one
+    directory per language, the layout a 100-TB run needs so a restart
+    can skip finished partitions), then ONE partition directory is read
+    back — the scan never opens the other partitions' files — and
+    aggregated. Oracle: the same aggregate over ``WHERE lang = 'en'``."""
+    import os
+    import shutil
+
+    out_dir = os.path.join(
+        "/tmp",
+        "europarl_hive_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _read(sf_dir, "documents", columns=["doc_id", "lang", "source"]).write_parquet(
+        out_dir, partition_cols=["lang"]
+    )
+
+    part = os.path.join(out_dir, "lang=en")
+    if not os.path.isdir(part):  # empty corpus (or no 'en' docs)
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "sum_doc_id": pa.array([], pa.int64()),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            part_docs=("doc_id", "size"), part_sum=("doc_id", "sum")
+        )
+        return g.astype({"part_docs": np.int64, "part_sum": np.int64})
+
+    return (
+        ray.data.read_parquet(part, columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("part_docs", alias_name="n_docs"),
+            Sum("part_sum", alias_name="sum_doc_id"),
+        )
+    )
+
+
+HIVE_PARTITION_SCAN_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+# ================================== per-user running totals (ROWS window)
+
+def q_running_totals(sf_dir: str):
+    """Cumulative per-entity aggregate — the ROWS-mode window twin of
+    q_window_counts' RANGE mode: each event carries the running sum of
+    its user's value so far (scaled to integer cents via
+    floor(value*100+0.5), identical IEEE754 arithmetic in numpy and
+    DuckDB, so the oracle is exact). ONE coarse exchange on user_id;
+    the cumsum runs vectorized over every user of a task at once
+    (sort + groupby-transform cumsum)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        run = g.assign(_c=cents).groupby("user_id")["_c"].cumsum().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": g["user_id"].to_numpy().astype(np.int64),
+                "running_cents": run.astype(np.int64),
+            }
+        )
+
+    return (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
+    "hive_partition_scan": (q_hive_partition_scan, HIVE_PARTITION_SCAN_SQL),
+    "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
     "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),

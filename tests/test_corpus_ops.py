@@ -236,3 +236,68 @@ def test_jsonl_roundtrip_unicode(ray_session, tmp_path):
     for i, t in texts.items():
         assert out.loc[i, "text_md5"] == hashlib.md5(t.encode("utf-8")).hexdigest()
         assert out.loc[i, "n_chars_out"] == len(t)
+
+
+# ---------------------------------------------- hive partitioned write
+
+
+def test_hive_partition_scan(ray_session, tmp_path):
+    import os
+
+    from europarl_crawler_ray.pipelines.corpus_ops import q_hive_partition_scan
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+            "lang": pa.array(["en", "en", "de", "en"]),
+            "source": pa.array(["s1", "s2", "s1", "s1"]),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_hive_partition_scan(str(tmp_path)).to_pandas().set_index("source")
+    # de doc excluded by partition pruning; en docs aggregated per source
+    assert out.loc["s1", "n_docs"] == 2 and out.loc["s1", "sum_doc_id"] == 5
+    assert out.loc["s2", "n_docs"] == 1
+    assert "de" not in out.index
+    # the layout on disk is hive-partitioned (one dir per lang)
+    import hashlib as _hl
+
+    hive = "/tmp/europarl_hive_" + _hl.md5(
+        os.path.abspath(str(tmp_path)).encode()
+    ).hexdigest()[:10]
+    assert os.path.isdir(os.path.join(hive, "lang=en"))
+    assert os.path.isdir(os.path.join(hive, "lang=de"))
+
+
+# ------------------------------------------------------ running totals
+
+
+def test_running_totals_cumsum(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.corpus_ops import q_running_totals
+
+    rows = [
+        (1, "2021-01-01 10:00", "view", 1.25),
+        (1, "2021-01-01 10:01", "view", 2.00),
+        (1, "2021-01-01 09:00", "view", 0.50),   # earlier -> first
+        (2, "2021-01-01 10:00", "view", 10.00),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        q_running_totals(str(tmp_path)).to_pandas().set_index("event_id")["running_cents"]
+    )
+    assert out[2] == 50            # user 1, 09:00
+    assert out[0] == 50 + 125      # user 1, 10:00
+    assert out[1] == 50 + 125 + 200
+    assert out[3] == 1000          # user 2 independent
