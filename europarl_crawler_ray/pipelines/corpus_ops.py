@@ -724,7 +724,102 @@ FROM events
 """
 
 
+# =========================== stratified mixture sampling (data curation)
+
+# per-stratum keep rule: lang 'en' keeps h % 2 == 0 (50%), every other
+# stratum keeps h % 4 == 0 (25%) — the deterministic analogue of the
+# mixture-reweighting step in training-data curation
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsampling: each language stratum is
+    kept at its own rate via a hash rule on doc_id (md5 family shared
+    with the oracle — no RNG, so re-runs and retries keep the same
+    rows; the property that makes sampling safe in a resumable
+    pipeline). Pure map_batches filter — no shuffle, no state."""
+    from ..functions.dedup import md5_hash64
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = md5_hash64([str(int(i)) for i in ids])
+        is_en = (df["lang"] == "en").to_numpy()
+        keep = np.where(is_en, h % np.uint64(2) == 0, h % np.uint64(4) == 0)
+        out = df.loc[keep, ["doc_id", "lang"]].copy()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    return d.map_batches(pick, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE CASE WHEN lang = 'en' THEN hv % 2 = 0 ELSE hv % 4 = 0 END
+"""
+
+
+# ============================ per-group exact quantiles (length by lang)
+
+GROUP_QUANTILE_PCTS = [25, 50, 75, 90]
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (quantile = value at index
+    floor((N-1)·q) of the sorted stratum — the same definition as
+    q_length_quantiles, replicated per group). Per-batch (lang, value)
+    histogram combiner → a 5-group exchange of HISTOGRAM rows (bounded
+    by langs × value domain, not by row count) → vectorized
+    cumsum + searchsorted per stratum."""
+    d = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        g.columns = ["lang", "v", "c"]
+        return g.astype({"v": np.int64, "c": np.int64})
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("v", as_index=False)["c"].sum().sort_values("v")
+        cum = g["c"].to_numpy().cumsum()
+        n = int(cum[-1])
+        ks = np.floor(
+            (n - 1) * np.asarray(GROUP_QUANTILE_PCTS, dtype=np.float64) / 100.0
+        ).astype(np.int64)
+        idx = np.searchsorted(cum, ks, side="right")
+        return pd.DataFrame(
+            {
+                "pct": np.asarray(GROUP_QUANTILE_PCTS, dtype=np.int64),
+                "value": g["v"].to_numpy()[idx].astype(np.int64),
+            }
+        )
+
+    return (
+        d.map_batches(hist, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: quants(g.drop(columns=["lang"])).assign(lang=g["lang"].iloc[0]),
+            batch_format="pandas",
+        )
+    )
+
+
+GROUP_QUANTILES_SQL = f"""
+WITH rk AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+q AS (SELECT unnest([{", ".join(str(p) for p in GROUP_QUANTILE_PCTS)}]) AS pct)
+SELECT rk.lang, CAST(q.pct AS BIGINT) AS pct, CAST(rk.n_chars AS BIGINT) AS value
+FROM rk JOIN q ON rk.rn = CAST(floor((rk.n - 1) * q.pct / 100.0) AS BIGINT)
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_SQL),
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "jsonl_roundtrip": (q_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "hive_partition_scan": (q_hive_partition_scan, HIVE_PARTITION_SCAN_SQL),

@@ -574,110 +574,105 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
     cap_max = int(edges.max("n_capped") or 0)
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        u = np.unique(t.column("u").to_numpy())
+    # ---- Pregel-style single-exchange rounds (same restructure that made
+    # pagerank 2.6x faster): a node's label lives in the SAME bucket as
+    # its out-edges (bucket = u & mask), so one groupby per round both
+    # applies incoming min-proposals and emits next-round messages keyed
+    # by the neighbour's bucket. Delta propagation: only nodes whose
+    # label CHANGED this round re-send (a stable label was already
+    # delivered in an earlier round), so message volume decays with
+    # convergence. The naive two-exchange round (label+edge join, then
+    # re-key proposals by dst) was measured ~1.9x slower at bench scale.
+    mask = n_buckets - 1
+
+    def _stream(n1, n2, label, kind, changed, bucket=None) -> pa.Table:
+        n1 = np.asarray(n1, dtype=np.int64)
         return pa.table(
             {
-                "node": pa.array(u, pa.int64()),
-                "label": pa.array(u, pa.int64()),
-                "bucket": pa.array((u & (n_buckets - 1)).astype(np.int32)),
+                "n1": pa.array(n1),
+                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
+                "label": pa.array(np.asarray(label, dtype=np.int64)),
+                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
+                "changed": pa.array(np.asarray(changed, dtype=np.int8)),
+                "bucket": pa.array(
+                    (n1 & mask if bucket is None else np.asarray(bucket)).astype(
+                        np.int32
+                    )
+                ),
             }
         )
 
-    def dedup_labels(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop_duplicates("node")
-        return out[["node", "label", "bucket"]]
+    def seed(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy().astype(np.int64)
+        v = t.column("v").to_numpy().astype(np.int64)
+        return _stream(u, v, np.full(u.size, -1), np.zeros(u.size, np.int8),
+                       np.zeros(u.size, np.int8))
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(dedup_labels, batch_format="pandas")
-        .materialize()
-    )
-
-    # sentinel -1 (doc_ids are nonnegative) instead of Arrow nulls: a
-    # null int64 column realizes as float64 in pandas, which silently
-    # corrupts ids above 2^53 (review finding) — sentinels keep every
-    # column int64 end to end
-    for _ in range(max_iters):
-        # exchange 1: co-locate edges with their SOURCE node's label and
-        # emit (dst, source_label) proposals
-        def send(g: pd.DataFrame) -> pa.Table:
-            lab = g.loc[g["v"] == -1, ["u", "label"]]
-            e = g.loc[g["v"] != -1, ["u", "v"]]
-            m = e.merge(lab, on="u", how="inner")
-            v = m["v"].to_numpy().astype(np.int64)
-            return pa.table(
-                {
-                    "node": pa.array(v),
-                    "label": pa.array(m["label"].to_numpy().astype(np.int64)),
-                    "bucket": pa.array((v & (n_buckets - 1)).astype(np.int32)),
-                    "is_old": pa.array(np.zeros(len(v), dtype=np.int8)),
-                }
+    def make_step(first: bool):
+        def step(g: pd.DataFrame) -> pa.Table:
+            e = g.loc[g["kind"] == 0, ["n1", "n2"]]
+            if first:
+                nodes = np.unique(e["n1"].to_numpy().astype(np.int64))
+                new = pd.DataFrame({"node": nodes, "label": nodes})
+                changed = np.ones(len(new), dtype=np.int8)
+                senders = new
+            else:
+                old = g.loc[g["kind"] == 1, ["n1", "label"]].rename(
+                    columns={"n1": "node"}
+                )
+                props = g.loc[g["kind"] == 2, ["n1", "label"]].rename(
+                    columns={"n1": "node"}
+                )
+                new = (
+                    pd.concat([old, props])
+                    .groupby("node", as_index=False)["label"]
+                    .min()
+                )
+                m = new.merge(
+                    old.rename(columns={"label": "old"}), on="node", how="left"
+                )
+                changed = (m["label"] != m["old"]).to_numpy().astype(np.int8)
+                senders = m.loc[changed == 1, ["node", "label"]]
+            sm = e.merge(
+                senders.rename(columns={"node": "n1"}), on="n1", how="inner"
             )
+            node = new["node"].to_numpy().astype(np.int64)
+            dst = sm["n2"].to_numpy().astype(np.int64)
+            parts = [
+                _stream(  # edges stay resident in their home bucket
+                    e["n1"].to_numpy(), e["n2"].to_numpy(),
+                    np.full(len(e), -1), np.zeros(len(e), np.int8),
+                    np.zeros(len(e), np.int8),
+                ),
+                _stream(  # labels (the per-round state) + changed flag
+                    node, np.full(node.size, -1),
+                    new["label"].to_numpy(), np.ones(node.size, np.int8), changed,
+                ),
+                _stream(  # min-label proposals to neighbours
+                    dst, np.full(dst.size, -1),
+                    sm["label"].to_numpy(), np.full(dst.size, 2, np.int8),
+                    np.zeros(dst.size, np.int8),
+                ),
+            ]
+            return pa.concat_tables(parts)
 
-        def lab_prep(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "u": t.column("node"),
-                    "v": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
-                    "label": t.column("label"),
-                    "bucket": t.column("bucket"),
-                }
-            )
+        return step
 
-        def edge_prep(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "u": t.column("u"),
-                    "v": t.column("v"),
-                    "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
-                    "bucket": t.column("bucket"),
-                }
-            )
-
-        proposals = (
-            edges.map_batches(edge_prep, batch_format="pyarrow")
-            .union(labels.map_batches(lab_prep, batch_format="pyarrow"))
-            .groupby("bucket")
-            .map_groups(send, batch_format="pandas")
-        )
-
-        def old_prep(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": t.column("node"),
-                    "label": t.column("label"),
-                    "bucket": t.column("bucket"),
-                    "is_old": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                }
-            )
-
-        # exchange 2: per-node min over {old label} ∪ proposals
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            m = g.groupby("node", as_index=False)["label"].min()
-            old = g.loc[g["is_old"] == 1, ["node", "label"]].rename(
-                columns={"label": "old"}
-            )
-            m = m.merge(old, on="node", how="left")
-            m["changed"] = (m["label"] != m["old"]).astype(np.int64)
-            m["bucket"] = (m["node"].to_numpy() & (n_buckets - 1)).astype(np.int32)
-            return m[["node", "label", "bucket", "changed"]]
-
-        new_labels = (
-            proposals.union(labels.map_batches(old_prep, batch_format="pyarrow"))
-            .groupby("bucket")
-            .map_groups(take_min, batch_format="pandas")
+    stream = edges.map_batches(seed, batch_format="pyarrow")
+    converged = False
+    for i in range(max_iters):
+        stream = (
+            stream.groupby("bucket")
+            .map_groups(make_step(i == 0), batch_format="pandas")
             .materialize()
         )
-        n_changed = new_labels.sum("changed") or 0
-        # keep the changed column — every consumer builds its columns
-        # explicitly, so dropping it cost a second full materialization
-        # per round for nothing (review finding)
-        labels = new_labels
+        n_changed = stream.sum("changed") or 0
+        # round 0 reports every node as changed, so a zero here can only
+        # mean an empty graph — either way the fixed point is reached
         if n_changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         import logging
 
         # no silent wrong answers (repo contract, see _cap_bucket): an
@@ -685,25 +680,24 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
         # max_iters and the returned ids are NOT fixed-point labels
         logging.getLogger(__name__).warning(
             "dedup_clusters: label propagation did NOT converge in %d "
-            "rounds (%d labels still changing) — cluster ids are "
-            "incomplete; raise max_iters or switch to large/small-star",
+            "rounds — cluster ids are incomplete; raise max_iters or "
+            "switch to large/small-star",
             max_iters,
-            int(n_changed),
         )
 
-    return labels.map_batches(
-        lambda t: pa.table(
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(pc.equal(t.column("kind"), 1))
+        return pa.table(
             {
-                "doc_id": t.column("node"),
-                "cluster_id": t.column("label"),
+                "doc_id": lab.column("n1"),
+                "cluster_id": lab.column("label"),
                 "n_capped": pa.array(
-                    np.full(t.num_rows, cap_max, dtype=np.int64)
+                    np.full(lab.num_rows, cap_max, dtype=np.int64)
                 ),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
 
+    return stream.map_batches(extract, batch_format="pyarrow")
 
 def _dedup_clusters_sql(min_agree: int = 26) -> str:
     """Recursive-CTE reachability oracle over the same candidate pairs."""

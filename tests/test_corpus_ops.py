@@ -301,3 +301,68 @@ def test_running_totals_cumsum(ray_session, tmp_path):
     assert out[0] == 50 + 125      # user 1, 10:00
     assert out[1] == 50 + 125 + 200
     assert out[3] == 1000          # user 2 independent
+
+
+# -------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_rates(ray_session, tmp_path):
+    from europarl_crawler_ray.functions.dedup import md5_hash64
+    from europarl_crawler_ray.pipelines.corpus_ops import q_stratified_sample
+
+    n = 400
+    langs = ["en" if i % 2 == 0 else "de" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_stratified_sample(str(tmp_path)).to_pandas()
+    h = md5_hash64([str(i) for i in range(n)])
+    exp = {
+        i
+        for i in range(n)
+        if (int(h[i]) % 2 == 0 if langs[i] == "en" else int(h[i]) % 4 == 0)
+    }
+    assert set(out["doc_id"]) == exp
+    # en stratum keeps ~2x the rate of the others
+    en = (out["lang"] == "en").sum()
+    de = (out["lang"] == "de").sum()
+    assert en > de
+
+
+# ----------------------------------------------------- group quantiles
+
+
+def test_group_quantiles_exact(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.corpus_ops import q_group_quantiles
+
+    # en lengths 1..10 -> q25 idx floor(9*.25)=2 -> 3; q50 idx 4 -> 5;
+    # q75 idx 6 -> 7; q90 idx 8 -> 9. de constant 42 -> all 42.
+    lens = list(range(1, 11)) + [42] * 4
+    langs = ["en"] * 10 + ["de"] * 4
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(lens)), pa.int64()),
+            "text": pa.array(["x"] * len(lens)),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * len(lens)),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (
+        q_group_quantiles(str(tmp_path))
+        .to_pandas()
+        .set_index(["lang", "pct"])["value"]
+    )
+    assert out[("en", 25)] == 3
+    assert out[("en", 50)] == 5
+    assert out[("en", 75)] == 7
+    assert out[("en", 90)] == 9
+    assert all(out[("de", p)] == 42 for p in (25, 50, 75, 90))
