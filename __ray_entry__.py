@@ -42,10 +42,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_QUERIES, ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CORPUS_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in TRAINING_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
     return out
 
@@ -60,8 +62,10 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CORPUS_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in TRAINING_SQL_QUERIES.items()})
     return out

@@ -1,0 +1,486 @@
+"""Training-data preparation operators (round-3, second batch): bigram
+LM train+score, document chunking, deterministic train-shard shuffle,
+CDC-style upsert merge, and a CSV source round trip.
+
+These are the "make a corpus trainable" stages a 100-TB web pipeline
+runs after crawl/extract/dedup (reference has no equivalents — this is
+the training-data operator family SURVEY.md §2 extends it with):
+
+- ``bigram_lm_score`` — the classic two-phase model shape: train a
+  bounded model on the whole corpus distributed (per-batch combiner →
+  coarse exchange → top-K), broadcast it once (``ray.put``), score
+  every document vectorized per batch.
+- ``chunk_docs`` — flat-map fan-out of documents into fixed-size
+  overlapping training windows (one input row → many output rows).
+- ``train_shards`` — the deterministic global shuffle every trainer
+  needs: md5-keyed shard assignment plus a within-shard total order.
+- ``upsert_merge`` — latest-wins merge of a delta snapshot into the
+  corpus (lakehouse compaction / CDC apply) on one keyed exchange.
+- ``csv_roundtrip`` — documents → sharded CSV → ``ray.data.read_csv``,
+  content-verified by md5 (completes the source matrix: parquet, JSONL,
+  WARC, hive-partitioned, CSV).
+
+All five are SQL-oracled. Scale idioms as elsewhere in the repo:
+per-batch combiners before any exchange, coarse-hash co-location for
+data-scaled keys (pipelines/grouping.py), broadcasts only for provably
+bounded sides (the top-K model), per-row Python only at documented
+string-kernel floors (md5, slicing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.dedup import md5_hash64
+from .grouping import with_coarse_group as _with_coarse_group
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+_TOKEN_PATTERN = r"[^ \t\n\r\f]+"
+
+
+def _exploded_bigrams(df: pd.DataFrame) -> tuple[np.ndarray, pd.Series]:
+    """(doc_ids, bigrams) for every consecutive lowercase token pair in
+    the batch, fully vectorized: one explode, one shift-compare (a doc's
+    tokens are contiguous after explode, so "next row is the same doc"
+    == "this row starts a bigram")."""
+    toks = df["text"].str.lower().str.findall(_TOKEN_PATTERN).explode().dropna()
+    if toks.empty:
+        return np.empty(0, dtype=np.int64), pd.Series([], dtype=object)
+    doc = df["doc_id"].reindex(toks.index).to_numpy().astype(np.int64)
+    tok = toks.to_numpy(dtype=object)
+    same_doc = np.empty(len(doc), dtype=bool)
+    same_doc[:-1] = doc[:-1] == doc[1:]
+    same_doc[-1] = False  # last token of the batch never starts a bigram
+    left = tok[:-1][same_doc[:-1]] if len(tok) > 1 else np.empty(0, object)
+    right = tok[1:][same_doc[:-1]] if len(tok) > 1 else np.empty(0, object)
+    bigrams = pd.Series(left, dtype=object).str.cat(pd.Series(right, dtype=object), sep=" ")
+    return doc[same_doc], bigrams
+
+
+# ===================================== bigram LM: train on corpus, score corpus
+
+BIGRAM_MODEL_K = 1024
+
+
+def q_bigram_lm_score(sf_dir: str, k: int = BIGRAM_MODEL_K):
+    """Count-based bigram language model trained ON the corpus and then
+    scored OVER the corpus — the canonical two-phase quality-model shape
+    (CCNet/FineWeb train a KenLM the same way; here the model is the
+    top-``k`` bigram set, so scores stay integer-exact for the oracle).
+
+    Emits (doc_id, n_bigrams, n_hits) for every document with ≥2
+    tokens: total bigram positions and how many are covered by the
+    model. Tie-break at the K boundary is deterministic (count DESC,
+    bigram ASC) on both sides.
+
+    Scale shape: train = per-batch ``value_counts`` combiner (one row
+    per distinct bigram per block crosses the wire) → coarse-hash
+    exchange on the bigram → top-K sort of the already-aggregated
+    vocabulary; the K-row model is the ONLY driver materialization
+    (bounded by construction) and is broadcast once via ``ray.put``.
+    Score = one more pass over documents, membership tested vectorized
+    (``Series.isin``) per batch. No data-scaled shuffle in phase 2.
+    """
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, bigrams = _exploded_bigrams(df)
+        vc = bigrams.value_counts()
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series(vc.index, dtype=object),
+                "part_n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", as_index=False)["part_n"].sum()
+        return out.rename(columns={"part_n": "n"}).astype({"n": np.int64})
+
+    model_df = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "bigram")
+        .groupby("_g")
+        .map_groups(lambda g: sum_part(g.drop(columns=["_g"])), batch_format="pandas")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # bounded: exactly <=K rows by construction
+    )
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+        }
+    )
+    if model_df.empty:
+        return empty
+    model_ref = ray.put(frozenset(model_df["bigram"].tolist()))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        doc, bigrams = _exploded_bigrams(df)
+        if not len(doc):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_bigrams": pd.Series([], dtype=np.int64),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                }
+            )
+        model = ray.get(model_ref)  # plasma-local after first batch
+        hit = bigrams.isin(model).to_numpy()
+        g = pd.DataFrame({"doc_id": doc, "hit": hit.astype(np.int64)}).groupby(
+            "doc_id", as_index=False
+        )
+        out = g.agg(n_bigrams=("hit", "size"), n_hits=("hit", "sum"))
+        return out.astype({"doc_id": np.int64, "n_bigrams": np.int64, "n_hits": np.int64})
+
+    return d.map_batches(score, batch_format="pandas")
+
+
+BIGRAM_LM_SCORE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w WHERE len(ws) >= 2),
+model AS (
+  SELECT bigram FROM (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+  ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_MODEL_K})
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM bg LEFT JOIN model m USING (bigram)
+GROUP BY bg.doc_id
+"""
+
+
+# ======================================== chunking into training windows
+
+CHUNK_SIZE = 512
+CHUNK_OVERLAP = 64
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed-size overlapping character windows — the "split long
+    documents into training examples" fan-out (window ``CHUNK_SIZE``,
+    stride ``CHUNK_STEP``; the final window may be short). One input row
+    → ``(n_chars-1)//step + 1`` output rows; empty documents produce
+    none. Emits (doc_id, chunk_id, chunk_md5, chunk_len) — the md5
+    proves chunk CONTENT end to end while keeping the result narrow.
+
+    Scale shape: pure ``map_batches`` (embarrassingly parallel, no
+    exchange); the fan-out happens inside the batch with
+    ``np.repeat``/arange arithmetic, per-chunk slicing+md5 being the
+    string-kernel floor (as in normalize_text)."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy(dtype=object)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        keep = n > 0
+        texts, ids, n = texts[keep], ids[keep], n[keep]
+        n_chunks = (n - 1) // _CHUNK_STEP + 1
+        did = ids.repeat(n_chunks)
+        texts_rep = texts.repeat(n_chunks)
+        total = int(n_chunks.sum())
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        starts = k * _CHUNK_STEP
+        pieces = [t[s : s + CHUNK_SIZE] for t, s in zip(texts_rep, starts)]
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "chunk_id": k,
+                "chunk_md5": pd.Series(
+                    [hashlib.md5(c.encode("utf-8")).hexdigest() for c in pieces],
+                    dtype=object,
+                ),
+                "chunk_len": pd.Series(
+                    [len(c) for c in pieces], dtype=np.int64
+                ),
+            }
+        )
+
+    return d.map_batches(chunks, batch_format="pandas")
+
+
+CHUNK_DOCS_SQL = f"""
+WITH ks AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text)-1)//{_CHUNK_STEP} + 1)) AS k
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       md5(substr(text, CAST(k*{_CHUNK_STEP}+1 AS BIGINT), {CHUNK_SIZE})) AS chunk_md5,
+       CAST(length(substr(text, CAST(k*{_CHUNK_STEP}+1 AS BIGINT), {CHUNK_SIZE})) AS BIGINT)
+         AS chunk_len
+FROM ks
+"""
+
+
+# ============================== deterministic train-shard global shuffle
+
+N_TRAIN_SHARDS = 16
+_SHUFFLE_SALT = ":shuffle1"
+
+
+def q_train_shards(sf_dir: str, n_shards: int = N_TRAIN_SHARDS):
+    """The deterministic global shuffle a trainer consumes: every doc
+    gets a shard (uniform, md5-keyed — seeded by ``_SHUFFLE_SALT``) and
+    a total order WITHIN its shard (md5 key ASC, doc_id tie-break), so
+    any two runs produce byte-identical shard files. Emits (doc_id,
+    shard, pos_in_shard).
+
+    Scale shape: shard assignment is a pure map_batches; the
+    within-shard ordering needs each shard co-located+ordered, which is
+    exactly the trainer's own requirement — one ``groupby(shard)``
+    exchange, in-task sort. Partitioning assumption (documented, same
+    class as grouping.py's): one shard ≈ 1/n_shards of the corpus must
+    fit a task; raise ``n_shards`` with corpus size (a real 100-TB run
+    uses thousands of shards, keeping this well under block size)."""
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keys = [str(i) + _SHUFFLE_SALT for i in ids]
+        kk = pd.Series(
+            [hashlib.md5(s.encode("utf-8")).hexdigest() for s in keys], dtype=object
+        )
+        shard = (md5_hash64(keys) % np.uint64(n_shards)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "shard": shard, "kk": kk})
+
+    def order_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["kk", "doc_id"], kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "shard": g["shard"].to_numpy().astype(np.int64),
+                "pos_in_shard": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        d.map_batches(assign, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pandas")
+    )
+
+
+TRAIN_SHARDS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS kk,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}'), 1, 16))
+              AS UBIGINT) % {N_TRAIN_SHARDS} AS BIGINT) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY kk, doc_id) - 1 AS BIGINT)
+         AS pos_in_shard
+FROM k
+"""
+
+
+# ========================================= CDC / lakehouse upsert merge
+
+UPSERT_UPDATE_MOD = 7
+UPSERT_INSERT_MOD = 11
+UPSERT_INSERT_OFFSET = 10_000_000
+
+
+def q_upsert_merge(sf_dir: str):
+    """Latest-wins merge of a delta snapshot into the corpus — the
+    lakehouse compaction / CDC-apply step an incremental crawl runs to
+    keep ONE row per doc. The delta is derived deterministically from
+    the corpus so the oracle reproduces it: docs with
+    ``doc_id % {UPSERT_UPDATE_MOD} == 0`` arrive updated ('v2 ' text
+    prefix), docs with ``doc_id % {UPSERT_INSERT_MOD} == 0`` arrive as
+    fresh inserts under ``doc_id + {UPSERT_INSERT_OFFSET}`` (assumes
+    base ids < the offset — holds for every sf, asserted). Emits
+    (doc_id, version, text_md5, n_chars) of the merged corpus.
+
+    Scale shape: both sides are map_batches projections to 50-byte rows
+    (id, version, md5, len) BEFORE the exchange — the merge never moves
+    document bodies; then ONE coarse-hash exchange on doc_id and a
+    vectorized keep-max-version per task. This is the
+    ``snapshot_diff``/``dedup_keep_first`` family shape applied to
+    multi-version compaction."""
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def project_base(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        assert (ids < UPSERT_INSERT_OFFSET).all(), "insert-id space collision"
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "version": np.zeros(len(ids), dtype=np.int64),
+                "text_md5": pd.Series(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+                    dtype=object,
+                ),
+                "n_chars": pd.Series([len(t) for t in df["text"]], dtype=np.int64),
+            }
+        )
+
+    def project_delta(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        up = ids % UPSERT_UPDATE_MOD == 0
+        ins = ids % UPSERT_INSERT_MOD == 0
+        up_ids = ids[up]
+        up_texts = ["v2 " + t for t in df["text"].to_numpy(dtype=object)[up]]
+        ins_ids = ids[ins] + UPSERT_INSERT_OFFSET
+        ins_texts = list(df["text"].to_numpy(dtype=object)[ins])
+        out_ids = np.concatenate([up_ids, ins_ids])
+        out_texts = up_texts + ins_texts
+        return pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "version": np.ones(len(out_ids), dtype=np.int64),
+                "text_md5": pd.Series(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out_texts],
+                    dtype=object,
+                ),
+                "n_chars": pd.Series([len(t) for t in out_texts], dtype=np.int64),
+            }
+        )
+
+    unioned = base.map_batches(project_base, batch_format="pandas").union(
+        base.map_batches(project_delta, batch_format="pandas")
+    )
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "version"], ascending=[True, False], kind="mergesort")
+        out = g.drop_duplicates("doc_id", keep="first").reset_index(drop=True)
+        return out[["doc_id", "version", "text_md5", "n_chars"]].astype(
+            {"doc_id": np.int64, "version": np.int64, "n_chars": np.int64}
+        )
+
+    return (
+        _with_coarse_group(unioned, "doc_id")
+        .groupby("_g")
+        .map_groups(lambda g: keep_latest(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+UPSERT_MERGE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, 0 AS version, text FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'v2 ' || text FROM documents WHERE doc_id % {UPSERT_UPDATE_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {UPSERT_INSERT_OFFSET}, 1, text FROM documents
+  WHERE doc_id % {UPSERT_INSERT_MOD} = 0),
+r AS (
+  SELECT doc_id, version, text,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM u)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM r WHERE rn = 1
+"""
+
+
+# ================================================== CSV source round trip
+
+
+def q_csv_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → sharded CSV (quoted, embedded newlines allowed) →
+    ``ray.data.read_csv`` (Arrow CSV reader, ``newlines_in_values``) →
+    content verified by md5. Completes the source-format matrix
+    (parquet / JSONL / WARC / hive / CSV); the oracle is the documents
+    table itself. Mirrors q_jsonl_roundtrip's shard layout — the file
+    is the parallelism unit."""
+    import pyarrow.csv as pacsv
+
+    shard_dir = os.path.join(
+        "/tmp",
+        "europarl_csv_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "_g",
+            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        g.sort_values("doc_id")[["doc_id", "text"]].to_csv(tmp, index=False)
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.csv"))
+        return pd.DataFrame({"n": [len(g)]})
+
+    n_written = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    if not n_written:  # empty corpus: nothing to read back
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text_md5": pa.array([], pa.string()),
+                "n_chars_out": pa.array([], pa.int64()),
+            }
+        )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas to_csv writes an empty string as an EMPTY FIELD; Arrow
+        # reads that back as null — restore the round-trip identity
+        texts = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "text_md5": pd.Series(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    dtype=object,
+                ),
+                "n_chars_out": pd.Series([len(t) for t in texts], dtype=np.int64),
+            }
+        )
+
+    return ray.data.read_csv(
+        shard_dir,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"doc_id": pa.int64(), "text": pa.string()}
+        ),
+    ).map_batches(check, batch_format="pandas")
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars_out
+FROM documents
+"""
+
+
+TRAINING_SQL_QUERIES: dict[str, tuple] = {
+    "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SCORE_SQL),
+    "chunk_docs": (q_chunk_docs, CHUNK_DOCS_SQL),
+    "train_shards": (q_train_shards, TRAIN_SHARDS_SQL),
+    "upsert_merge": (q_upsert_merge, UPSERT_MERGE_SQL),
+    "csv_roundtrip": (q_csv_roundtrip, CSV_ROUNDTRIP_SQL),
+}

@@ -1,0 +1,157 @@
+"""training_ops semantics on tiny planted fixtures: chunk boundary
+math, bigram model determinism and scoring, shard assignment +
+within-shard total order, latest-wins upsert, CSV quoting round trips.
+Oracle parity is covered by the gate."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from europarl_crawler_ray.pipelines.training_ops import (
+    CHUNK_SIZE,
+    N_TRAIN_SHARDS,
+    UPSERT_INSERT_OFFSET,
+    _CHUNK_STEP,
+    q_bigram_lm_score,
+    q_chunk_docs,
+    q_csv_roundtrip,
+    q_train_shards,
+    q_upsert_merge,
+)
+
+
+def _write_docs(path, texts: dict[int, str]):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, path / "documents.parquet")
+
+
+# ------------------------------------------------------------ chunking
+
+
+def test_chunk_math_and_content(ray_session, tmp_path):
+    long = "ab" * 600  # 1200 chars -> ceil math over step
+    texts = {1: long, 2: "short", 3: ""}
+    _write_docs(tmp_path, texts)
+    df = q_chunk_docs(str(tmp_path)).to_pandas()
+    # empty doc contributes nothing
+    assert set(df["doc_id"]) == {1, 2}
+    n = len(long)
+    want_chunks = (n - 1) // _CHUNK_STEP + 1
+    d1 = df[df["doc_id"] == 1].sort_values("chunk_id")
+    assert list(d1["chunk_id"]) == list(range(want_chunks))
+    # every chunk is exactly text[k*step : k*step+size]
+    for _, r in d1.iterrows():
+        piece = long[r["chunk_id"] * _CHUNK_STEP :][:CHUNK_SIZE]
+        assert r["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+        assert r["chunk_len"] == len(piece)
+    # consecutive chunks overlap by size-step chars
+    assert d1["chunk_len"].iloc[0] == CHUNK_SIZE
+    d2 = df[df["doc_id"] == 2]
+    assert len(d2) == 1 and d2["chunk_len"].iloc[0] == 5
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def test_bigram_model_scoring(ray_session, tmp_path):
+    # 'a b' appears in 3 docs (count 3), everything else once -> with
+    # k=2 the model is {'a b'} + lexicographically-first of the ties
+    texts = {
+        1: "a b c",
+        2: "a b",
+        3: "x a b",
+        4: "zz yy",
+    }
+    _write_docs(tmp_path, texts)
+    df = (
+        q_bigram_lm_score(str(tmp_path), k=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc1 bigrams: 'a b','b c'; doc3: 'x a','a b'; doc4: 'zz yy'
+    assert df.loc[1, "n_bigrams"] == 2
+    assert df.loc[2, "n_bigrams"] == 1 and df.loc[2, "n_hits"] == 1
+    assert df.loc[4, "n_hits"] == 0
+    # tie-break: ties at count=1 are 'a b'(3) then 'b c' ASC first
+    assert df.loc[1, "n_hits"] == 2  # 'a b' + 'b c' (k=2 model)
+    assert df.loc[3, "n_hits"] == 1
+
+
+def test_bigram_case_folding_and_single_token_docs(ray_session, tmp_path):
+    _write_docs(tmp_path, {1: "Foo BAR foo bar", 2: "lonely"})
+    df = q_bigram_lm_score(str(tmp_path)).to_pandas()
+    # doc2 has <2 tokens -> absent from output (matches SQL)
+    assert set(df["doc_id"]) == {1}
+    # lowercased: bigrams are 'foo bar','bar foo','foo bar' -> all in model
+    assert df["n_bigrams"].iloc[0] == 3 and df["n_hits"].iloc[0] == 3
+
+
+# --------------------------------------------------------- train shards
+
+
+def test_train_shards_deterministic_total_order(ray_session, tmp_path):
+    texts = {i: f"doc {i}" for i in range(200)}
+    _write_docs(tmp_path, texts)
+    a = q_train_shards(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_train_shards(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # deterministic across runs
+    assert a.equals(b)
+    assert set(a.columns) == {"doc_id", "shard", "pos_in_shard"}
+    assert a["shard"].between(0, N_TRAIN_SHARDS - 1).all()
+    # within each shard: positions are exactly 0..n-1 (a total order)
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos_in_shard"]) == list(range(len(g)))
+    # the md5 key spreads docs: no shard hogs everything
+    assert a["shard"].nunique() > N_TRAIN_SHARDS // 2
+
+
+# ---------------------------------------------------------- upsert merge
+
+
+def test_upsert_latest_wins(ray_session, tmp_path):
+    texts = {7: "seven", 11: "eleven", 13: "thirteen", 77: "both"}
+    _write_docs(tmp_path, texts)
+    df = q_upsert_merge(str(tmp_path)).to_pandas().set_index("doc_id")
+    # %7 docs updated in place with the v2 prefix
+    assert df.loc[7, "version"] == 1
+    assert df.loc[7, "text_md5"] == hashlib.md5(b"v2 seven").hexdigest()
+    assert df.loc[77, "version"] == 1 and df.loc[77, "n_chars"] == len("v2 both")
+    # %11 docs insert a fresh row in the offset id space (base untouched:
+    # 11 % 7 != 0 so doc 11 itself stays version 0)
+    assert df.loc[11 + UPSERT_INSERT_OFFSET, "version"] == 1
+    assert (
+        df.loc[11 + UPSERT_INSERT_OFFSET, "text_md5"]
+        == hashlib.md5(b"eleven").hexdigest()
+    )
+    # untouched docs keep version 0
+    assert df.loc[13, "version"] == 0
+    assert df.loc[11, "version"] == 0
+    assert len(df) == 4 + 2  # 2 inserts: 11 and 77
+
+
+# ------------------------------------------------------------- CSV I/O
+
+
+def test_csv_roundtrip_hostile_content(ray_session, tmp_path):
+    texts = {
+        1: 'quote " and, comma',
+        2: "embedded\nnewline\r\nand cr",
+        3: "",
+        4: "unicode: café € \U0001f600",
+    }
+    _write_docs(tmp_path, texts)
+    df = q_csv_roundtrip(str(tmp_path)).to_pandas().set_index("doc_id")
+    for did, t in texts.items():
+        assert df.loc[did, "text_md5"] == hashlib.md5(t.encode("utf-8")).hexdigest()
+        assert df.loc[did, "n_chars_out"] == len(t)
