@@ -42,12 +42,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_QUERIES, ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CORPUS_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TRAINING_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in JOIN_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
     return out
 
@@ -62,10 +64,12 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CORPUS_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in TRAINING_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in JOIN_SQL_QUERIES.items()})
     return out
