@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_QUERIES, ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.frontier_tools import FRONTIER_SQL_QUERIES
     from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CORPUS_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TRAINING_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in JOIN_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in FRONTIER_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
     return out
 
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.frontier_tools import FRONTIER_SQL_QUERIES
     from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
@@ -72,4 +75,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CORPUS_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in TRAINING_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in JOIN_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in FRONTIER_SQL_QUERIES.items()})
     return out
