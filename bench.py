@@ -186,10 +186,20 @@ def bench_cc_ingest(num_cpus: int, n_urls: int = 60_000) -> dict:
 
 def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.frontier_tools import FRONTIER_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
+    from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
 
-    SQL_QUERIES = {**SQL_QUERIES, **ML_SQL_QUERIES, **CORPUS_SQL_QUERIES}
+    SQL_QUERIES = {
+        **SQL_QUERIES,
+        **ML_SQL_QUERIES,
+        **CORPUS_SQL_QUERIES,
+        **TRAINING_SQL_QUERIES,
+        **JOIN_SQL_QUERIES,
+        **FRONTIER_SQL_QUERIES,
+    }
 
     out = {}
     for name, (fn, _sql) in SQL_QUERIES.items():

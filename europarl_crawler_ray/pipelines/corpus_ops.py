@@ -817,7 +817,91 @@ FROM rk JOIN q ON rk.rn = CAST(floor((rk.n - 1) * q.pct / 100.0) AS BIGINT)
 """
 
 
+# ==================== exponentially time-decayed engagement (integer-exact)
+
+DECAY_HORIZON_DAYS = 30
+
+
+def q_decayed_counts(sf_dir: str):
+    """Per-user exponentially time-decayed engagement score — the
+    freshness-weighted aggregate ranking/feature pipelines maintain
+    (half-life = 1 day). Kept integer-exact on both sides: value scaled
+    to cents (floor(v*100+0.5)), the decay factor 2^-(age) applied as a
+    LEFT SHIFT of the newest-day weight — ``cents << (H-1-age)`` for
+    ``age < H`` else 0 — so the score is plain int64 arithmetic, no
+    float rounding to diverge on. Emits (user_id, decayed_cents,
+    n_recent).
+
+    Scale shape: the anchor date is a global max (scalar reduce), then
+    per-batch per-user partial sums (map-side combiner) and ONE
+    coarse-hash exchange on user_id. int64 headroom: cents ≤ ~2^16,
+    shift ≤ 2^29, so ~2^18 in-horizon events per user fit before
+    overflow — raise the granularity or split the horizon if a real
+    workload exceeds that."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    anchor = ev.max("ts")
+    if anchor is None:  # empty events table
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "decayed_cents": pa.array([], pa.int64()),
+                "n_recent": pa.array([], pa.int64()),
+            }
+        )
+    anchor_day = np.datetime64(anchor, "D")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy().astype("datetime64[D]")
+        age = (anchor_day - days).astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        in_h = age < DECAY_HORIZON_DAYS
+        shift = np.where(in_h, DECAY_HORIZON_DAYS - 1 - age, 0).astype(np.int64)
+        weighted = np.where(in_h, cents << shift, 0)
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy().astype(np.int64),
+                "w": weighted,
+                "r": in_h.astype(np.int64),
+            }
+        ).groupby("user_id", as_index=False).sum()
+        return g.astype({"w": np.int64, "r": np.int64})
+
+    def reduce_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[["w", "r"]].sum()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy().astype(np.int64),
+                "decayed_cents": out["w"].to_numpy().astype(np.int64),
+                "n_recent": out["r"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _with_coarse_group(ev.map_batches(partial, batch_format="pandas"), "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: reduce_user(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+DECAYED_COUNTS_SQL = f"""
+WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+e AS (
+  SELECT user_id,
+         date_diff('day', CAST(ts AS DATE), (SELECT anchor FROM a)) AS age,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN age < {DECAY_HORIZON_DAYS}
+                     THEN cents * (CAST(1 AS BIGINT) << ({DECAY_HORIZON_DAYS} - 1 - age))
+                     ELSE 0 END) AS BIGINT) AS decayed_cents,
+       CAST(SUM(CASE WHEN age < {DECAY_HORIZON_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recent
+FROM e GROUP BY user_id
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "decayed_counts": (q_decayed_counts, DECAYED_COUNTS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_SQL),
     "snapshot_diff": (q_snapshot_diff, SNAPSHOT_DIFF_SQL),

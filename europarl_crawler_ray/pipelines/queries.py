@@ -2191,7 +2191,83 @@ DISTINCT_TOKENS_KMV_SQL = _kmv_sql()
 
 # ------------------------------------------------------------ registries
 
+# =================== one-pass ROLLUP aggregate (multi-level subtotals)
+
+
+def q_rollup_stats(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in ONE data pass:
+    fine-level partials are combined per batch, the small-dimension
+    groupby reduces them, and the coarser levels (per-flag subtotal,
+    grand total) are DERIVED from the fine aggregate by integer
+    addition — never a second scan of the fact table. Quantities are
+    scaled to integer cents (floor(q*100+0.5)) at the fine level so
+    every rollup level is exact integer arithmetic on both sides.
+    Subtotal keys use the 'ALL' sentinel (flags are non-null here), so
+    no null-vs-NaN ambiguity crosses the gate. Emits (l_returnflag,
+    l_linestatus, n_items, sum_qty_cents).
+
+    Scale shape: the only exchange is the 9-group fine aggregate; the
+    rollup derivation runs on the DIMENSION-bounded result (≤ |flags| ×
+    |statuses| rows — a bounded driver finish, same class as ann_ivf's
+    centroid reduce)."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            cents=np.floor(df["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_p=("cents", "size"), c_p=("cents", "sum")
+        )
+        return g.astype({"n_p": np.int64, "c_p": np.int64})
+
+    fine = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n_p", alias_name="n_items"), Sum("c_p", alias_name="sum_qty_cents"))
+        .to_pandas()  # bounded: one row per (flag, status) combination
+    )
+    if fine.empty:
+        return pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "n_items": pa.array([], pa.int64()),
+                "sum_qty_cents": pa.array([], pa.int64()),
+            }
+        )
+    fine = fine.astype({"n_items": np.int64, "sum_qty_cents": np.int64})
+    per_flag = fine.groupby("l_returnflag", as_index=False)[
+        ["n_items", "sum_qty_cents"]
+    ].sum()
+    per_flag["l_linestatus"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n_items": [fine["n_items"].sum()],
+            "sum_qty_cents": [fine["sum_qty_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, per_flag, total], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "n_items", "sum_qty_cents"]].astype(
+        {"n_items": np.int64, "sum_qty_cents": np.int64}
+    )
+
+
+ROLLUP_STATS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 SQL_QUERIES: dict[str, tuple] = {
+    "rollup_stats": (q_rollup_stats, ROLLUP_STATS_SQL),
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "distinct_tokens_kmv": (q_distinct_tokens_kmv, DISTINCT_TOKENS_KMV_SQL),
