@@ -1701,8 +1701,120 @@ def q_backfill(sf_dir: str):
     )
 
 
+# ================= int8 scalar quantization of the embedding column
+
+QUANT_LEVELS = 255
+
+
+def q_vector_quantize(sf_dir: str):
+    """Per-dimension min/max scalar quantization of embeddings to int8
+    codes — the 4× memory cut an ANN index takes before serving at
+    100 TB (IVF-SQ8 style). Codes are ``floor((x-mn)/(mx-mn)*255+0.5)``
+    computed in float64 with the SAME operation order on both sides
+    (float32 inputs widen exactly; min/max are selections, not
+    arithmetic — so the oracle is bit-deterministic, the
+    running_totals/IEEE754 argument). Emits per-vector integer code
+    stats (vec_id, code_sum, code_min, code_max) proving every code.
+
+    Scale shape: pass 1 = per-batch per-dimension min/max partials (one
+    64-value row pair per block crosses the wire) reduced by a
+    DIMENSION-bounded groupby; the 64-row calibration table broadcasts
+    via ``ray.put``; pass 2 quantizes batches vectorized (one (n,64)
+    matrix op). No data-scaled shuffle anywhere."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_mm(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "dim": pd.Series([], dtype=np.int64),
+                    "mn_p": pd.Series([], dtype=np.float64),
+                    "mx_p": pd.Series([], dtype=np.float64),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d = mat.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "mn_p": mat.min(axis=0),
+                "mx_p": mat.max(axis=0),
+            }
+        )
+
+    mm = (
+        emb.map_batches(partial_mm, batch_format="pandas")
+        .groupby("dim")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "dim": g["dim"].iloc[:1].astype(np.int64),
+                    "mn": [g["mn_p"].min()],
+                    "mx": [g["mx_p"].max()],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: one row per embedding DIMENSION
+    )
+    if mm.empty:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "code_sum": pa.array([], pa.int64()),
+                "code_min": pa.array([], pa.int64()),
+                "code_max": pa.array([], pa.int64()),
+            }
+        )
+    mm = mm.sort_values("dim")
+    cal_ref = ray.put((mm["mn"].to_numpy(), mm["mx"].to_numpy()))
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = ray.get(cal_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        span = mx - mn
+        codes = np.zeros_like(mat, dtype=np.int64)
+        ok = span > 0  # degenerate dims (constant value) stay code 0
+        codes[:, ok] = np.floor(
+            (mat[:, ok] - mn[ok]) / span[ok] * QUANT_LEVELS + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+                "code_sum": codes.sum(axis=1),
+                "code_min": codes.min(axis=1),
+                "code_max": codes.max(axis=1),
+            }
+        )
+
+    return emb.map_batches(quantize, batch_format="pandas")
+
+
+VECTOR_QUANTIZE_SQL = f"""
+WITH x AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {{'d': i, 'v': CAST(embedding[i] AS DOUBLE)}})) AS s
+  FROM embeddings),
+xv AS (SELECT vec_id, s.d AS dim, s.v AS v FROM x),
+mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM xv GROUP BY dim),
+q AS (
+  SELECT vec_id,
+         CASE WHEN mx > mn
+              THEN CAST(floor((v - mn) / (mx - mn) * {QUANT_LEVELS} + 0.5) AS BIGINT)
+              ELSE 0 END AS code
+  FROM xv JOIN mm USING (dim))
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(MIN(code) AS BIGINT) AS code_min,
+       CAST(MAX(code) AS BIGINT) AS code_max
+FROM q GROUP BY vec_id
+"""
+
+
 # SQL-oracled (driver runs the DuckDB oracle side-by-side)
 ML_SQL_QUERIES: dict = {
+    "vector_quantize": (q_vector_quantize, VECTOR_QUANTIZE_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),
     "langid_predict": (q_langid, LANGID_SQL),

@@ -1233,41 +1233,46 @@ def q_quality_filter(sf_dir: str):
 
     Scale: embarrassingly parallel — a single ``map_batches`` pass, no
     shuffle; at 100 TB this runs at read bandwidth."""
-    from ..functions.textstats import bigram_stats, stopword_counts
-
     d = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
-        q = quality_stats(df["text"])
-        n_stop, n_words = stopword_counts(df["text"])
-        n_bg, top_bg = bigram_stats(df["text"])
-        n_chars = q["n_chars"].to_numpy()
-        is_en = (df["lang"] == "en").to_numpy()
-        f_short = (n_chars < QF_MIN_CHARS).astype(np.int64)
-        f_long = (n_chars > QF_MAX_CHARS).astype(np.int64)
-        f_alpha = (q["n_alpha"].to_numpy() * 100 < n_chars * QF_MIN_ALPHA_PCT).astype(np.int64)
-        f_stop = (is_en & (n_stop * 100 < n_words * QF_MIN_STOPWORD_PCT)).astype(np.int64)
-        f_bigram = (top_bg * 100 > n_bg * QF_MAX_TOP_BIGRAM_PCT).astype(np.int64)
-        keep = ((f_short | f_long | f_alpha | f_stop | f_bigram) == 0).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang": df["lang"].to_numpy(),
-                "n_chars": n_chars,
-                "n_words": n_words,
-                "n_stopwords": n_stop,
-                "n_bigrams": n_bg,
-                "top_bigram_n": top_bg,
-                "f_short": f_short,
-                "f_long": f_long,
-                "f_alpha": f_alpha,
-                "f_stopword": f_stop,
-                "f_bigram": f_bigram,
-                "keep": keep,
-            }
-        )
+        cols = quality_gate_columns(df["text"], df["lang"])
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), **cols})
 
     return d.map_batches(gate, batch_format="pandas")
+
+
+def quality_gate_columns(texts: pd.Series, langs: pd.Series) -> dict:
+    """Per-row quality signals + rule flags + the composite ``keep``
+    decision, as int64 numpy columns. Shared by q_quality_filter and the
+    composed corpus_to_shards pipeline so the two can never drift."""
+    from ..functions.textstats import bigram_stats, quality_stats, stopword_counts
+
+    q = quality_stats(texts)
+    n_stop, n_words = stopword_counts(texts)
+    n_bg, top_bg = bigram_stats(texts)
+    n_chars = q["n_chars"].to_numpy()
+    is_en = (langs == "en").to_numpy()
+    f_short = (n_chars < QF_MIN_CHARS).astype(np.int64)
+    f_long = (n_chars > QF_MAX_CHARS).astype(np.int64)
+    f_alpha = (q["n_alpha"].to_numpy() * 100 < n_chars * QF_MIN_ALPHA_PCT).astype(np.int64)
+    f_stop = (is_en & (n_stop * 100 < n_words * QF_MIN_STOPWORD_PCT)).astype(np.int64)
+    f_bigram = (top_bg * 100 > n_bg * QF_MAX_TOP_BIGRAM_PCT).astype(np.int64)
+    keep = ((f_short | f_long | f_alpha | f_stop | f_bigram) == 0).astype(np.int64)
+    return {
+        "lang": langs.to_numpy(),
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_stopwords": n_stop,
+        "n_bigrams": n_bg,
+        "top_bigram_n": top_bg,
+        "f_short": f_short,
+        "f_long": f_long,
+        "f_alpha": f_alpha,
+        "f_stopword": f_stop,
+        "f_bigram": f_bigram,
+        "keep": keep,
+    }
 
 
 def _quality_filter_sql() -> str:

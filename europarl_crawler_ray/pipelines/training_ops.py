@@ -477,7 +477,118 @@ FROM documents
 """
 
 
+# ============== the composed flagship: corpus → trainable shard stream
+
+
+def q_corpus_to_shards(sf_dir: str, n_shards: int = N_TRAIN_SHARDS, n_buckets: int = 64):
+    """The end-to-end training-data path a real team runs, as ONE
+    streaming pipeline: quality gate (Gopher/FineWeb rule flags) →
+    exact dedup keep-first → fixed-window chunking → deterministic
+    shard assignment. Emits (doc_id, chunk_id, chunk_md5, shard) — the
+    manifest of what lands in each trainer shard.
+
+    Scale shape: the quality gate and the dedup KEY computation run in
+    the same map pass (rejected docs never leave it); then ONE exchange
+    — bucketed by the full text md5, so every duplicate group co-locates
+    — where the min-doc_id winner is picked, chunk fan-out happens, and
+    each chunk gets its md5-keyed shard, all in-task. Document bodies
+    cross the wire exactly once, already quality-filtered. Dedup keys
+    are the full 128-bit md5 hex (exactly SQL's ``GROUP BY md5(text)``
+    — no 64-bit truncation to diverge on); the bucket uses its first 8
+    bytes. Composes the pieces proven individually by quality_filter,
+    dedup_keep_first, chunk_docs and train_shards; the oracle is the
+    same composition in SQL."""
+    assert n_buckets & (n_buckets - 1) == 0
+    from .queries import quality_gate_columns
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def gate_and_key(df: pd.DataFrame) -> pd.DataFrame:
+        keep = quality_gate_columns(df["text"], df["lang"])["keep"].astype(bool)
+        df = df[keep]
+        hexes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]]
+        bucket = np.array(
+            [int(h[:16], 16) & (n_buckets - 1) for h in hexes], dtype=np.int32
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "text": df["text"].to_numpy(dtype=object),
+                "h": pd.Series(hexes, dtype=object),
+                "bucket": bucket,
+            }
+        )
+
+    def dedup_chunk_shard(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.sort_values("doc_id", kind="mergesort").drop_duplicates("h", keep="first")
+        texts = w["text"].to_numpy(dtype=object)
+        ids = w["doc_id"].to_numpy().astype(np.int64)
+        n = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        nz = n > 0
+        texts, ids, n = texts[nz], ids[nz], n[nz]
+        n_chunks = (n - 1) // _CHUNK_STEP + 1
+        did = ids.repeat(n_chunks)
+        texts_rep = texts.repeat(n_chunks)
+        total = int(n_chunks.sum())
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        pieces = [t[s : s + CHUNK_SIZE] for t, s in zip(texts_rep, k * _CHUNK_STEP)]
+        shard = (
+            md5_hash64([f"{i}:{c}{_SHUFFLE_SALT}" for i, c in zip(did, k)])
+            % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "chunk_id": k,
+                "chunk_md5": pd.Series(
+                    [hashlib.md5(p.encode("utf-8")).hexdigest() for p in pieces],
+                    dtype=object,
+                ),
+                "shard": shard,
+            }
+        )
+
+    return (
+        d.map_batches(gate_and_key, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: dedup_chunk_shard(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _corpus_to_shards_sql() -> str:
+    from .queries import _quality_filter_sql
+
+    md5u = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(k AS VARCHAR) || '{_SHUFFLE_SALT}'), 1, 16)) AS UBIGINT)"
+    )
+    return f"""
+WITH qf AS ({_quality_filter_sql()}),
+kept AS (SELECT doc_id FROM qf WHERE keep = 1),
+w AS (
+  SELECT MIN(d.doc_id) AS doc_id
+  FROM documents d JOIN kept USING (doc_id)
+  GROUP BY md5(d.text)),
+c AS (
+  SELECT d.doc_id, d.text,
+         unnest(range(0, (length(d.text)-1)//{_CHUNK_STEP} + 1)) AS k
+  FROM documents d JOIN w USING (doc_id)
+  WHERE length(d.text) > 0)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       md5(substr(text, CAST(k*{_CHUNK_STEP}+1 AS BIGINT), {CHUNK_SIZE})) AS chunk_md5,
+       CAST({md5u} % {N_TRAIN_SHARDS} AS BIGINT) AS shard
+FROM c
+"""
+
+
 TRAINING_SQL_QUERIES: dict[str, tuple] = {
+    "corpus_to_shards": (q_corpus_to_shards, _corpus_to_shards_sql()),
     "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SCORE_SQL),
     "chunk_docs": (q_chunk_docs, CHUNK_DOCS_SQL),
     "train_shards": (q_train_shards, TRAIN_SHARDS_SQL),
