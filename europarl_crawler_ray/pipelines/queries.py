@@ -1210,6 +1210,154 @@ SELECT doc_id, CAST(pr AS BIGINT) AS pagerank FROM {prev}
 """
 
 
+# ===================== triangle counting (graph analytics, 3 exchanges)
+
+
+def q_triangle_count(sf_dir: str, n_buckets: int = 64):
+    """Per-node triangle participation over the undirected link_graph
+    edge set — the clustering/community signal PageRank and connected
+    components don't give. Emits (doc_id, n_tri) for every node in ≥1
+    triangle.
+
+    Distributed node-iterator shape, THREE coarse exchanges, everything
+    in-task vectorized:
+    1. candidate edges canonicalized (u<v) and bucketed by u — both
+       directions of an edge and all duplicate targets land in ONE
+       bucket, so the in-task ``drop_duplicates`` is globally correct;
+       the same task emits each node's wedges (neighbor pairs b<c via
+       ``np.triu_indices``, discovered exactly once at the triangle's
+       smallest node) keyed by b, with edges passed through keyed by u;
+    2. wedge↔edge closing join per bucket (vectorized pandas merge);
+       matched wedges are triangles — the three corner rows go out
+       keyed by node;
+    3. per-node corner count.
+    ID orientation keeps oracle parity simple; production would orient
+    wedges low-degree→high-degree to bound hub fan-out (same plan, one
+    extra degree attach), which this synthetic graph (outdeg ≤ 4)
+    doesn't need."""
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_tri": pa.array([], pa.int64())}
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand_edges(t: pa.Table) -> pa.Table:
+        us, vs = [], []
+        for did in t.column("doc_id").to_pylist():
+            for tgt in _link_targets(did, n_docs):
+                if tgt != did:
+                    us.append(min(did, tgt))
+                    vs.append(max(did, tgt))
+        u = np.asarray(us, dtype=np.int64)
+        v = np.asarray(vs, dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "bucket": pa.array((u & mask).astype(np.int32)),
+            }
+        )
+
+    def wedges_and_edges(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["u", "v"])
+        key, x1, x2, kind = (
+            [e["u"].to_numpy().astype(np.int64)],
+            [e["v"].to_numpy().astype(np.int64)],
+            [np.full(len(e), -1, dtype=np.int64)],
+            [np.zeros(len(e), dtype=np.int8)],
+        )
+        for u, nb in e.groupby("u")["v"]:
+            a = np.sort(nb.to_numpy().astype(np.int64))
+            if len(a) < 2:
+                continue
+            i, j = np.triu_indices(len(a), 1)
+            key.append(a[i])          # wedge keyed by its b endpoint
+            x1.append(np.full(len(i), u, dtype=np.int64))  # a (apex)
+            x2.append(a[j])           # c
+            kind.append(np.ones(len(i), dtype=np.int8))
+        key = np.concatenate(key)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "x1": np.concatenate(x1),
+                "x2": np.concatenate(x2),
+                "kind": np.concatenate(kind),
+                "bucket": (key & mask).astype(np.int32),
+            }
+        )
+
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.loc[g["kind"] == 0, ["key", "x1"]]
+        w = g[g["kind"] == 1]
+        m = w.merge(e, left_on=["key", "x2"], right_on=["key", "x1"], how="inner")
+        corners = np.concatenate(
+            [
+                m["x1_x"].to_numpy().astype(np.int64),  # a
+                m["key"].to_numpy().astype(np.int64),   # b
+                m["x2"].to_numpy().astype(np.int64),    # c
+            ]
+        )
+        return pd.DataFrame(
+            {"node": corners, "bucket": (corners & mask).astype(np.int32)}
+        )
+
+    def count_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["node"].value_counts()
+        return pd.DataFrame(
+            {
+                "doc_id": vc.index.to_numpy().astype(np.int64),
+                "n_tri": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        d.map_batches(cand_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: wedges_and_edges(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: close_wedges(g.drop(columns=["bucket"])), batch_format="pandas"
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: count_nodes(g.drop(columns=["bucket"])), batch_format="pandas"
+        )
+    )
+
+
+def _triangle_count_sql() -> str:
+    md5u = "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS doc_id FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corners GROUP BY doc_id
+"""
+
+
 # ================================ composite quality gate (FineWeb-style)
 
 # Integer-compare thresholds (fraction bars scaled by 100 so the DuckDB
@@ -2303,6 +2451,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "link_graph": (q_link_graph, _link_graph_sql()),
     "pagerank": (q_pagerank, _pagerank_sql()),
+    "triangle_count": (q_triangle_count, _triangle_count_sql()),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),
     "ann_topk": (q_ann_topk, ANN_TOPK_SQL),
     "user_activity": (q_user_activity, USER_ACTIVITY_SQL),
