@@ -168,8 +168,10 @@ def _frontier_paths(keys: np.ndarray) -> tuple[np.ndarray, list[str]]:
     return fam, paths
 
 
-class RobotsGate:
-    """Actor-pool stage: parse each host's robots.txt ONCE (cached in
+class RobotsGateStage:
+    """Actor-pool stage (distinct from state/politeness.RobotsGate, the
+    coordinator-side cache this shares its parser with): parse each
+    host's robots.txt ONCE (cached in
     actor state, exactly how a fetch pipeline caches per-host matchers)
     and evaluate every frontier URL against it. The parse cost is
     per-HOST (bounded by the host universe); the per-URL regex match is
@@ -235,7 +237,7 @@ def q_robots_filter(sf_dir: str):
         )
 
     return orders.map_batches(frontier, batch_format="pyarrow").map_batches(
-        RobotsGate, batch_format="pyarrow", concurrency=(1, 4)
+        RobotsGateStage, batch_format="pyarrow", concurrency=(1, 4)
     )
 
 

@@ -99,53 +99,33 @@ class TokenBucket:
 
 class RobotsGate:
     """robots.txt allow/deny per host (north-rule addition; the reference
-    has no robots handling). Parses User-agent/Disallow/Allow groups for
-    '*' with RFC 9309 pattern semantics: ``*`` matches any run, a trailing
-    ``$`` anchors the end, and the longest (most specific) pattern wins
-    with Allow breaking ties — the Google/RFC rule, which differs from
-    urllib.robotparser's file-order-first-match."""
+    has no robots handling). Parsing/matching delegates to the full
+    RFC 9309 implementation in ``functions/robots.py`` — longest-match
+    precedence with Allow winning ties, ``*``/``$`` wildcards, AND group
+    selection by user-agent specificity (an earlier in-class parser only
+    honored the ``*`` group and was superseded; one parser, one
+    behavior, shared with q_robots_filter's oracle-gated path)."""
 
-    def __init__(self):
-        # host -> [(pattern_len, allow, compiled_regex)]
-        self._rules: dict[str, list[tuple[int, bool, "re.Pattern"]]] = {}
+    def __init__(self, user_agent: str = "europarl-bot/1.0"):
+        from ..functions.robots import RobotsMatcher  # noqa: F401 (typing)
 
-    @staticmethod
-    def _compile(pattern: str):
-        import re
-
-        anchored = pattern.endswith("$")
-        body = pattern[:-1] if anchored else pattern
-        rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
-        return re.compile(rx + ("$" if anchored else ""))
+        self._ua = user_agent
+        # host -> matcher (None = no robots.txt -> allow all)
+        self._matchers: dict[str, object | None] = {}
 
     def load(self, host: str, robots_txt: str | None) -> None:
-        rules: list[tuple[int, bool, object]] = []
-        if robots_txt:
-            applies = False
-            for raw in robots_txt.splitlines():
-                line = raw.split("#", 1)[0].strip()
-                if not line or ":" not in line:
-                    continue
-                key, _, val = line.partition(":")
-                key = key.strip().lower()
-                val = val.strip()
-                if key == "user-agent":
-                    applies = val == "*"
-                elif applies and key in ("disallow", "allow") and val:
-                    rules.append((len(val), key == "allow", self._compile(val)))
-        # most-specific (longest pattern) wins; Allow outranks Disallow on
-        # equal length → sort allow-first within a length
-        rules.sort(key=lambda r: (r[0], r[1]), reverse=True)
-        self._rules[host] = rules
+        from ..functions.robots import parse_robots
+
+        self._matchers[host] = (
+            parse_robots(robots_txt, self._ua) if robots_txt else None
+        )
 
     def known(self, host: str) -> bool:
-        return host in self._rules
+        return host in self._matchers
 
     def allowed(self, host: str, path: str) -> bool:
-        for _ln, allow, rx in self._rules.get(host, ()):
-            if rx.match(path):
-                return allow
-        return True
+        m = self._matchers.get(host)
+        return True if m is None else m.allowed(path)
 
 
 @ray.remote
