@@ -19,8 +19,10 @@ the training-data operator family SURVEY.md §2 extends it with):
 - ``csv_roundtrip`` — documents → sharded CSV → ``ray.data.read_csv``,
   content-verified by md5 (completes the source matrix: parquet, JSONL,
   WARC, hive-partitioned, CSV).
+- ``sequence_pack`` — concat-and-chunk packing of the token stream
+  into fixed-length training sequences via a distributed prefix sum.
 
-All five are SQL-oracled. Scale idioms as elsewhere in the repo:
+All are SQL-oracled. Scale idioms as elsewhere in the repo:
 per-batch combiners before any exchange, coarse-hash co-location for
 data-scaled keys (pipelines/grouping.py), broadcasts only for provably
 bounded sides (the top-K model), per-row Python only at documented
@@ -477,6 +479,133 @@ FROM documents
 """
 
 
+# ===================== sequence packing (concat-and-chunk, GPT-style)
+
+SEQ_LEN = 256
+PACK_N_RANGES = 64
+
+
+def q_sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN, n_ranges: int = PACK_N_RANGES):
+    """Concat-and-chunk sequence packing — THE standard LLM-pretraining
+    batching step: lay every document's tokens end-to-end in one global
+    doc_id-ordered stream and cut it into fixed ``seq_len``-token
+    training sequences (documents may span a boundary). Emits one row
+    per (sequence × document) span: (seq_id, doc_id, tok_start_in_doc,
+    n_toks_in_seq) — the packing manifest a trainer's loader consumes.
+    Tokens are whitespace tokens (the repo-wide ``_TOKEN_PATTERN``).
+
+    Scale shape — a distributed PREFIX SUM, the textbook two-pass:
+    (1) one streaming pass computes per-doc token counts, kept as a
+    materialized narrow projection (24-byte rows; re-tokenizing the
+    corpus for pass 2 would double the string work — the projection is
+    what the object store is for, and it spills); docs are keyed into
+    ``n_ranges`` CONTIGUOUS doc_id ranges, whose per-range sums (a
+    per-batch combiner, then a ≤``n_ranges``-group aggregate) are the
+    ONLY driver materialization (bounded by construction) and become
+    broadcast prefix offsets. (2) one exchange co-locates each range;
+    in-task: sort by doc_id, local cumsum + range offset = each doc's
+    global token offset, then the span fan-out is pure integer
+    arithmetic (repeat/arange, as in chunk_docs). Partitioning
+    assumption: 1/n_ranges of the (doc_id, n_toks) pairs fits a task —
+    raise ``n_ranges`` with corpus size (rows are 24 bytes, so this
+    holds far past 10^10 docs)."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table(
+        {
+            "seq_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "tok_start_in_doc": pa.array([], pa.int64()),
+            "n_toks_in_seq": pa.array([], pa.int64()),
+        }
+    )
+    max_id = _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    if max_id is None:  # empty corpus
+        return empty
+    width = int(max_id) // n_ranges + 1  # range_id = doc_id // width, contiguous
+
+    def count_toks(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n = df["text"].str.count(_TOKEN_PATTERN).to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "n": n, "range_id": ids // width})
+
+    counts = d.map_batches(count_toks, batch_format="pandas").materialize()
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("range_id", as_index=False)["n"].sum()
+        return g.rename(columns={"n": "part_n"})
+
+    sums = (
+        counts.map_batches(range_partial, batch_format="pandas")
+        .groupby("range_id")
+        .sum("part_n")
+        .to_pandas()  # bounded: <= n_ranges + 1 rows by construction
+        .sort_values("range_id")
+    )
+    if sums.empty or int(sums["sum(part_n)"].sum()) == 0:
+        return empty
+    totals = sums["sum(part_n)"].to_numpy().astype(np.int64)
+    base = dict(
+        zip(
+            sums["range_id"].to_numpy().astype(np.int64),
+            np.cumsum(totals) - totals,
+        )
+    )
+    base_ref = ray.put(base)
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        rid = int(g["range_id"].iloc[0])
+        n = g["n"].to_numpy().astype(np.int64)
+        off = ray.get(base_ref)[rid] + np.cumsum(n) - n
+        keep = n > 0
+        ids, n, off = g["doc_id"].to_numpy().astype(np.int64)[keep], n[keep], off[keep]
+        if not len(ids):
+            return empty.to_pandas()
+        first = off // seq_len
+        cnt = (off + n - 1) // seq_len - first + 1
+        did, off_r, n_r = ids.repeat(cnt), off.repeat(cnt), n.repeat(cnt)
+        total = int(cnt.sum())
+        k = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + first.repeat(cnt)
+        )
+        start = np.maximum(k * seq_len, off_r)
+        end = np.minimum((k + 1) * seq_len, off_r + n_r)
+        return pd.DataFrame(
+            {
+                "seq_id": k,
+                "doc_id": did,
+                "tok_start_in_doc": start - off_r,
+                "n_toks_in_seq": end - start,
+            }
+        )
+
+    return counts.groupby("range_id").map_groups(pack_range, batch_format="pandas")
+
+
+SEQUENCE_PACK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+s AS (
+  SELECT doc_id, n, off,
+         unnest(range(off//{SEQ_LEN}, (off+n-1)//{SEQ_LEN} + 1)) AS k
+  FROM c WHERE n > 0)
+SELECT CAST(k AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(k*{SEQ_LEN}, off) - off AS BIGINT) AS tok_start_in_doc,
+       CAST(least((k+1)*{SEQ_LEN}, off+n) - greatest(k*{SEQ_LEN}, off) AS BIGINT)
+         AS n_toks_in_seq
+FROM s
+"""
+
+
 # ============== the composed flagship: corpus → trainable shard stream
 
 
@@ -594,4 +723,5 @@ TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "train_shards": (q_train_shards, TRAIN_SHARDS_SQL),
     "upsert_merge": (q_upsert_merge, UPSERT_MERGE_SQL),
     "csv_roundtrip": (q_csv_roundtrip, CSV_ROUNDTRIP_SQL),
+    "sequence_pack": (q_sequence_pack, SEQUENCE_PACK_SQL),
 }

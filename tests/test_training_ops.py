@@ -212,3 +212,75 @@ def test_decay_weights_and_horizon(ray_session, tmp_path):
     assert df.loc[1, "decayed_cents"] == 100 * top + 100 * (top // 2)
     assert df.loc[1, "n_recent"] == 2
     assert df.loc[2, "decayed_cents"] == 250 * top and df.loc[2, "n_recent"] == 1
+
+
+# ----------------------------------------------------- sequence packing
+
+
+def test_sequence_pack_spans(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.training_ops import q_sequence_pack
+
+    # token stream (doc_id order): doc1=3 toks, doc2=0, doc3=5, doc5=4
+    # with seq_len=4: seq0 = d1[0:3] + d3[0:1]; seq1 = d3[1:5];
+    # seq2 = d5[0:4] -- doc3 spans the 0/1 boundary
+    texts = {1: "a b c", 2: "", 3: "d e f g h", 5: "i j k l"}
+    _write_docs(tmp_path, texts)
+    df = (
+        q_sequence_pack(str(tmp_path), seq_len=4)
+        .to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (0, 1, 0, 3),
+        (0, 3, 0, 1),
+        (1, 3, 1, 4),
+        (2, 5, 0, 4),
+    ]
+    assert [tuple(r) for r in df.to_numpy()] == want
+
+
+def test_sequence_pack_invariants(ray_session, tmp_path):
+    import re
+
+    from europarl_crawler_ray.pipelines.training_ops import q_sequence_pack
+
+    rng = np.random.RandomState(7)
+    texts = {
+        i: " ".join("w%d" % rng.randint(100) for _ in range(rng.randint(0, 40)))
+        for i in range(0, 60, 2)  # gappy doc_ids
+    }
+    _write_docs(tmp_path, texts)
+    L = 16
+    df = q_sequence_pack(str(tmp_path), seq_len=L, n_ranges=4).to_pandas()
+    n_toks = {i: len(re.findall(r"[^ \t\n\r\f]+", t)) for i, t in texts.items()}
+    total = sum(n_toks.values())
+    # every token is packed exactly once
+    assert df["n_toks_in_seq"].sum() == total
+    per_doc = df.groupby("doc_id")["n_toks_in_seq"].sum().to_dict()
+    assert per_doc == {i: n for i, n in n_toks.items() if n > 0}
+    # every sequence is exactly L tokens except the last
+    per_seq = df.groupby("seq_id")["n_toks_in_seq"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == L).all() and per_seq.iloc[-1] == total - L * (len(per_seq) - 1)
+    # spans within a doc are contiguous from 0 in doc_id-ordered stream
+    for did, g in df.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["tok_start_in_doc"].iloc[0] == 0
+        assert (
+            g["tok_start_in_doc"].to_numpy()[1:]
+            == (g["tok_start_in_doc"] + g["n_toks_in_seq"]).to_numpy()[:-1]
+        ).all()
+
+
+def test_sequence_pack_empty_corpus(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.training_ops import q_sequence_pack
+
+    _write_docs(tmp_path, {})
+    out = q_sequence_pack(str(tmp_path))
+    df = out.to_pandas() if not hasattr(out, "count") else out.to_pandas()
+    assert len(df) == 0 and list(df.columns) == [
+        "seq_id",
+        "doc_id",
+        "tok_start_in_doc",
+        "n_toks_in_seq",
+    ]
