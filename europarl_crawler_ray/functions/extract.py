@@ -256,3 +256,58 @@ def extract_hrefs(html: str) -> list[str]:
     p.feed(html)
     p.close()
     return p.hrefs
+
+
+class AnchorExtractor(HTMLParser):
+    """Collect (href, anchor_text) pairs — the link-with-label walk an
+    anchor-text index needs. Same DOM semantics as ``LinkExtractor``
+    (script/style contents are CDATA, comments never surface) plus the
+    text contract: character references inside the anchor are CONVERTED
+    (``ref&#32;3`` reads back as ``ref 3``) and an ``<a>`` opening
+    inside an open anchor implicitly closes it, per the HTML spec's
+    no-nested-anchors rule."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _close_open(self):
+        if self._href is not None:
+            self.anchors.append((self._href, "".join(self._parts)))
+        self._href, self._parts = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._close_open()
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._href = value
+                    break
+
+    def handle_startendtag(self, tag, attrs):
+        # <a href=... /> opens-and-closes: an empty-text anchor
+        self.handle_starttag(tag, attrs)
+        if tag == "a":
+            self._close_open()
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._close_open()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._parts.append(data)
+
+    def close(self):
+        super().close()
+        self._close_open()
+
+
+def extract_anchors(html: str) -> list[tuple[str, str]]:
+    """All (href, text) anchor pairs in document order."""
+    p = AnchorExtractor()
+    p.feed(html)
+    p.close()
+    return p.anchors

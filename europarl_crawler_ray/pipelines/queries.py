@@ -958,7 +958,13 @@ def _render_link_page(doc_id: int, targets: list[int]) -> str:
     the decoys a regex extractor would wrongly pick up: an anchor inside
     a comment, one inside script CDATA text, and an external link (the
     parser sees it; the internal-link filter must drop it)."""
-    links = "\n".join(f'<li><a href="/doc/{t}">doc {t}</a></li>' for t in targets)
+    links = "\n".join(
+        # the anchor LABEL varies by source (ref class = doc_id % 7) and
+        # hides a character reference: a DOM text walk reads "doc T ref C",
+        # a raw-HTML regex reads the unconverted "ref&#32;C"
+        f'<li><a href="/doc/{t}">doc {t} ref&#32;{doc_id % 7}</a></li>'
+        for t in targets
+    )
     return (
         "<!DOCTYPE html>\n"
         f"<html><head><title>doc {doc_id}</title>\n"
@@ -1056,6 +1062,125 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN o ON d.doc_id = o.doc_id
 LEFT JOIN i ON d.doc_id = i.doc_id
+"""
+
+
+# ===================== anchor-text index (search-engine link labels)
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text aggregation — the classic search-index signal: for
+    every linked-to page, what do OTHER pages' links call it? Renders
+    each doc's page, walks the DOM for (href, label) anchor pairs
+    (``AnchorExtractor``: comment/script decoys excluded, character
+    references converted — a raw-regex extractor fails both), keeps
+    internal ``/doc/<id>`` targets, and aggregates per target: total
+    anchors, distinct labels, and the top label (most frequent, label
+    ASC tie-break). Emits (doc_id, n_anchors, n_distinct_texts,
+    top_text).
+
+    Scale shape: render+parse is one streaming ``map_batches`` pass
+    with a per-batch (target, label) combiner — the exchange moves one
+    row per distinct label per target per block, never the pages; then
+    a coarse-hash exchange on the target co-locates each target's label
+    histogram and the top-label pick runs vectorized in-task (sort +
+    drop_duplicates, no per-row Python)."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.extract import extract_anchors
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_anchors": pa.array([], pa.int64()),
+            "n_distinct_texts": pa.array([], pa.int64()),
+            "top_text": pa.array([], pa.string()),
+        }
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    internal = _re.compile(r"^/doc/([0-9]+)$")
+
+    def anchors_partial(t: pa.Table) -> pa.Table:
+        dsts: list[int] = []
+        texts: list[str] = []
+        for did in t.column("doc_id").to_pylist():
+            html = _render_link_page(did, _link_targets(did, n_docs))
+            for href, label in extract_anchors(html):
+                m = internal.match(href)
+                if m:
+                    dsts.append(int(m.group(1)))
+                    texts.append(label)
+        g = (
+            pd.DataFrame({"dst": np.array(dsts, dtype=np.int64), "txt": texts})
+            .groupby(["dst", "txt"], as_index=False)
+            .size()
+            .rename(columns={"size": "part_c"})
+        )
+        return pa.table(
+            {
+                "dst": pa.array(g["dst"].to_numpy().astype(np.int64), pa.int64()),
+                "txt": pa.array(g["txt"].astype(object), pa.string()),
+                "part_c": pa.array(g["part_c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def agg_target(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["dst", "txt"], as_index=False)["part_c"].sum()
+        tot = c.groupby("dst", as_index=False)["part_c"].sum().rename(
+            columns={"part_c": "n_anchors"}
+        )
+        nd = c.groupby("dst", as_index=False)["txt"].nunique().rename(
+            columns={"txt": "n_distinct_texts"}
+        )
+        top = (
+            c.sort_values(["dst", "part_c", "txt"], ascending=[True, False, True],
+                          kind="mergesort")
+            .drop_duplicates("dst", keep="first")[["dst", "txt"]]
+            .rename(columns={"txt": "top_text"})
+        )
+        out = tot.merge(nd, on="dst").merge(top, on="dst").rename(
+            columns={"dst": "doc_id"}
+        )
+        return out.astype(
+            {"doc_id": np.int64, "n_anchors": np.int64, "n_distinct_texts": np.int64}
+        )
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        _with_coarse_group(
+            d.map_batches(anchors_partial, batch_format="pyarrow"), "dst"
+        )
+        .groupby("_g")
+        .map_groups(lambda g: agg_target(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+def _anchor_texts_sql() -> str:
+    md5u = "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+a AS (
+  SELECT dst,
+         'doc ' || CAST(dst AS VARCHAR) || ' ref ' || CAST(src % 7 AS VARCHAR) AS txt
+  FROM e),
+g AS (SELECT dst, txt, COUNT(*) AS c FROM a GROUP BY dst, txt),
+t AS (
+  SELECT dst, txt, c,
+         ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, txt ASC) AS rn
+  FROM g)
+SELECT dst AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_anchors,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+       MAX(CASE WHEN rn = 1 THEN txt END) AS top_text
+FROM t GROUP BY dst
 """
 
 
@@ -2450,6 +2575,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "quality_filter": (q_quality_filter, _quality_filter_sql()),
     "link_graph": (q_link_graph, _link_graph_sql()),
+    "anchor_texts": (q_anchor_texts, _anchor_texts_sql()),
     "pagerank": (q_pagerank, _pagerank_sql()),
     "triangle_count": (q_triangle_count, _triangle_count_sql()),
     "fingerprint_docs": (q_fingerprint_docs, FINGERPRINT_DOCS_SQL),

@@ -52,3 +52,56 @@ def test_degrees_on_tiny_corpus(ray_session, tmp_path):
     assert df["out_degree"].to_dict() == out_exp
     assert df["in_degree"].to_dict() == in_exp
     assert df["out_degree"].between(1, 4).all()
+
+
+# ------------------------------------------------- anchor-text indexing
+
+
+def test_anchor_extractor_text_semantics():
+    from europarl_crawler_ray.functions.extract import extract_anchors
+
+    html = (
+        '<script>var d = \'<a href="/doc/9">decoy</a>\';</script>'
+        "<!-- <a href=\"/doc/8\">gone</a> -->"
+        '<a href="/doc/1">doc 1 ref&#32;3</a>'
+        '<a href="/doc/2">one <b>bold</b> label</a>'
+        '<a href="/doc/3">first'          # implicit close by next <a>
+        '<a href="/doc/4"/>'               # self-closing: empty text
+        '<a name="x">no href</a>'
+    )
+    assert extract_anchors(html) == [
+        ("/doc/1", "doc 1 ref 3"),   # charref converted
+        ("/doc/2", "one bold label"),
+        ("/doc/3", "first"),
+        ("/doc/4", ""),
+    ]
+
+
+def test_anchor_texts_on_tiny_corpus(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.queries import q_anchor_texts
+
+    n = 6
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    df = q_anchor_texts(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # brute force from the target formula + the label rule
+    labels: dict[int, dict[str, int]] = {}
+    for src in range(n):
+        for dst in _link_targets(src, n):
+            lab = f"doc {dst} ref {src % 7}"
+            labels.setdefault(dst, {})
+            labels[dst][lab] = labels[dst].get(lab, 0) + 1
+    assert set(df.index) == set(labels)
+    for dst, hist in labels.items():
+        assert df.loc[dst, "n_anchors"] == sum(hist.values())
+        assert df.loc[dst, "n_distinct_texts"] == len(hist)
+        best = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert df.loc[dst, "top_text"] == best
