@@ -268,6 +268,147 @@ FROM d
 """
 
 
+# =================== sitemap discovery → frontier diff (XML source)
+
+SITEMAP_N_HOSTS = 16
+SITEMAP_URLS_PER_SHARD = 100
+_SITEMAP_EPOCH = "2024-01-01"
+
+
+def _sitemap_host(g: int) -> str:
+    return f"site{g}.example"
+
+
+def _sitemap_url(doc_id: int, g: int) -> str:
+    u = f"https://{_sitemap_host(g)}/doc/{doc_id}"
+    if doc_id % 5 == 0:  # query-string urls: '&' must XML-escape/round-trip
+        u += "?ref=idx&v=2"
+    return u
+
+
+def q_sitemap_frontier(sf_dir: str):
+    """Sitemap-driven discovery — the push half of a crawl frontier:
+    every host publishes a ``sitemapindex`` of ``urlset`` shards
+    (sitemaps.org 0.9); the crawler parses the index, fans out to the
+    shards, parses each shard's (loc, lastmod) entries with the
+    from-scratch XML codec (``functions/sitemap.py`` — commented-out
+    entries skipped, ``&amp;`` in locs decoded), and keeps only urls
+    the seen-set doesn't already hold. Emits (doc_id, host, url,
+    lastmod) for every NEW url; the doc_id is parsed BACK out of the
+    loc, so the oracle match proves the XML round trip end to end.
+
+    Scale shape: hosts → shards is a tiny fan-out dataset (one row per
+    urlset shard — at 100 TB that's millions of rows of metadata, not
+    data); each shard is fetched+parsed independently inside
+    ``map_batches`` (the file is the parallelism unit, as in WARC/CSV
+    reading), and the seen filter here is a pure hash predicate
+    (deterministic membership — a real run uses the sharded Bloom
+    actors of ``state/seen.py``, exercised by the crawl pipelines). No
+    exchange at all; discovery is embarrassingly parallel."""
+    import datetime as _dt
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.dedup import md5_hash64
+    from ..functions.sitemap import parse_sitemap, render_sitemap_index, render_urlset
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "host": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "lastmod": pa.array([], pa.string()),
+        }
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+    epoch = _dt.date.fromisoformat(_SITEMAP_EPOCH)
+    G, K = SITEMAP_N_HOSTS, SITEMAP_URLS_PER_SHARD
+    loc_re = _re.compile(r"^https://(site\d+\.example)/doc/(\d+)(?:\?.*)?$")
+
+    def _host_docs(g: int) -> range:
+        return range(g, n_docs, G)
+
+    def _serve(url: str) -> str:
+        """The synthetic sitemap server: index or shard by url shape."""
+        m = _re.match(r"^https://site(\d+)\.example/sitemap(?:_(\d+))?\.xml$", url)
+        g, shard = int(m.group(1)), m.group(2)
+        ids = list(_host_docs(g))
+        if shard is None:
+            n_shards = max(1, -(-len(ids) // K))
+            return render_sitemap_index(
+                [f"https://{_sitemap_host(g)}/sitemap_{s}.xml" for s in range(n_shards)]
+            )
+        s = int(shard)
+        return render_urlset(
+            [
+                (
+                    _sitemap_url(i, g),
+                    (epoch + _dt.timedelta(days=i % 365)).isoformat(),
+                )
+                for i in ids[s * K : (s + 1) * K]
+            ]
+        )
+
+    def expand_index(df: pd.DataFrame) -> pd.DataFrame:
+        shard_urls = []
+        for g in df["g"].to_numpy():
+            root, entries = parse_sitemap(_serve(f"https://site{g}.example/sitemap.xml"))
+            assert root == "sitemapindex"
+            shard_urls.extend(loc for loc, _mod in entries)
+        return pd.DataFrame({"sitemap_url": pd.Series(shard_urls, dtype=object)})
+
+    def parse_shards(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hosts, urls, mods = [], [], [], []
+        for su in df["sitemap_url"]:
+            root, entries = parse_sitemap(_serve(su))
+            assert root == "urlset"
+            for loc, mod in entries:
+                m = loc_re.match(loc)
+                ids.append(int(m.group(2)))
+                hosts.append(m.group(1))
+                urls.append(loc)
+                mods.append(mod)
+        out = pd.DataFrame(
+            {
+                "doc_id": np.array(ids, dtype=np.int64),
+                "host": pd.Series(hosts, dtype=object),
+                "url": pd.Series(urls, dtype=object),
+                "lastmod": pd.Series(mods, dtype=object),
+            }
+        )
+        if out.empty:
+            return out
+        seen = md5_hash64([f"seen:{i}" for i in out["doc_id"]]) % np.uint64(3) == 0
+        return out[~seen].reset_index(drop=True)
+
+    hosts_ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(range(G), pa.int64())})
+    )
+    return hosts_ds.map_batches(expand_index, batch_format="pandas").map_batches(
+        parse_shards, batch_format="pandas"
+    )
+
+
+SITEMAP_FRONTIER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {SITEMAP_N_HOSTS} AS g FROM documents
+  WHERE CAST(concat('0x', substr(md5('seen:' || CAST(doc_id AS VARCHAR)), 1, 16))
+        AS UBIGINT) % 3 <> 0)
+SELECT doc_id,
+       'site' || CAST(g AS VARCHAR) || '.example' AS host,
+       'https://site' || CAST(g AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '?ref=idx&v=2' ELSE '' END AS url,
+       strftime(DATE '{_SITEMAP_EPOCH}' + CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d')
+         AS lastmod
+FROM d
+"""
+
+
 FRONTIER_SQL_QUERIES: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, ROBOTS_FILTER_SQL),
+    "sitemap_frontier": (q_sitemap_frontier, SITEMAP_FRONTIER_SQL),
 }
