@@ -191,6 +191,7 @@ def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.sketch_ops import SKETCH_SQL_QUERIES
 
     SQL_QUERIES = {
         **SQL_QUERIES,
@@ -199,6 +200,7 @@ def bench_queries(sf_dir: str) -> dict:
         **TRAINING_SQL_QUERIES,
         **JOIN_SQL_QUERIES,
         **FRONTIER_SQL_QUERIES,
+        **SKETCH_SQL_QUERIES,
     }
 
     out = {}
