@@ -408,7 +408,181 @@ FROM d
 """
 
 
+# ================= URL canonicalization as a frontier-dedup operator
+
+URLC_N_HOSTS = 16
+
+
+def q_url_canonicalize(sf_dir: str):
+    """Exercises the real RFC-3986 canonicalizer
+    (``functions/canonical.canonicalize_url``) as a frontier operator:
+    each doc contributes a deterministically MESSY url variant — family
+    = md5 % 6: already-canonical / SHOUTED scheme+host with a default
+    port / trailing fragment / swapped query order / percent-encoded
+    unreserved path chars / embedded tab + surrounding whitespace — and
+    the operator must collapse every family to the identical canonical
+    form. Emits (doc_id, fam, url_canonical); the oracle string-builds
+    the canonical DIRECTLY (it never sees the messy variant), so any
+    canonicalizer regression on these classes fails the gate.
+
+    Scale shape: pure ``map_batches`` (no exchange); per-url parsing is
+    the string-kernel floor, same class as md5/html/pdf."""
+    from ..functions.canonical import canonicalize_url
+    from ..functions.dedup import md5_hash64
+
+    d = _read_documents_ids(sf_dir)
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        fam = (
+            md5_hash64([f"urlv:{i}" for i in ids]) % np.uint64(6)
+        ).astype(np.int64)
+        urls = []
+        for i, f in zip(ids, fam):
+            g = i % URLC_N_HOSTS
+            base = f"https://site{g}.example/path/{i}?a=1&b=2"
+            if f == 0:
+                u = base
+            elif f == 1:
+                u = f"HTTPS://SITE{g}.EXAMPLE:443/path/{i}?a=1&b=2"
+            elif f == 2:
+                u = base + f"#frag{i}"
+            elif f == 3:
+                u = f"https://site{g}.example/path/{i}?b=2&a=1"
+            elif f == 4:
+                u = f"https://site{g}.example/pa%74h/{i}?a=1&b=2"
+            else:
+                u = f"  https://site{g}.example/pa\tth/{i}?a=1&b=2 "
+            urls.append(u)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "fam": fam,
+                "url_canonical": pd.Series(
+                    [canonicalize_url(u) for u in urls], dtype=object
+                ),
+            }
+        )
+
+    return d.map_batches(variants, batch_format="pandas")
+
+
+def _read_documents_ids(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+URL_CANONICALIZE_SQL = f"""
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(md5('urlv:' || CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 6 AS BIGINT) AS fam,
+       'https://site' || CAST(doc_id % {URLC_N_HOSTS} AS VARCHAR)
+         || '.example/path/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url_canonical
+FROM documents
+"""
+
+
+# ============ conditional-revalidation planning (RFC 9111 semantics)
+
+REVAL_ANCHOR = "2002-01-01"   # fixed 'now' past the synthetic date domain (1995-2001)
+REVAL_HEADER_BYTES = 500
+
+
+def q_revalidate_plan(sf_dir: str):
+    """Recrawl planning under HTTP caching semantics (RFC 9111): each
+    order row is a cached fetch (o_orderdate = stored-at); its cache
+    metadata is md5-derived — bit 0: has an ETag, bit 1: has
+    Last-Modified, bits 2..: Cache-Control max-age (0–29 days) — and
+    the effective cache age is ``age_days % 60`` (synthetic aging so
+    every branch of the table is populated across the date domain). Decision: within max-age → ``fresh`` (serve from cache);
+    else conditional GET on the ETag, else on Last-Modified, else an
+    unconditional ``refetch``. ``est_bytes`` prices the plan: 0 for
+    fresh, headers-only for a 304, headers+body when changed (md5 bit
+    says the revalidation comes back 200) or refetched.
+
+    Scale shape: a pure vectorized ``map_batches`` decision table over
+    pruned columns — the same shape as ``robots_filter``; planning a
+    10^10-url recrawl is embarrassingly parallel."""
+    from ..functions.dedup import md5_hash64
+
+    d = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    anchor = pd.Timestamp(REVAL_ANCHOR)
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].to_numpy().astype(np.int64)
+        h = md5_hash64([f"hdr:{k}" for k in keys])
+        has_etag = (h % np.uint64(2)).astype(bool)
+        has_lastmod = ((h >> np.uint64(1)) % np.uint64(2)).astype(bool)
+        max_age = ((h >> np.uint64(2)) % np.uint64(30)).astype(np.int64)
+        changed = ((h >> np.uint64(7)) % np.uint64(4)) == 0
+        age = (anchor - df["o_orderdate"].dt.normalize()).dt.days.to_numpy().astype(
+            np.int64
+        )
+        cache_age = age % 60
+        fresh = cache_age <= max_age
+        decision = np.where(
+            fresh,
+            "fresh",
+            np.where(
+                has_etag,
+                "revalidate_etag",
+                np.where(has_lastmod, "revalidate_lastmod", "refetch"),
+            ),
+        )
+        body = keys % 50_000 + REVAL_HEADER_BYTES
+        est = np.where(
+            fresh,
+            0,
+            np.where(
+                has_etag | has_lastmod,
+                np.where(changed, body, REVAL_HEADER_BYTES),
+                body,
+            ),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": keys,
+                "cache_age": cache_age,
+                "decision": pd.Series(decision, dtype=object),
+                "est_bytes": est,
+            }
+        )
+
+    return d.map_batches(plan, batch_format="pandas")
+
+
+REVALIDATE_PLAN_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(concat('0x', substr(md5('hdr:' || CAST(o_orderkey AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM orders),
+m AS (
+  SELECT o_orderkey,
+         hv % 2 = 1 AS has_etag,
+         (hv >> 1) % 2 = 1 AS has_lastmod,
+         CAST((hv >> 2) % 30 AS BIGINT) AS max_age,
+         (hv >> 7) % 4 = 0 AS changed,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{REVAL_ANCHOR}') % 60
+              AS BIGINT) AS cache_age,
+         o_orderkey % 50000 + {REVAL_HEADER_BYTES} AS body
+  FROM h)
+SELECT o_orderkey, cache_age,
+       CASE WHEN cache_age <= max_age THEN 'fresh'
+            WHEN has_etag THEN 'revalidate_etag'
+            WHEN has_lastmod THEN 'revalidate_lastmod'
+            ELSE 'refetch' END AS decision,
+       CAST(CASE WHEN cache_age <= max_age THEN 0
+                 WHEN (has_etag OR has_lastmod) AND NOT changed THEN {REVAL_HEADER_BYTES}
+                 ELSE body END AS BIGINT) AS est_bytes
+FROM m
+"""
+
+
 FRONTIER_SQL_QUERIES: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, ROBOTS_FILTER_SQL),
     "sitemap_frontier": (q_sitemap_frontier, SITEMAP_FRONTIER_SQL),
+    "url_canonicalize": (q_url_canonicalize, URL_CANONICALIZE_SQL),
+    "revalidate_plan": (q_revalidate_plan, REVALIDATE_PLAN_SQL),
 }

@@ -109,3 +109,87 @@ def test_real_time_politeness_paces_requests(ray_session):
     elapsed = time.perf_counter() - t0
     assert out.num_rows == n
     assert elapsed >= 0.3, elapsed  # ~n * 0.05s of token accrual
+
+
+# --------------------------------------- url_canonicalize + revalidate
+
+
+def test_url_canonicalize_collapses_all_families(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.frontier_tools import (
+        URLC_N_HOSTS,
+        q_url_canonicalize,
+    )
+
+    n = 24
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = q_url_canonicalize(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # whatever the messy family, the canonical form is the clean url
+    for i in range(n):
+        g = i % URLC_N_HOSTS
+        assert df.loc[i, "url_canonical"] == f"https://site{g}.example/path/{i}?a=1&b=2"
+    assert df["fam"].between(0, 5).all()
+
+
+def test_revalidate_plan_decision_table(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.functions.dedup import md5_hash64
+    from europarl_crawler_ray.pipelines.frontier_tools import (
+        REVAL_HEADER_BYTES,
+        q_revalidate_plan,
+    )
+
+    dates = pd.to_datetime(
+        ["2001-12-31", "2001-12-02", "1999-06-15", "1995-01-01"]
+    )
+    keys = [3, 50007, 12, 999]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array([1] * 4, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([1.0] * 4),
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    df = q_revalidate_plan(str(tmp_path)).to_pandas().set_index("o_orderkey")
+    anchor = pd.Timestamp("2002-01-01")
+    for k, d in zip(keys, dates):
+        h = int(md5_hash64([f"hdr:{k}"])[0])
+        has_etag, has_lastmod = h % 2 == 1, (h >> 1) % 2 == 1
+        max_age, changed = (h >> 2) % 30, (h >> 7) % 4 == 0
+        cache_age = (anchor - d).days % 60
+        row = df.loc[k]
+        assert row["cache_age"] == cache_age
+        if cache_age <= max_age:
+            assert row["decision"] == "fresh" and row["est_bytes"] == 0
+        elif has_etag or has_lastmod:
+            assert row["decision"] == (
+                "revalidate_etag" if has_etag else "revalidate_lastmod"
+            )
+            want = (k % 50000 + REVAL_HEADER_BYTES) if changed else REVAL_HEADER_BYTES
+            assert row["est_bytes"] == want
+        else:
+            assert row["decision"] == "refetch"
+            assert row["est_bytes"] == k % 50000 + REVAL_HEADER_BYTES
