@@ -1526,6 +1526,72 @@ FROM p JOIN agg USING (doc_id)
 """
 
 
+def q_multimodal_video(sf_dir: str):
+    """Video leg of the multimodal triple: attach a REAL AVI file per
+    doc (from-scratch RIFF/DIB container writer,
+    ``functions/videocodec.py`` — idx1-indexed, structure-checked on
+    read), decode it back through the actor-pool ``DecodeVideoMeta``
+    stage, and emit container metadata plus FRAME-SAMPLED pixel stats
+    (every 2nd frame — the decode-every-Nth-frame policy a real feature
+    extractor uses). The recipe is md5-derived, so the oracle recomputes
+    what the stage encoded into bytes and decoded back out of the
+    frames — any wrong pixel, frame order mix-up, or sampling slip
+    breaks a sum."""
+    from ..stages.multimodal import DecodeVideoMeta, make_fake_video
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return t.append_column(
+            "video", pa.array([make_fake_video(str(i)) for i in ids], pa.binary())
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow").map_batches(
+        DecodeVideoMeta,
+        batch_format="pyarrow",
+        batch_size=64,  # multi-frame blobs: wide rows, small batches
+        concurrency=(2, 8),  # autoscaling pool (fixed pools starve small sessions)
+        num_cpus=1,
+    )
+
+
+# Frame k of a key's video is a solid fill with channels
+# (base + 13k) mod 256 (stages/multimodal.py fake_video_params), so the
+# oracle unnests range(n_frames) and recomputes the exact per-frame and
+# sampled pixel sums the decoder extracted from the real AVI bytes.
+MULTIMODAL_VIDEO_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    CAST(8 + {_md5u("'vidw:42:' || CAST(doc_id AS VARCHAR)")} % 24 AS BIGINT) AS w,
+    CAST(8 + {_md5u("'vidh:42:' || CAST(doc_id AS VARCHAR)")} % 24 AS BIGINT) AS h,
+    CAST(2 + {_md5u("'vidn:42:' || CAST(doc_id AS VARCHAR)")} % 6 AS BIGINT) AS nf,
+    CAST(1000 * (10 + {_md5u("'vidu:42:' || CAST(doc_id AS VARCHAR)")} % 90) AS BIGINT) AS usf,
+    CAST({_md5u("'vidc:42:' || CAST(doc_id AS VARCHAR)")} % 256 AS BIGINT) AS cr,
+    CAST(({_md5u("'vidc:42:' || CAST(doc_id AS VARCHAR)")} >> 8) % 256 AS BIGINT) AS cg,
+    CAST(({_md5u("'vidc:42:' || CAST(doc_id AS VARCHAR)")} >> 16) % 256 AS BIGINT) AS cb
+  FROM documents),
+f AS (SELECT p.*, unnest(range(0, nf)) AS k FROM p),
+g AS (
+  SELECT doc_id, k,
+         ((cr + 13*k) % 256 + (cg + 13*k) % 256 + (cb + 13*k) % 256) * w * h AS fsum
+  FROM f),
+agg AS (
+  SELECT doc_id,
+         SUM(fsum) AS pixel_sum_all,
+         SUM(CASE WHEN k % 2 = 0 THEN fsum ELSE 0 END) AS pixel_sum_sampled,
+         SUM(CASE WHEN k = 0 THEN fsum ELSE 0 END) AS frame0_sum
+  FROM g GROUP BY doc_id)
+SELECT p.doc_id,
+  w AS width, h AS height, nf AS n_frames,
+  nf * usf // 1000 AS duration_ms,
+  CAST(pixel_sum_all AS BIGINT) AS pixel_sum_all,
+  CAST(pixel_sum_sampled AS BIGINT) AS pixel_sum_sampled,
+  CAST(frame0_sum AS BIGINT) AS frame0_sum
+FROM p JOIN agg USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- crawl sim
 
 
@@ -1821,6 +1887,7 @@ ML_SQL_QUERIES: dict = {
     "cosine_nn": (q_cosine_nn, COSINE_NN_SQL),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_audio": (q_multimodal_audio, MULTIMODAL_AUDIO_SQL),
+    "multimodal_video": (q_multimodal_video, MULTIMODAL_VIDEO_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "dedup_ngram": (q_dedup_ngram, DEDUP_NGRAM_SQL),

@@ -9,9 +9,14 @@ header field and the fill color derive from md5 of the row key, the
 ``multimodal_meta`` DuckDB oracle recomputes what the stage ENCODED into
 bytes and DECODED back out — an end-to-end check through both codecs.
 
+Audio (RIFF/WAVE, ``functions/audiocodec.py``) and video (RIFF/AVI
+with DIB frames, ``functions/videocodec.py``) follow the same design:
+real from-scratch codecs, md5-derived recipes, actor-pool decode
+stages, integer sample/pixel stats the oracle recomputes end to end.
+
 Ray shape: binary columns through ``map_batches``, callable-class stage
 with per-actor init, small batch sizes for wide rows. Swapping the
-codecs for PIL/libvips touches only ``_decoders`` below.
+codecs for PIL/libvips/PyAV touches only the decode dispatch below.
 
 Legacy "FIMG" blobs (4-byte magic + header, round-1/2 format) still
 decode header-only, so datasets written by earlier runs stay readable.
@@ -188,6 +193,95 @@ def make_fake_audio(key: str, seed: int = 42) -> bytes:
     samples = v.reshape(p["n_frames"], p["channels"])
     info = b"synthetic clip" if _md5_64(f"audi:{seed}:{key}") % 3 == 0 else None
     return wav_encode(samples, p["sample_rate"], bits=p["bits"], info=info)
+
+
+# --------------------------------------------------------------- video
+
+
+def fake_video_params(key: str, seed: int = 42) -> dict:
+    """The md5-derived recipe for a key's video clip (shared by the
+    encoder and the SQL oracle): dimensions, frame count, frame period,
+    and the base color; frame ``k`` is a solid fill whose channels
+    advance as ``(base_channel + 13*k) mod 256`` — so per-frame pixel
+    sums are closed-form integers."""
+    c = _md5_64(f"vidc:{seed}:{key}")
+    return {
+        "width": 8 + _md5_64(f"vidw:{seed}:{key}") % 24,
+        "height": 8 + _md5_64(f"vidh:{seed}:{key}") % 24,
+        "n_frames": 2 + _md5_64(f"vidn:{seed}:{key}") % 6,
+        "us_per_frame": 1000 * (10 + _md5_64(f"vidu:{seed}:{key}") % 90),
+        "r": c % 256,
+        "g": (c >> 8) % 256,
+        "b": (c >> 16) % 256,
+    }
+
+
+def make_fake_video(key: str, seed: int = 42) -> bytes:
+    """Deterministic REAL AVI file for a key (from-scratch RIFF/DIB
+    container, ``functions/videocodec.py``)."""
+    from ..functions.videocodec import avi_encode
+
+    p = fake_video_params(key, seed)
+    frames = []
+    for k in range(p["n_frames"]):
+        px = np.empty((p["height"], p["width"], 3), dtype=np.uint8)
+        px[:, :, 0] = (p["r"] + 13 * k) % 256
+        px[:, :, 1] = (p["g"] + 13 * k) % 256
+        px[:, :, 2] = (p["b"] + 13 * k) % 256
+        frames.append(px)
+    return avi_encode(frames, us_per_frame=p["us_per_frame"])
+
+
+class DecodeVideoMeta:
+    """Actor-pool stage: binary AVI column → container metadata +
+    frame-sampled pixel stats. Same shape as the image/audio stages;
+    ``sample_stride`` is the frame-sampling policy (a real feature
+    extractor decodes every Nth frame, not all of them — here both the
+    full and the sampled sums are emitted so the oracle checks the
+    sampling arithmetic too).
+
+    Output per row: ``width``/``height``/``n_frames``/``duration_ms``
+    plus ``pixel_sum_all`` (every frame), ``pixel_sum_sampled`` (frames
+    ``0, stride, 2*stride, …``) and ``frame0_sum``. Undecodable blobs
+    yield nulls."""
+
+    def __init__(self, binary_col: str = "video", sample_stride: int = 2):
+        from ..functions.videocodec import AviError, avi_decode
+
+        self.binary_col = binary_col
+        self.sample_stride = sample_stride
+        self._decode_fn = avi_decode
+        self._err = AviError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.binary_col)
+        names = (
+            "width", "height", "n_frames", "duration_ms",
+            "pixel_sum_all", "pixel_sum_sampled", "frame0_sum",
+        )
+        cols = {name: [] for name in names}
+        for i in range(len(blobs)):
+            blob = blobs[i].as_py()
+            try:
+                d = self._decode_fn(bytes(blob)) if blob else None
+            except (self._err, struct.error):
+                d = None  # malformed input -> null row, never a task failure
+            if d is None:
+                for name in names:
+                    cols[name].append(None)
+                continue
+            sums = [int(f.sum(dtype=np.int64)) for f in d["frames"]]
+            cols["width"].append(d["width"])
+            cols["height"].append(d["height"])
+            cols["n_frames"].append(d["n_frames"])
+            cols["duration_ms"].append(d["n_frames"] * d["us_per_frame"] // 1000)
+            cols["pixel_sum_all"].append(sum(sums))
+            cols["pixel_sum_sampled"].append(sum(sums[:: self.sample_stride]))
+            cols["frame0_sum"].append(sums[0] if sums else None)
+        out = batch.drop_columns([self.binary_col])
+        for name, vals in cols.items():
+            out = out.append_column(name, pa.array(vals, pa.int64()))
+        return out
 
 
 class DecodeAudioMeta:
