@@ -900,7 +900,80 @@ FROM e GROUP BY user_id
 """
 
 
+# ===================== weekly cohort retention (analytics over events)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """The retention matrix every product-analytics stack computes: users
+    are cohorted by the epoch-week of their FIRST event; each cell
+    (cohort_week, age_weeks) counts the cohort's users active again
+    ``age_weeks`` later. Emits (cohort_week, age_weeks, n_users);
+    age 0 is the cohort size.
+
+    Scale shape: per-batch distinct-(user, week) combiner (collapses a
+    user's many events per week before anything moves) → ONE coarse-hash
+    exchange on user_id (each user's weeks co-locate; per-user min is
+    the cohort) → per-task cell counts → a bounded groupby over
+    (cohort, age) cells (weeks², not data-scaled)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    epoch = pd.Timestamp("1970-01-01")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        week = ((df["ts"].dt.normalize() - epoch).dt.days // 7).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy().astype(np.int64), "week": week}
+        ).drop_duplicates()
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # cross-batch duplicates of (user, week)
+        cohort = g.groupby("user_id")["week"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_week": cohort.to_numpy(),
+                    "age_weeks": (g["week"] - cohort).to_numpy(),
+                }
+            )
+            .groupby(["cohort_week", "age_weeks"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users_part"})
+        )
+        return out.astype(np.int64)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": df["cohort_week"].to_numpy().astype(np.int64),
+                "age_weeks": df["age_weeks"].to_numpy().astype(np.int64),
+                "n_users": df["sum(n_users_part)"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _with_coarse_group(ev.map_batches(proj, batch_format="pandas"), "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: cells(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby(["cohort_week", "age_weeks"])
+        .sum("n_users_part")
+        .map_batches(rename, batch_format="pandas")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events),
+c AS (SELECT user_id, week, MIN(week) OVER (PARTITION BY user_id) AS cohort FROM uw)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(week - cohort AS BIGINT) AS age_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cohort, week - cohort
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "decayed_counts": (q_decayed_counts, DECAYED_COUNTS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_SQL),

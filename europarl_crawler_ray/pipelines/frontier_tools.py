@@ -580,9 +580,80 @@ FROM m
 """
 
 
+# ============== adaptive recrawl intervals (Cho & Garcia-Molina style)
+
+RECRAWL_VISITS = 8
+RECRAWL_INIT_DAYS = 16
+RECRAWL_MIN_DAYS = 1
+RECRAWL_MAX_DAYS = 64
+
+
+def q_recrawl_intervals(sf_dir: str):
+    """Adaptive revisit scheduling — the multiplicative
+    increase/decrease policy incremental crawlers run (Cho &
+    Garcia-Molina 2003's uniform-vs-proportional insight, in its
+    practical AIMD form): start at {RECRAWL_INIT_DAYS} days; after each
+    visit, HALVE the interval if the page changed (floor
+    {RECRAWL_MIN_DAYS}), DOUBLE if it didn't (cap {RECRAWL_MAX_DAYS}).
+    Each doc's change history over {RECRAWL_VISITS} visits is bits
+    1..{RECRAWL_VISITS} of its md5. Emits (doc_id, n_changes,
+    interval_days) — the schedule a frontier prioritizer consumes.
+
+    Scale shape: a pure vectorized ``map_batches`` fold (the visit loop
+    is over a CONSTANT {RECRAWL_VISITS}, not the data — 8 numpy passes
+    per batch); no exchange. The oracle unrolls the same fold as a
+    chain of {RECRAWL_VISITS} CTEs."""
+    from ..functions.dedup import md5_hash64
+
+    d = _read_documents_ids(sf_dir)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        h = md5_hash64([f"chg:{i}" for i in ids])
+        iv = np.full(len(ids), RECRAWL_INIT_DAYS, dtype=np.int64)
+        n_changes = np.zeros(len(ids), dtype=np.int64)
+        for k in range(1, RECRAWL_VISITS + 1):
+            changed = ((h >> np.uint64(k)) % np.uint64(2)).astype(bool)
+            n_changes += changed
+            iv = np.where(
+                changed,
+                np.maximum(RECRAWL_MIN_DAYS, iv // 2),
+                np.minimum(RECRAWL_MAX_DAYS, iv * 2),
+            )
+        return pd.DataFrame(
+            {"doc_id": ids, "n_changes": n_changes, "interval_days": iv}
+        )
+
+    return d.map_batches(fold, batch_format="pandas")
+
+
+def _recrawl_intervals_sql() -> str:
+    md5u = (
+        "CAST(concat('0x', substr(md5('chg:' || CAST(doc_id AS VARCHAR)), 1, 16)) "
+        "AS UBIGINT)"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {md5u} AS hv, {RECRAWL_INIT_DAYS} AS iv FROM documents)"]
+    for k in range(1, RECRAWL_VISITS + 1):
+        ctes.append(
+            f"s{k} AS (SELECT doc_id, hv, CASE WHEN (hv >> {k}) % 2 = 1 "
+            f"THEN greatest({RECRAWL_MIN_DAYS}, iv // 2) "
+            f"ELSE least({RECRAWL_MAX_DAYS}, iv * 2) END AS iv FROM s{k - 1})"
+        )
+    bits = " + ".join(f"(hv >> {k}) % 2" for k in range(1, RECRAWL_VISITS + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST({bits} AS BIGINT) AS n_changes,
+       CAST(iv AS BIGINT) AS interval_days
+FROM s{RECRAWL_VISITS}
+"""
+    )
+
+
 FRONTIER_SQL_QUERIES: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, ROBOTS_FILTER_SQL),
     "sitemap_frontier": (q_sitemap_frontier, SITEMAP_FRONTIER_SQL),
     "url_canonicalize": (q_url_canonicalize, URL_CANONICALIZE_SQL),
     "revalidate_plan": (q_revalidate_plan, REVALIDATE_PLAN_SQL),
+    "recrawl_intervals": (q_recrawl_intervals, _recrawl_intervals_sql()),
 }

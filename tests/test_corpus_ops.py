@@ -366,3 +366,43 @@ def test_group_quantiles_exact(ray_session, tmp_path):
     assert out[("en", 75)] == 7
     assert out[("en", 90)] == 9
     assert all(out[("de", p)] == 42 for p in (25, 50, 75, 90))
+
+
+# ------------------------------------------------- retention cohorts
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.corpus_ops import q_retention_cohorts
+
+    # user 1: weeks 0 and 2 (cohort 0, ages 0+2); user 2: week 0 only;
+    # user 3: weeks 2,2,3 (duplicate week collapses; cohort 2, ages 0+1)
+    rows = [
+        (1, "1970-01-01"), (1, "1970-01-15"),
+        (2, "1970-01-02"),
+        (3, "1970-01-16"), (3, "1970-01-17"), (3, "1970-01-22"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = (
+        q_retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_week", "age_weeks"])["n_users"]
+        .sort_index()
+    )
+    assert df.to_dict() == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}

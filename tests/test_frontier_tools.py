@@ -193,3 +193,46 @@ def test_revalidate_plan_decision_table(ray_session, tmp_path):
         else:
             assert row["decision"] == "refetch"
             assert row["est_bytes"] == k % 50000 + REVAL_HEADER_BYTES
+
+
+def test_recrawl_intervals_fold(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.functions.dedup import md5_hash64
+    from europarl_crawler_ray.pipelines.frontier_tools import (
+        RECRAWL_INIT_DAYS,
+        RECRAWL_MAX_DAYS,
+        RECRAWL_MIN_DAYS,
+        RECRAWL_VISITS,
+        q_recrawl_intervals,
+    )
+
+    n = 64
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["s"] * n),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = q_recrawl_intervals(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    for i in range(n):
+        h = int(md5_hash64([f"chg:{i}"])[0])
+        iv, changes = RECRAWL_INIT_DAYS, 0
+        for k in range(1, RECRAWL_VISITS + 1):
+            if (h >> k) & 1:
+                changes += 1
+                iv = max(RECRAWL_MIN_DAYS, iv // 2)
+            else:
+                iv = min(RECRAWL_MAX_DAYS, iv * 2)
+        assert df.loc[i, "n_changes"] == changes
+        assert df.loc[i, "interval_days"] == iv
+    # AIMD bounds always hold
+    assert df["interval_days"].between(RECRAWL_MIN_DAYS, RECRAWL_MAX_DAYS).all()
