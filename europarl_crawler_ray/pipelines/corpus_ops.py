@@ -972,8 +972,96 @@ FROM c GROUP BY cohort, week - cohort
 """
 
 
+# ============== exact integer Gini of a per-key count distribution
+
+
+def q_count_gini(sf_dir: str):
+    """How skewed is the workload? The Gini coefficient of the
+    per-customer order-count distribution — the same measurement a
+    crawler runs on urls-per-host to decide whether hot-host salting is
+    needed (``salt_hot_hosts``). Emitted as an EXACT integer rational:
+    Gini = gini_num / gini_den with num = ΣᵢΣⱼ|xᵢ-xⱼ| and
+    den = 2·n·Σx (the mean-absolute-difference form — no per-item
+    ranks, so no global sort). One row: (n_keys, total_cnt, gini_num,
+    gini_den).
+
+    Scale shape: per-batch key-count combiner → ONE coarse-hash
+    exchange co-locates each key → per-task count-of-counts histogram →
+    a bounded ``groupby(cnt)`` merge. The pair sum collapses onto the
+    HISTOGRAM (Σ m_v·m_w·|v-w|), whose size is the number of DISTINCT
+    count values — bounded by max activity, not by key cardinality —
+    the only thing the driver ever holds. Salt-bucket the histogram if
+    count values were ever unbounded."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    empty = pa.table(
+        {
+            "n_keys": pa.array([], pa.int64()),
+            "total_cnt": pa.array([], pa.int64()),
+            "gini_num": pa.array([], pa.int64()),
+            "gini_den": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_custkey"].value_counts()
+        return pd.DataFrame(
+            {
+                "o_custkey": vc.index.to_numpy().astype(np.int64),
+                "part_n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("o_custkey")["part_n"].sum()
+        h = cnt.value_counts()
+        return pd.DataFrame(
+            {
+                "cnt": h.index.to_numpy().astype(np.int64),
+                "m_part": h.to_numpy().astype(np.int64),
+            }
+        )
+
+    h = (
+        _with_coarse_group(orders.map_batches(partial, batch_format="pandas"), "o_custkey")
+        .groupby("_g")
+        .map_groups(lambda g: hist(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby("cnt")
+        .sum("m_part")
+        .to_pandas()  # bounded: one row per DISTINCT count value
+    )
+    if h.empty:
+        return empty
+    v = h["cnt"].to_numpy().astype(np.int64)
+    m = h["sum(m_part)"].to_numpy().astype(np.int64)
+    n, tot = int(m.sum()), int((m * v).sum())
+    num = int((m[:, None] * m[None, :] * np.abs(v[:, None] - v[None, :])).sum())
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "total_cnt": pa.array([tot], pa.int64()),
+            "gini_num": pa.array([num], pa.int64()),
+            "gini_den": pa.array([2 * n * tot], pa.int64()),
+        }
+    )
+
+
+COUNT_GINI_SQL = """
+WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+h AS (SELECT cnt, COUNT(*) AS m FROM c GROUP BY cnt),
+s AS (SELECT SUM(m) AS n, SUM(m * cnt) AS tot FROM h),
+mad AS (SELECT SUM(a.m * b.m * abs(a.cnt - b.cnt)) AS num FROM h a, h b)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       CAST(tot AS BIGINT) AS total_cnt,
+       CAST(num AS BIGINT) AS gini_num,
+       CAST(2 * n * tot AS BIGINT) AS gini_den
+FROM s, mad
+WHERE n IS NOT NULL
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
+    "count_gini": (q_count_gini, COUNT_GINI_SQL),
     "decayed_counts": (q_decayed_counts, DECAYED_COUNTS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "group_quantiles": (q_group_quantiles, GROUP_QUANTILES_SQL),

@@ -406,3 +406,36 @@ def test_retention_cohorts_planted(ray_session, tmp_path):
         .sort_index()
     )
     assert df.to_dict() == {(0, 0): 2, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_count_gini_known_distributions(ray_session, tmp_path):
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.corpus_ops import q_count_gini
+
+    def write(custkeys):
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(custkeys)), pa.int64()),
+                    "o_custkey": pa.array(custkeys, pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(custkeys)),
+                    "o_totalprice": pa.array([1.0] * len(custkeys)),
+                    "o_orderdate": pa.array([0] * len(custkeys), pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1"] * len(custkeys)),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+
+    # perfectly equal: 4 customers x 2 orders -> Gini 0
+    write([1, 1, 2, 2, 3, 3, 4, 4])
+    r = q_count_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert (r["n_keys"], r["total_cnt"], r["gini_num"]) == (4, 8, 0)
+    # counts 1 and 3 across two customers: G = |1-3|*2 / (2*2*4) = 1/4
+    write([1, 2, 2, 2])
+    r = q_count_gini(str(tmp_path)).to_pandas().iloc[0]
+    assert Fraction(int(r["gini_num"]), int(r["gini_den"])) == Fraction(1, 4)
