@@ -650,7 +650,85 @@ FROM s{RECRAWL_VISITS}
     )
 
 
+# ==================== registrable-domain extraction (PSL algorithm)
+#
+# Per-host crawl aggregation must group by the REGISTRABLE domain
+# (publicsuffix.org semantics): "a.shop.co.uk" and "b.shop.co.uk" are
+# one site, "shop.co.uk" and "shop2.co.uk" are not. Hosts are derived
+# deterministically from c_custkey across eight structurally distinct
+# suffix families (plain TLD, multi-label, wildcard, wildcard
+# exception, implicit-default, with/without extra subdomain labels);
+# the Ray side runs the real longest-match PSL algorithm
+# (functions/psl.py), the oracle is the per-family decision table —
+# the robots_filter / revalidate_plan pattern.
+
+PSL_HOST_VARIANTS = [
+    "com", "co.uk", "ck", "www.ck", "example.ck", "foo.bar", "com.au", "io",
+]
+
+
+def _psl_host(k: int) -> str:
+    return (
+        ("deep." if k % 3 == 0 else "")
+        + f"shop{k % 100}."
+        + PSL_HOST_VARIANTS[k % 8]
+    )
+
+
+def q_registrable_domain(sf_dir: str):
+    """(c_custkey, host, public_suffix, registrable): registrable ''
+    when the host IS a public suffix (wildcard family, bare labels).
+    Pure map_batches; the PSL object is a module-bounded constant."""
+    from ..functions.psl import PublicSuffixList
+
+    psl = PublicSuffixList()
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df["c_custkey"].to_numpy().astype(np.int64)
+        hosts = [_psl_host(int(k)) for k in ks]
+        return pd.DataFrame(
+            {
+                "c_custkey": ks,
+                "host": hosts,
+                "public_suffix": [psl.public_suffix(h) for h in hosts],
+                "registrable": [psl.registrable_domain(h) or "" for h in hosts],
+            }
+        )
+
+    return c.map_batches(extract, batch_format="pandas")
+
+
+REGISTRABLE_DOMAIN_SQL = """
+WITH h AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'deep.' ELSE '' END
+           || 'shop' || CAST(c_custkey % 100 AS VARCHAR) || '.'
+           || CASE c_custkey % 8
+                WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'ck'
+                WHEN 3 THEN 'www.ck' WHEN 4 THEN 'example.ck'
+                WHEN 5 THEN 'foo.bar' WHEN 6 THEN 'com.au'
+                ELSE 'io' END AS host,
+         'shop' || CAST(c_custkey % 100 AS VARCHAR) AS shop,
+         c_custkey % 8 AS v,
+         c_custkey % 3 = 0 AS deep
+  FROM customer)
+SELECT c_custkey, host,
+  CASE v WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN shop || '.ck'
+         WHEN 3 THEN 'ck' WHEN 4 THEN 'example.ck' WHEN 5 THEN 'bar'
+         WHEN 6 THEN 'com.au' ELSE 'io' END AS public_suffix,
+  CASE v WHEN 0 THEN shop || '.com' WHEN 1 THEN shop || '.co.uk'
+         WHEN 2 THEN CASE WHEN deep THEN 'deep.' || shop || '.ck' ELSE '' END
+         WHEN 3 THEN 'www.ck'
+         WHEN 4 THEN shop || '.example.ck'
+         WHEN 5 THEN 'foo.bar' WHEN 6 THEN shop || '.com.au'
+         ELSE shop || '.io' END AS registrable
+FROM h
+"""
+
+
 FRONTIER_SQL_QUERIES: dict[str, tuple] = {
+    "registrable_domain": (q_registrable_domain, REGISTRABLE_DOMAIN_SQL),
     "robots_filter": (q_robots_filter, ROBOTS_FILTER_SQL),
     "sitemap_frontier": (q_sitemap_frontier, SITEMAP_FRONTIER_SQL),
     "url_canonicalize": (q_url_canonicalize, URL_CANONICALIZE_SQL),

@@ -2544,7 +2544,157 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+# =================== crawl depth (BFS from seeds over the link graph)
+
+LD_MAX_DEPTH = 16
+LD_SEED_MOD = 97  # doc_id % 97 == 0 → seed (~1% of the corpus)
+
+
+def q_link_depth(sf_dir: str, n_buckets: int = 64, max_depth: int = LD_MAX_DEPTH):
+    """Crawl-depth analysis: the BFS distance of every page from the
+    seed set over the link_graph edges (how deep must a crawl go to
+    reach each page) — unreachable within ``max_depth`` hops → -1.
+
+    Scale shape: the pagerank/dedup_clusters Pregel structure — ONE
+    bucket exchange per BFS wave. A node's settled depth lives in the
+    bucket of its OUT-edges (bucket = node & mask); each wave's task
+    settles nodes from incoming depth proposals (min), and immediately
+    emits depth+1 proposals along resident out-edges keyed by dst
+    bucket. Waves needed = eccentricity of the seed set (bounded by
+    max_depth); convergence is a per-wave newly-settled scalar. Nothing
+    per-key at the Ray level, nothing on the driver."""
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
+            )
+        )
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    # unified stream schema: kind 0 = edge (n1=src, n2=dst), kind 1 =
+    # node state (n1=node, depth=-1 unsettled), kind 2 = depth proposal
+    # (n1=target node). newly marks this-wave settlements (the
+    # convergence scalar); bucket keys the exchange.
+    def _stream(n1, n2, depth, kind, newly) -> pa.Table:
+        n1 = np.asarray(n1, dtype=np.int64)
+        return pa.table(
+            {
+                "n1": pa.array(n1),
+                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
+                "depth": pa.array(np.asarray(depth, dtype=np.int64)),
+                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
+                "newly": pa.array(np.asarray(newly, dtype=np.int8)),
+                "bucket": pa.array((n1 & mask).astype(np.int32)),
+            }
+        )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        src, dst = [], []
+        prop_dst = []  # wave-1 proposals: seeds reach their targets at depth 1
+        for did in ids:
+            targets = _link_targets(did, n_docs)
+            src.extend([did] * len(targets))
+            dst.extend(targets)
+            if did % LD_SEED_MOD == 0:
+                prop_dst.extend(targets)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        is_seed = ids_np % LD_SEED_MOD == 0
+        n_e, n_p = len(src), len(prop_dst)
+        return pa.concat_tables(
+            [
+                _stream(src, dst, np.full(n_e, -1), np.zeros(n_e, np.int8),
+                        np.zeros(n_e, np.int8)),
+                _stream(ids_np, np.full(len(ids), -1),
+                        np.where(is_seed, 0, -1).astype(np.int64),
+                        np.ones(len(ids), np.int8),
+                        is_seed.astype(np.int8)),
+                _stream(prop_dst, np.full(n_p, -1), np.ones(n_p, np.int64),
+                        np.full(n_p, 2, np.int8), np.zeros(n_p, np.int8)),
+            ]
+        )
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = g["bucket"].to_numpy()
+        e = g[g["kind"] == 0]
+        st = g[g["kind"] == 1]
+        props = g[g["kind"] == 2]
+        # settle: unsettled nodes that received >=1 proposal take the MIN
+        best = (
+            props.groupby("n1")["depth"].min().rename("prop")
+            if len(props)
+            else pd.Series(dtype=np.int64, name="prop")
+        )
+        st2 = st.merge(best, left_on="n1", right_index=True, how="left")
+        unsettled = st2["depth"].to_numpy() < 0
+        has_prop = st2["prop"].notna().to_numpy()
+        settle = unsettled & has_prop
+        depth = st2["depth"].to_numpy().copy()
+        depth[settle] = st2["prop"].to_numpy()[settle]
+        newly = settle.astype(np.int8)
+        # emit: resident edges, updated states, and depth+1 proposals
+        # from newly settled nodes (pruned at max_depth)
+        senders = st2.loc[settle & (depth <= max_depth - 1), ["n1"]].assign(
+            d=depth[settle & (depth <= max_depth - 1)]
+        )
+        sm = e.merge(senders.rename(columns={"n1": "src"}), left_on="n1",
+                     right_on="src", how="inner")
+        parts = [
+            _stream(e["n1"].to_numpy(), e["n2"].to_numpy(),
+                    np.full(len(e), -1), np.zeros(len(e), np.int8),
+                    np.zeros(len(e), np.int8)),
+            _stream(st2["n1"].to_numpy(), np.full(len(st2), -1), depth,
+                    np.ones(len(st2), np.int8), newly),
+            _stream(sm["n2"].to_numpy(), np.full(len(sm), -1),
+                    sm["d"].to_numpy() + 1, np.full(len(sm), 2, np.int8),
+                    np.zeros(len(sm), np.int8)),
+        ]
+        out = pa.concat_tables(parts).to_pandas()
+        del bucket
+        return out
+
+    stream = d.map_batches(seed_rows, batch_format="pyarrow")
+    for _ in range(max_depth + 1):
+        stream = (
+            stream.groupby("bucket").map_groups(step, batch_format="pandas").materialize()
+        )
+        if (stream.sum("newly") or 0) == 0:
+            break
+
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(pc.equal(t.column("kind"), 1))
+        return pa.table({"doc_id": lab.column("n1"), "depth": lab.column("depth")})
+
+    return stream.map_batches(extract, batch_format="pyarrow")
+
+
+def _link_depth_sql() -> str:
+    md5u = "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    return f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+walk(v, dep) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {LD_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.dep + 1 FROM walk w JOIN e ON e.src = w.v
+  WHERE w.dep < {LD_MAX_DEPTH}
+),
+best AS (SELECT v, MIN(dep) AS depth FROM walk GROUP BY v)
+SELECT d.doc_id, CAST(COALESCE(b.depth, -1) AS BIGINT) AS depth
+FROM documents d LEFT JOIN best b ON b.v = d.doc_id
+"""
+
+
 SQL_QUERIES: dict[str, tuple] = {
+    "link_depth": (q_link_depth, _link_depth_sql()),
     "rollup_stats": (q_rollup_stats, ROLLUP_STATS_SQL),
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),

@@ -716,7 +716,117 @@ FROM c
 """
 
 
+# ========================== budget-capped corpus selection (greedy prefix)
+#
+# "Give me ~20% of the corpus tokens, chosen deterministically": docs
+# are taken in md5 order until the token budget fills (the last doc may
+# overflow it — greedy-prefix semantics). The selection order being a
+# hash order makes the sample unbiased AND stable under retries; the
+# running total is a distributed prefix sum (the epoch_shuffle /
+# sequence_pack machinery: hash-prefix buckets + a fixed 256-int offset
+# vector), so no task ever sees the global order.
+
+TBS_SEED = "tbs|"
+TBS_BUDGET_DEN = 5  # budget = total_tokens // 5
+_TBS_BUCKETS = 256
+
+
+def q_token_budget_sample(sf_dir: str):
+    """(doc_id, n_tok, prefix_tokens) for every SELECTED doc — those
+    whose exclusive prefix sum of tokens (in (md5 key, doc_id) order)
+    is below total_tokens // 5."""
+    from ray.data.aggregate import Sum as _Sum
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keys = [
+            hashlib.md5(f"{TBS_SEED}{int(i)}".encode("utf-8")).hexdigest()
+            for i in ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "key": keys,
+                "bucket": pd.Series([int(k[:2], 16) for k in keys], dtype=np.int64),
+                "n_tok": pd.Series(
+                    [len(t.split(" ")) for t in df["text"]], dtype=np.int64
+                ),
+            }
+        )
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        kd = keyed(df)
+        s = np.zeros(_TBS_BUCKETS, dtype=np.int64)
+        np.add.at(s, kd["bucket"].to_numpy(), kd["n_tok"].to_numpy())
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(range(_TBS_BUCKETS), dtype=np.int64),
+                "s": pd.Series(s, dtype=np.int64),
+            }
+        )
+
+    sums = (
+        d.map_batches(bucket_sums, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(_Sum("s", alias_name="s"))
+        .to_pandas()
+    )  # <= 256 rows — fixed-size driver reduce
+    if sums.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tok": pd.Series([], dtype=np.int64),
+                "prefix_tokens": pd.Series([], dtype=np.int64),
+            }
+        )
+    full = np.zeros(_TBS_BUCKETS, dtype=np.int64)
+    full[sums["bucket"].to_numpy()] = sums["s"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    budget = int(full.sum()) // TBS_BUDGET_DEN
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        b = int(g["bucket"].iloc[0])
+        n = g["n_tok"].to_numpy()
+        prefix = offsets[b] + np.concatenate([[0], np.cumsum(n)[:-1]])
+        take = prefix < budget
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[take].astype(np.int64),
+                "n_tok": n[take],
+                "prefix_tokens": prefix[take],
+            }
+        )
+
+    return (
+        d.map_batches(keyed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(select, batch_format="pandas")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5('{TBS_SEED}' || CAST(doc_id AS VARCHAR)) AS key,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+tot AS (SELECT SUM(n_tok) AS t FROM k),
+c AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_tokens
+  FROM k)
+SELECT doc_id, n_tok, CAST(prefix_tokens AS BIGINT) AS prefix_tokens
+FROM c, tot WHERE prefix_tokens < t // {TBS_BUDGET_DEN}
+"""
+
+
 TRAINING_SQL_QUERIES: dict[str, tuple] = {
+    "token_budget_sample": (q_token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "corpus_to_shards": (q_corpus_to_shards, _corpus_to_shards_sql()),
     "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SCORE_SQL),
     "chunk_docs": (q_chunk_docs, CHUNK_DOCS_SQL),
