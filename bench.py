@@ -192,6 +192,8 @@ def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
     from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sketch_ops import SKETCH_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
 
     SQL_QUERIES = {
         **SQL_QUERIES,
@@ -201,6 +203,8 @@ def bench_queries(sf_dir: str) -> dict:
         **JOIN_SQL_QUERIES,
         **FRONTIER_SQL_QUERIES,
         **SKETCH_SQL_QUERIES,
+        **WEBTEXT_SQL_QUERIES,
+        **CURATION_SQL_QUERIES,
     }
 
     out = {}
