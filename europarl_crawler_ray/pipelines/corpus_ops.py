@@ -1059,7 +1059,174 @@ WHERE n IS NOT NULL
 """
 
 
+# =========================== column profiling (data-quality report)
+#
+# The "profile your 100-TB table before you train on it" report: per
+# column — row/null counts, EXACT distinct count, min/max, and the top
+# value. Numeric columns are profiled in integer cents; every stat is
+# emitted as VARCHAR so one tidy (column, stat...) row shape covers
+# mixed types.
+
+PROFILE_COLS = ["l_quantity_cents", "l_returnflag", "l_linestatus"]
+
+
+def q_profile_columns(sf_dir: str):
+    """(column_name, n_rows, n_nulls, n_distinct, min_v, max_v,
+    top_value, top_n) for three lineitem columns.
+
+    Scale shape: stage 1 is a per-batch value_counts combiner per
+    column (the exchange moves one row per distinct (col, value) per
+    block); stage 2 exchanges on a coarse hash of the VALUE so each
+    value's global count lands in one task, which contributes
+    bucket-local partials (distinct-part, top-candidate); stage 3 is a
+    3-group reduce. Distinct counting never assumes low cardinality —
+    only the per-column FINAL report (3 rows) is small."""
+    li = _read(
+        sf_dir, "lineitem", columns=["l_quantity", "l_returnflag", "l_linestatus"]
+    )
+
+    def value_partials(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        # cents as ZERO-PADDED strings so string min/max/tie-break equals
+        # numeric order in both engines (lpad twin in the SQL)
+        raw = np.floor(df["l_quantity"].to_numpy(dtype=float) * 100 + 0.5)
+        ok = np.isfinite(raw)
+        cents = pd.Series([None] * len(raw), dtype=object)
+        cents[ok] = [str(c).zfill(12) for c in raw[ok].astype(np.int64)]
+        for col, vals in (
+            ("l_quantity_cents", cents),
+            ("l_returnflag", df["l_returnflag"]),
+            ("l_linestatus", df["l_linestatus"]),
+        ):
+            n_null = int(vals.isna().sum())
+            vc = vals.dropna().value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "column_name": col,
+                        "value": vc.index.astype(str),
+                        "n": vc.to_numpy().astype(np.int64),
+                        "n_nulls": np.int64(0),
+                    }
+                )
+            )
+            # one null-carrier row per column per batch
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "column_name": [col],
+                        "value": [""],
+                        "n": [np.int64(0)],
+                        "n_nulls": [np.int64(n_null)],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one (col, value) land here → exact per-value totals
+        real = g[g["n"] > 0]
+        agg = real.groupby(["column_name", "value"], as_index=False)["n"].sum()
+        out = []
+        for col, cg in agg.groupby("column_name"):
+            top = cg.sort_values(["n", "value"], ascending=[False, True]).iloc[0]
+            out.append(
+                {
+                    "column_name": col,
+                    "part_rows": int(cg["n"].sum()),
+                    "part_distinct": len(cg),
+                    "part_min": cg["value"].min(),
+                    "part_max": cg["value"].max(),
+                    "top_value": top["value"],
+                    "top_n": int(top["n"]),
+                }
+            )
+        nulls = g.groupby("column_name", as_index=False)["n_nulls"].sum()
+        for _, r in nulls.iterrows():
+            out.append(
+                {
+                    "column_name": r["column_name"],
+                    "part_rows": 0,
+                    "part_distinct": 0,
+                    "part_min": None,
+                    "part_max": None,
+                    "top_value": None,
+                    "top_n": -1,
+                    "part_nulls": int(r["n_nulls"]),
+                }
+            )
+        df = pd.DataFrame(out)
+        if "part_nulls" not in df.columns:
+            df["part_nulls"] = 0
+        df["part_nulls"] = df["part_nulls"].fillna(0).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["top_n"] >= 0]
+        top = real.sort_values(
+            ["top_n", "top_value"], ascending=[False, True]
+        ).iloc[0]
+        return pd.DataFrame(
+            {
+                "column_name": [g["column_name"].iloc[0]],
+                "n_rows": pd.Series([real["part_rows"].sum()], dtype=np.int64),
+                "n_nulls": pd.Series([g["part_nulls"].sum()], dtype=np.int64),
+                "n_distinct": pd.Series(
+                    [real["part_distinct"].sum()], dtype=np.int64
+                ),
+                "min_v": [real["part_min"].min()],
+                "max_v": [real["part_max"].max()],
+                "top_value": [top["top_value"]],
+                "top_n": pd.Series([top["top_n"]], dtype=np.int64),
+            }
+        )
+
+    return (
+        _with_coarse_group(
+            li.map_batches(value_partials, batch_format="pandas"), "value"
+        )
+        .groupby("_g")
+        .map_groups(
+            lambda g: bucket_partials(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+        .groupby("column_name")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _profile_one_sql(col_expr: str, name: str) -> str:
+    return f"""
+SELECT '{name}' AS column_name,
+       CAST(count({col_expr}) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col_expr}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {col_expr}) AS BIGINT) AS n_distinct,
+       CAST(min({col_expr}) AS VARCHAR) AS min_v,
+       CAST(max({col_expr}) AS VARCHAR) AS max_v,
+       (SELECT v FROM (
+          SELECT CAST({col_expr} AS VARCHAR) AS v, count(*) AS c FROM lineitem
+          WHERE {col_expr} IS NOT NULL GROUP BY 1
+          ORDER BY c DESC, v ASC LIMIT 1)) AS top_value,
+       (SELECT c FROM (
+          SELECT CAST({col_expr} AS VARCHAR) AS v, count(*) AS c FROM lineitem
+          WHERE {col_expr} IS NOT NULL GROUP BY 1
+          ORDER BY c DESC, v ASC LIMIT 1)) AS top_n
+FROM lineitem"""
+
+
+PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_one_sql(
+            "lpad(CAST(CAST(floor(l_quantity*100+0.5) AS BIGINT) AS VARCHAR), 12, '0')",
+            "l_quantity_cents",
+        ),
+        _profile_one_sql("l_returnflag", "l_returnflag"),
+        _profile_one_sql("l_linestatus", "l_linestatus"),
+    ]
+)
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "count_gini": (q_count_gini, COUNT_GINI_SQL),
     "decayed_counts": (q_decayed_counts, DECAYED_COUNTS_SQL),

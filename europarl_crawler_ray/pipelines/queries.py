@@ -2354,6 +2354,115 @@ def q_warc_roundtrip(sf_dir: str, n_shards: int = 8):
 WARC_ROUNDTRIP_SQL = "SELECT doc_id, text FROM documents"
 
 
+# ============== CDX index build + random-access record fetch (WARC)
+
+
+def q_cdx_index(sf_dir: str, n_shards: int = 8):
+    """The web-archive index workflow: documents → .warc.gz shards with
+    a CDX-style index built IN the write task (uri, shard, byte offset,
+    member length, payload digest — ``write_warc_gz_indexed``), then
+    every index entry verified by an actual ranged read
+    (``read_warc_record_at``: seek + one-member gunzip — the O(1)
+    random-access pattern CC consumers use instead of scanning shards).
+
+    Offsets depend on gzip framing so the oracle checks the
+    SQL-expressible fields (digest, payload byte length, fetch
+    success); the offsets themselves are proven by the fetch — a wrong
+    offset fails parse or digest. Emits (doc_id, digest, rec_len,
+    fetched_ok)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.warc import read_warc_record_at, write_warc_gz_indexed
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "digest": pa.array([], pa.string()),
+            "rec_len": pa.array([], pa.int64()),
+            "fetched_ok": pa.array([], pa.int64()),
+        }
+    )
+    if _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    shard_dir = os.path.join(
+        "/tmp",
+        "europarl_cdx_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g",
+            pc.cast(pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        recs = sorted(
+            (
+                (f"https://corpus.example/doc/{int(d)}", t.encode(), "2021-01-01T00:00:00Z")
+                for d, t in zip(g["doc_id"], g["text"])
+            )
+        )
+        blob, index = write_warc_gz_indexed(recs)
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        path = os.path.join(shard_dir, f"shard_{b:03d}.warc.gz")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(
+                    [int(e["uri"].rsplit("/", 1)[1]) for e in index], dtype=np.int64
+                ),
+                "shard": [path] * len(index),
+                "offset": pd.Series([e["offset"] for e in index], dtype=np.int64),
+                "length": pd.Series([e["length"] for e in index], dtype=np.int64),
+                "digest": [e["digest"] for e in index],
+            }
+        )
+
+    cdx = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .materialize()  # the index IS the product; also a write barrier
+    )
+
+    def fetch_verify(df: pd.DataFrame) -> pd.DataFrame:
+        rec_len, ok = [], []
+        for shard, off, ln, dig in zip(
+            df["shard"], df["offset"], df["length"], df["digest"]
+        ):
+            rec = read_warc_record_at(shard, int(off), int(ln))
+            rec_len.append(len(rec["payload"]))
+            ok.append(int(hashlib.md5(rec["payload"]).hexdigest() == dig))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "digest": df["digest"],
+                "rec_len": pd.Series(rec_len, dtype=np.int64),
+                "fetched_ok": pd.Series(ok, dtype=np.int64),
+            }
+        )
+
+    return cdx.map_batches(fetch_verify, batch_format="pandas")
+
+
+CDX_INDEX_SQL = """
+SELECT doc_id, md5(text) AS digest,
+       CAST(strlen(text) AS BIGINT) AS rec_len,
+       CAST(1 AS BIGINT) AS fetched_ok
+FROM documents
+"""
+
+
 # ================= KMV distinct-count sketch (deterministic, oracled)
 
 
@@ -2700,6 +2809,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "distinct_tokens_kmv": (q_distinct_tokens_kmv, DISTINCT_TOKENS_KMV_SQL),
     "warc_roundtrip": (q_warc_roundtrip, WARC_ROUNDTRIP_SQL),
+    "cdx_index": (q_cdx_index, CDX_INDEX_SQL),
     "pushdown_scan": (q_pushdown_scan, PUSHDOWN_SCAN_SQL),
     "url_generation": (q_url_generation, _urlgen_sql()),
     "unchecked_days": (q_unchecked_days, UNCHECKED_DAYS_SQL),

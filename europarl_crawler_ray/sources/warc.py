@@ -59,6 +59,46 @@ def write_warc_gz(records: list[tuple[str, bytes, str]]) -> bytes:
     return out.getvalue()
 
 
+def write_warc_gz_indexed(
+    records: list[tuple[str, bytes, str]],
+) -> tuple[bytes, list[dict]]:
+    """Like ``write_warc_gz`` but also returns the CDX-style index the
+    write is the only cheap place to build: one entry per record with
+    the member's byte ``offset``/``length`` inside the shard and the
+    payload digest. Because each record is its own gzip member, a
+    reader can later fetch any record with one ranged read — the
+    random-access pattern CDX servers (and every Common-Crawl consumer)
+    rely on."""
+    out = io.BytesIO()
+    index: list[dict] = []
+    for uri, payload, ts in records:
+        start = out.tell()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(write_warc_record(uri, payload, ts))
+        index.append(
+            {
+                "uri": uri,
+                "ts": ts,
+                "offset": start,
+                "length": out.tell() - start,
+                "digest": hashlib.md5(payload).hexdigest(),
+            }
+        )
+    return out.getvalue(), index
+
+
+def read_warc_record_at(path: str, offset: int, length: int) -> dict:
+    """Random-access record fetch: one ranged read of the gzip member at
+    (offset, length), decompressed and parsed in isolation."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    recs = parse_warc(blob)
+    if len(recs) != 1:
+        raise ValueError(f"expected 1 record at {path}:{offset}+{length}, got {len(recs)}")
+    return recs[0]
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzipped — including concatenated members — or
     plain) into records: {uri, ts, type, payload}."""
