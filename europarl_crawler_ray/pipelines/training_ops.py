@@ -757,9 +757,8 @@ def q_token_budget_sample(sf_dir: str):
         )
 
     def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
-        kd = keyed(df)
         s = np.zeros(_TBS_BUCKETS, dtype=np.int64)
-        np.add.at(s, kd["bucket"].to_numpy(), kd["n_tok"].to_numpy())
+        np.add.at(s, df["bucket"].to_numpy(), df["n_tok"].to_numpy())
         return pd.DataFrame(
             {
                 "bucket": pd.Series(range(_TBS_BUCKETS), dtype=np.int64),
@@ -767,8 +766,13 @@ def q_token_budget_sample(sf_dir: str):
             }
         )
 
+    # hash + tokenize ONCE: the ~56-byte (doc_id, key, bucket, n_tok)
+    # projection is materialized and drives both the counts pass and the
+    # selection exchange (the sequence_pack pattern — bodies are read
+    # once, never twice)
+    kd = d.map_batches(keyed, batch_format="pandas").materialize()
     sums = (
-        d.map_batches(bucket_sums, batch_format="pandas")
+        kd.map_batches(bucket_sums, batch_format="pandas")
         .groupby("bucket")
         .aggregate(_Sum("s", alias_name="s"))
         .to_pandas()
@@ -800,11 +804,7 @@ def q_token_budget_sample(sf_dir: str):
             }
         )
 
-    return (
-        d.map_batches(keyed, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(select, batch_format="pandas")
-    )
+    return kd.groupby("bucket").map_groups(select, batch_format="pandas")
 
 
 TOKEN_BUDGET_SAMPLE_SQL = f"""

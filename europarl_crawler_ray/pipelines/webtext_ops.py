@@ -330,12 +330,13 @@ def q_epoch_shuffle(sf_dir: str):
     total order over the corpus (md5 of seed|doc_id, doc_id tie-break)
     and the training batch each row lands in.
 
-    Two passes over the (single-column) input — the classic terasort
-    trade: pass 1 computes exact bucket counts (per-batch bincount →
-    256-group Ray aggregate → 256-row driver collect, fixed size at any
-    data scale); pass 2 exchanges on the bucket id and ranks each
-    bucket vectorized. Because buckets are the leading byte of the sort
-    key, local order + bucket offsets = the exact global order."""
+    The classic terasort trade, with the input hashed ONCE into a
+    materialized keyed projection: pass 1 computes exact bucket counts
+    over it (per-batch bincount → 256-group Ray aggregate → 256-row
+    driver collect, fixed size at any data scale); pass 2 exchanges it
+    on the bucket id and ranks each bucket vectorized. Because buckets
+    are the leading byte of the sort key, local order + bucket offsets
+    = the exact global order."""
     d = _read(sf_dir, "documents", columns=["doc_id"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -353,19 +354,21 @@ def q_epoch_shuffle(sf_dir: str):
         )
 
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        kd = keyed(df)
         return pd.DataFrame(
             {
                 "bucket": pd.Series(range(_N_SHUF_BUCKETS), dtype=np.int64),
                 "n": pd.Series(
-                    np.bincount(kd["bucket"], minlength=_N_SHUF_BUCKETS),
+                    np.bincount(df["bucket"], minlength=_N_SHUF_BUCKETS),
                     dtype=np.int64,
                 ),
             }
         )
 
+    # hash ONCE: the keyed projection is materialized and drives both
+    # the counts pass and the rank exchange (the sequence_pack pattern)
+    kd = d.map_batches(keyed, batch_format="pandas").materialize()
     counts = (
-        d.map_batches(bucket_counts, batch_format="pandas")
+        kd.map_batches(bucket_counts, batch_format="pandas")
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -396,11 +399,7 @@ def q_epoch_shuffle(sf_dir: str):
             }
         )
 
-    return (
-        d.map_batches(keyed, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(rank_bucket, batch_format="pandas")
-    )
+    return kd.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
 
 
 EPOCH_SHUFFLE_SQL = f"""
