@@ -1879,7 +1879,94 @@ FROM q GROUP BY vec_id
 
 
 # SQL-oracled (driver runs the DuckDB oracle side-by-side)
+# =============== incremental (cross-snapshot) near-dup detection
+#
+# The monthly-snapshot question every CC-scale corpus asks: which NEW
+# documents are near-dups of the EXISTING corpus? Snapshot v2 is
+# derived deterministically (doc_id%4==0 → the v1 text plus one word, a
+# guaranteed near-dup; doc_id%4==1 → the words reversed, a shingle-
+# disjoint "new" doc), both corpora flow through the SAME minhash/LSH
+# machinery, and only CROSS pairs (v1, v2) survive. Intra-snapshot
+# pairs are suppressed by an id-threshold filter, not a second LSH
+# pass — one banded exchange covers both corpora.
+
+INC_V2_OFFSET = 1_000_000
+
+
+def _v2_shingle_sets(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.dedup import md5_hash31, shingle_strings
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        out_ids, blobs = [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            m = did % 4
+            if m == 0:
+                txt2 = txt + " updated"
+            elif m == 1:
+                txt2 = " ".join(reversed(txt.split(" ")))
+            else:
+                continue
+            hs = np.unique(md5_hash31(shingle_strings(txt2)))
+            if hs.size:
+                out_ids.append(did + INC_V2_OFFSET)
+                blobs.append(hs.tobytes())
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "hs": pa.array(blobs, pa.binary())}
+        )
+
+    return docs.map_batches(rows, batch_format="pyarrow")
+
+
+def q_incremental_neardup(sf_dir: str, min_agree: int = 26):
+    """(doc_a ∈ v1, doc_b ∈ v2, n_agree, n_capped) cross-snapshot
+    near-dup pairs. One union of shingle-set streams, ONE banded LSH
+    exchange over both corpora, then a pure cross-pair filter (v2 ids
+    are offset above every v1 id, so doc_a < OFFSET <= doc_b selects
+    exactly the cross pairs out of the a<b-canonicalized stream)."""
+    sets = _shingle_sets(sf_dir).union(_v2_shingle_sets(sf_dir))
+    pairs = _minhash_pairs(sets, min_agree)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t.column("doc_a"), INC_V2_OFFSET),
+            pc.greater_equal(t.column("doc_b"), INC_V2_OFFSET),
+        )
+        return t.filter(keep)
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
+def _incremental_neardup_sql(min_agree: int = 26) -> str:
+    base = _dedup_minhash_sql(min_agree)
+    assert base.count("FROM documents") == 1
+    corpus = f"""
+WITH v2 AS (
+  SELECT doc_id + {INC_V2_OFFSET} AS doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' updated'
+              ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         END AS text
+  FROM documents WHERE doc_id % 4 IN (0, 1)),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM v2),
+w AS ("""
+    # point w at corpus FIRST (the corpus CTE itself reads documents,
+    # so inserting it before this replace would hijack the match)
+    out = base.replace("FROM documents\n", "FROM corpus\n", 1)
+    out = out.replace("\nWITH w AS (", corpus, 1)
+    return out.replace(
+        f"WHERE n_agree >= {min_agree}",
+        f"WHERE n_agree >= {min_agree} "
+        f"AND doc_a < {INC_V2_OFFSET} AND doc_b >= {INC_V2_OFFSET}",
+    )
+
+
 ML_SQL_QUERIES: dict = {
+    "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "vector_quantize": (q_vector_quantize, VECTOR_QUANTIZE_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (q_dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -244,3 +244,43 @@ def test_ngram_bucket_cap_bounds_identical_docs(tmp_path):
     out = q_dedup_ngram(str(tmp_path), bucket_cap=40).to_pandas()
     assert len(out) == 40 * 39 // 2
     assert (out["n_capped"] == n - 40).all()
+
+
+# ------------------------------------------- incremental_neardup
+
+
+def test_incremental_neardup_cross_pairs_only(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.ml_queries import (
+        INC_V2_OFFSET,
+        q_incremental_neardup,
+    )
+
+    # doc 0 (%4==0): v2 carries a near-dup; doc 1 (%4==1): reversed words
+    # (shingle-disjoint); doc 2/3 (%4 in 2,3): absent from v2
+    texts = {
+        0: " ".join(f"alpha{i}" for i in range(40)),
+        1: " ".join(f"beta{i}" for i in range(40)),
+        2: " ".join(f"gamma{i}" for i in range(40)),
+        3: " ".join(f"delta{i}" for i in range(40)),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(v) for v in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_incremental_neardup(str(tmp_path)).to_pandas()
+    # every surviving pair is cross-snapshot
+    assert (out["doc_a"] < INC_V2_OFFSET).all()
+    assert (out["doc_b"] >= INC_V2_OFFSET).all()
+    # the appended-word mutation is detected as a near-dup of its source
+    assert ((out["doc_a"] == 0) & (out["doc_b"] == INC_V2_OFFSET)).any()
+    # the reversed doc shares no 3-shingles with its source
+    assert not ((out["doc_a"] == 1) & (out["doc_b"] == INC_V2_OFFSET + 1)).any()
