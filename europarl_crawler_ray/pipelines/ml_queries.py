@@ -1893,7 +1893,12 @@ FROM q GROUP BY vec_id
 INC_V2_OFFSET = 1_000_000
 
 
-def _v2_shingle_sets(sf_dir: str) -> ray.data.Dataset:
+def _both_snapshot_sets(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, hs) for v1 AND the derived v2 in ONE pass over the
+    documents table (review finding: a union of two scans read and
+    hashed the corpus twice). Raises loudly if a v1 doc_id reaches the
+    v2 id range — the cross-pair filter's correctness depends on the
+    offset staying above every v1 id (no silent misclassification)."""
     from ..functions.dedup import md5_hash31, shingle_strings
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1903,17 +1908,25 @@ def _v2_shingle_sets(sf_dir: str) -> ray.data.Dataset:
         for did, txt in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
+            if did >= INC_V2_OFFSET:
+                raise ValueError(
+                    f"incremental_neardup: doc_id {did} >= INC_V2_OFFSET "
+                    f"{INC_V2_OFFSET} — raise the offset; the cross-pair "
+                    "filter would silently misclassify this doc"
+                )
+            variants = [(did, txt)]
             m = did % 4
             if m == 0:
-                txt2 = txt + " updated"
+                variants.append((did + INC_V2_OFFSET, txt + " updated"))
             elif m == 1:
-                txt2 = " ".join(reversed(txt.split(" ")))
-            else:
-                continue
-            hs = np.unique(md5_hash31(shingle_strings(txt2)))
-            if hs.size:
-                out_ids.append(did + INC_V2_OFFSET)
-                blobs.append(hs.tobytes())
+                variants.append(
+                    (did + INC_V2_OFFSET, " ".join(reversed(txt.split(" "))))
+                )
+            for vid, vtxt in variants:
+                hs = np.unique(md5_hash31(shingle_strings(vtxt)))
+                if hs.size:
+                    out_ids.append(vid)
+                    blobs.append(hs.tobytes())
         return pa.table(
             {"doc_id": pa.array(out_ids, pa.int64()), "hs": pa.array(blobs, pa.binary())}
         )
@@ -1923,12 +1936,12 @@ def _v2_shingle_sets(sf_dir: str) -> ray.data.Dataset:
 
 def q_incremental_neardup(sf_dir: str, min_agree: int = 26):
     """(doc_a ∈ v1, doc_b ∈ v2, n_agree, n_capped) cross-snapshot
-    near-dup pairs. One union of shingle-set streams, ONE banded LSH
-    exchange over both corpora, then a pure cross-pair filter (v2 ids
-    are offset above every v1 id, so doc_a < OFFSET <= doc_b selects
-    exactly the cross pairs out of the a<b-canonicalized stream)."""
-    sets = _shingle_sets(sf_dir).union(_v2_shingle_sets(sf_dir))
-    pairs = _minhash_pairs(sets, min_agree)
+    near-dup pairs. One shingle-hash pass emits both snapshots, ONE
+    banded LSH exchange covers both corpora, then a pure cross-pair
+    filter (v2 ids are offset above every v1 id — guarded, not assumed
+    — so doc_a < OFFSET <= doc_b selects exactly the cross pairs out of
+    the a<b-canonicalized stream)."""
+    pairs = _minhash_pairs(_both_snapshot_sets(sf_dir), min_agree)
 
     def cross_only(t: pa.Table) -> pa.Table:
         keep = pc.and_(
