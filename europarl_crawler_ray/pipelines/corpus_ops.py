@@ -1225,7 +1225,79 @@ PROFILE_COLUMNS_SQL = "\nUNION ALL\n".join(
 )
 
 
+# ================== event-type transition matrix (behavior model)
+#
+# The Markov building block of user-behavior models: counts of
+# consecutive (prev → next) event-type transitions within each user's
+# (ts, event_id)-ordered stream, with the conditional probability in
+# integer basis points.
+
+
+def q_event_transitions(sf_dir: str):
+    """(prev_type, next_type, n, p_bp): p_bp = n·10000 // Σ_next n.
+
+    Scale shape: ONE exchange on a coarse hash of user_id; transitions
+    are computed vectorized per task (sort + shift masked at user
+    boundaries — the sessionize/scd2 shape) and pre-counted per task,
+    so the final Ray aggregate sees ≤ |event_types|² rows per task —
+    the transition MATRIX is schema-bounded even though the event
+    stream is not."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame(
+            {
+                "prev_type": g["event_type"].shift().where(same_user),
+                "next_type": g["event_type"],
+            }
+        ).dropna()
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        out.columns = ["prev_type", "next_type", "n_part"]
+        return out.astype({"n_part": np.int64})
+
+    agg = (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: partial(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # |event_types|^2 rows — schema-bounded
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series([], dtype=object),
+                "next_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "p_bp": pd.Series([], dtype=np.int64),
+            }
+        )
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["p_bp"] = (
+        agg["n"] * 10000 // agg.groupby("prev_type")["n"].transform("sum")
+    ).astype(np.int64)
+    return agg[["prev_type", "next_type", "n", "p_bp"]]
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       CAST(n * 10000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bp
+FROM c
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "count_gini": (q_count_gini, COUNT_GINI_SQL),

@@ -439,3 +439,34 @@ def test_count_gini_known_distributions(ray_session, tmp_path):
     write([1, 2, 2, 2])
     r = q_count_gini(str(tmp_path)).to_pandas().iloc[0]
     assert Fraction(int(r["gini_num"]), int(r["gini_den"])) == Fraction(1, 4)
+
+
+# ------------------------------------------------ event transitions
+
+
+def test_event_transitions_user_boundaries_and_probs(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.corpus_ops import q_event_transitions
+
+    _write_events(
+        tmp_path,
+        [
+            (1, "2021-01-01 10:00", "a"),
+            (1, "2021-01-01 10:01", "b"),
+            (1, "2021-01-01 10:02", "a"),
+            (1, "2021-01-01 10:03", "c"),
+            # a new user's first event is NOT a transition from user 1
+            (2, "2021-01-01 10:04", "b"),
+            (2, "2021-01-01 10:05", "a"),
+        ],
+    )
+    out = (
+        q_event_transitions(str(tmp_path))
+        .set_index(["prev_type", "next_type"])
+        .sort_index()
+    )
+    assert out.loc[("a", "b"), "n"] == 1 and out.loc[("a", "c"), "n"] == 1
+    assert out.loc[("b", "a"), "n"] == 2
+    # out of 'a': 2 transitions -> 5000 bp each
+    assert out.loc[("a", "b"), "p_bp"] == 5000
+    assert out.loc[("b", "a"), "p_bp"] == 10000
+    assert ("c", "b") not in out.index  # cross-user pair suppressed
