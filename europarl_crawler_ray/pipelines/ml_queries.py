@@ -1978,7 +1978,107 @@ w AS ("""
     )
 
 
+# =================== k-NN label prediction (embedding classification)
+
+KNN_K = 5
+KNN_N_QUERIES = 20  # fixed query set => broadcastable at any scale
+
+
+def q_knn_label(sf_dir: str, k: int = KNN_K):
+    """Majority-vote k-NN classification over the embedding column:
+    each query vector's label is predicted from its k nearest OTHER
+    vectors by cosine (tie: vec_id ASC), vote tie: count DESC, label
+    ASC. Emits (query_id, true_label, pred_label, n_votes).
+
+    Scale shape (the ann_topk pattern): the FIXED-size query matrix is
+    broadcast once (ray.put), every batch scores against it vectorized
+    (one matmul), and only (query, candidate, sim, label) rows for the
+    bounded query set are exchanged for the per-query top-k."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    qdf = emb.filter(expr=f"vec_id < {KNN_N_QUERIES}").to_pandas()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "true_label": pa.array([], pa.int64()),
+            "pred_label": pa.array([], pa.int64()),
+            "n_votes": pa.array([], pa.int64()),
+        }
+    )
+    if qdf.empty:
+        return ray.data.from_arrow(empty)
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    qlabels = qdf["label"].to_numpy().astype(np.int64)
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qlabels, qnorm))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ids, _, qn = ray.get(qref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qn @ mat.T
+        cand = df["vec_id"].to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, len(df)),
+                "vec_id": np.tile(cand, len(ids)),
+                "label": np.tile(df["label"].to_numpy().astype(np.int64), len(ids)),
+                "sim": sims.ravel(),
+            }
+        )
+        return out[out["query_id"] != out["vec_id"]]  # never vote for self
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        top = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        counts = (
+            top.groupby("label").size().reset_index(name="n")
+            .sort_values(["n", "label"], ascending=[False, True])
+        )
+        ids, labels, _ = ray.get(qref)
+        true = int(labels[np.searchsorted(ids, qid)])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([qid], dtype=np.int64),
+                "true_label": pd.Series([true], dtype=np.int64),
+                "pred_label": pd.Series([int(counts["label"].iloc[0])], dtype=np.int64),
+                "n_votes": pd.Series([int(counts["n"].iloc[0])], dtype=np.int64),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(vote, batch_format="pandas")
+    )
+
+
+KNN_LABEL_SQL = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+           FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label, d.label AS cand_label,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.e, d.e) DESC,
+                                     d.vec_id ASC) AS rank
+  FROM q CROSS JOIN d WHERE d.vec_id <> q.vec_id),
+votes AS (
+  SELECT query_id, true_label, cand_label, count(*) AS n
+  FROM scored WHERE rank <= {KNN_K} GROUP BY 1, 2, 3),
+best AS (
+  SELECT query_id, true_label, cand_label, n,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, cand_label ASC) AS rn
+  FROM votes)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(cand_label AS BIGINT) AS pred_label, CAST(n AS BIGINT) AS n_votes
+FROM best WHERE rn = 1
+"""
+
+
 ML_SQL_QUERIES: dict = {
+    "knn_label": (q_knn_label, KNN_LABEL_SQL),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_sql()),
     "vector_quantize": (q_vector_quantize, VECTOR_QUANTIZE_SQL),
     "dedup_minhash": (q_dedup_minhash, DEDUP_MINHASH_SQL),

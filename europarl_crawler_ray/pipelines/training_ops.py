@@ -825,7 +825,123 @@ FROM c, tot WHERE prefix_tokens < t // {TBS_BUDGET_DEN}
 """
 
 
+# ==================== WebDataset tar-shard round trip (training I/O)
+#
+# The tar-of-samples layout (WebDataset) every multimodal trainer
+# streams: each sample is a basename with one member per modality
+# ({id}.txt body + {id}.json metadata), shards are plain tar files, and
+# the SHARD is the parallelism unit — readers stream members
+# sequentially, no random access needed, which is why the format wins
+# on object stores.
+
+WDS_N_SHARDS = 8
+
+
+def q_webdataset_roundtrip(sf_dir: str, n_shards: int = WDS_N_SHARDS):
+    """documents → tar shards (two members per sample, sorted by
+    basename as WebDataset requires) → distributed read-back (one task
+    per shard, the read_warc pattern) → md5-verified text + metadata.
+    Emits (doc_id, text, lang) — the oracle is the documents table."""
+    import io
+    import json
+    import tarfile
+
+    import pyarrow.parquet as _pq
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }
+    )
+    if _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0:
+        return ray.data.from_arrow(empty)
+
+    shard_dir = os.path.join(
+        "/tmp",
+        "europarl_wds_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "_g",
+            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for did, txt, lang in sorted(
+                zip(g["doc_id"], g["text"], g["lang"]),
+                key=lambda r: f"{int(r[0]):012d}",
+            ):
+                for ext, payload in (
+                    ("txt", txt.encode("utf-8")),
+                    ("json", json.dumps({"lang": lang}).encode("utf-8")),
+                ):
+                    info = tarfile.TarInfo(name=f"{int(did):012d}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic shard bytes
+                    tf.addfile(info, io.BytesIO(payload))
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.tar"))
+        return pd.DataFrame({"n": [len(g)]})
+
+    n = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    if not n:
+        return ray.data.from_arrow(empty)
+
+    paths = sorted(
+        os.path.join(shard_dir, f) for f in os.listdir(shard_dir) if f.endswith(".tar")
+    )
+
+    def read_shard(t: pa.Table) -> pa.Table:
+        ids, texts, langs = [], [], []
+        for path in t.column("path").to_pylist():
+            samples: dict[str, dict] = {}
+            with tarfile.open(path, mode="r") as tf:
+                for m in tf:  # stream members in shard order
+                    base, _, ext = m.name.rpartition(".")
+                    samples.setdefault(base, {})[ext] = tf.extractfile(m).read()
+            for base in sorted(samples):
+                s = samples[base]
+                ids.append(int(base))
+                texts.append(s["txt"].decode("utf-8"))
+                langs.append(json.loads(s["json"].decode("utf-8"))["lang"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    # one fused read+parse task per shard — the file is the parallelism
+    # unit, exactly like sources/warc.read_warc
+    return ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, pa.string())})
+    ).map_batches(read_shard, batch_format="pyarrow", batch_size=1)
+
+
+WEBDATASET_ROUNDTRIP_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
 TRAINING_SQL_QUERIES: dict[str, tuple] = {
+    "webdataset_roundtrip": (q_webdataset_roundtrip, WEBDATASET_ROUNDTRIP_SQL),
     "token_budget_sample": (q_token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "corpus_to_shards": (q_corpus_to_shards, _corpus_to_shards_sql()),
     "bigram_lm_score": (q_bigram_lm_score, BIGRAM_LM_SCORE_SQL),

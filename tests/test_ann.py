@@ -58,3 +58,38 @@ def test_lsh_finds_self_and_some_neighbors(topk_sets):
     for q, got in lsh.items():
         assert q in got, f"query {q} did not retrieve itself"
     assert _recall(exact, lsh) > 0.0
+
+
+# ------------------------------------------------------- knn_label
+
+
+def test_knn_label_majority_and_self_exclusion(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.ml_queries import q_knn_label
+
+    # query 0 sits in a tight cluster of label-7 vectors; its own label
+    # is 3 — self-exclusion means the vote must come back 7
+    rng = [
+        (0, [1.0, 0.0, 0.0], 3),
+        (100, [0.99, 0.01, 0.0], 7),
+        (101, [0.98, 0.02, 0.0], 7),
+        (102, [0.97, 0.03, 0.0], 7),
+        (103, [0.96, 0.04, 0.0], 7),
+        (104, [0.95, 0.05, 0.0], 5),
+        (105, [0.0, 1.0, 0.0], 9),  # far away — not in the top-5
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rng], pa.int64()),
+            "embedding": pa.array([r[1] for r in rng], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rng], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = q_knn_label(str(tmp_path)).to_pandas().set_index("query_id")
+    assert list(out.index) == [0]
+    assert out.loc[0, "true_label"] == 3
+    assert out.loc[0, "pred_label"] == 7 and out.loc[0, "n_votes"] == 4
