@@ -149,9 +149,11 @@ FROM aug
 SEG_W = 12
 
 
-def q_paragraph_dedup(sf_dir: str):
-    """Per doc: segment count, surviving-segment count, and md5 of the
-    reassembled deduped text.
+def dedup_segments(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_segs, n_kept, txt) — each document reassembled from
+    its globally-surviving segments. The distributed core shared by
+    q_paragraph_dedup and the composed q_refinery (so the two can never
+    drift).
 
     Scale shape: ONE segmentation pass emits segment rows plus one
     header row per doc (carrying n_segs so fully-deduped docs still
@@ -218,18 +220,34 @@ def q_paragraph_dedup(sf_dir: str):
         out = hdr.merge(agg, on="doc_id", how="left")
         out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
         out["txt"] = out["txt"].fillna("")
-        out["dedup_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["txt"]
-        ]
         out["doc_id"] = out["doc_id"].astype(np.int64)
         out["n_segs"] = out["n_segs"].astype(np.int64)
-        return out[["doc_id", "n_segs", "n_kept", "dedup_md5"]]
+        return out[["doc_id", "n_segs", "n_kept", "txt"]]
 
     return (
         _with_coarse_group(kept, "doc_id")
         .groupby("_g")
         .map_groups(lambda g: reassemble(g.drop(columns=["_g"])), batch_format="pandas")
     )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Per doc: segment count, surviving-segment count, and md5 of the
+    reassembled deduped text (see ``dedup_segments`` for the shape)."""
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_segs": df["n_segs"].to_numpy().astype(np.int64),
+                "n_kept": df["n_kept"].to_numpy().astype(np.int64),
+                "dedup_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["txt"]
+                ],
+            }
+        )
+
+    return dedup_segments(sf_dir).map_batches(digest, batch_format="pandas")
 
 
 PARAGRAPH_DEDUP_SQL = f"""
@@ -416,7 +434,133 @@ FROM k
 """
 
 
+# ========================= composed refinery (dedup → gate → shuffle)
+#
+# Flagship composition #2 (corpus_to_shards is #1): the full cleaning
+# chain a webtext corpus runs before training — segment-level dedup,
+# an integer quality gate on the DEDUPED text, then the deterministic
+# global shuffle over the survivors and shard assignment. Three
+# exchanges total (two from dedup_segments, one for the rank), plus
+# the fixed 256-int offset reduce.
+
+REF_MIN_CHARS = 40
+REF_N_SHARDS = 16
+REF_SEED = "ref|"
+
+
+def q_refinery(sf_dir: str):
+    """(doc_id, n_segs, n_kept, n_chars_dedup, rank, shard) for every
+    surviving document. Gate (all integer-exact): some segment
+    survived, >= 40 deduped bytes, and <= 50% of segments lost
+    (n_kept*2 >= n_segs). Rank/shard use the epoch_shuffle terasort
+    machinery over the survivor stream."""
+    from ray.data.aggregate import Sum as _Sum
+
+    segs = dedup_segments(sf_dir)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = np.array([len(t.encode("utf-8")) for t in df["txt"]], np.int64)
+        n_kept = df["n_kept"].to_numpy().astype(np.int64)
+        n_segs = df["n_segs"].to_numpy().astype(np.int64)
+        keep = (n_kept > 0) & (n_chars >= REF_MIN_CHARS) & (n_kept * 2 >= n_segs)
+        ids = df["doc_id"].to_numpy().astype(np.int64)[keep]
+        keys = [
+            hashlib.md5(f"{REF_SEED}{int(i)}".encode("utf-8")).hexdigest()
+            for i in ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_segs": n_segs[keep],
+                "n_kept": n_kept[keep],
+                "n_chars_dedup": n_chars[keep],
+                "key": keys,
+                "bucket": pd.Series([int(k[:2], 16) for k in keys], dtype=np.int64),
+            }
+        )
+
+    # survivors hashed once; the narrow projection drives both passes
+    kd = segs.map_batches(gate, batch_format="pandas").materialize()
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(range(_N_SHUF_BUCKETS), dtype=np.int64),
+                "n": pd.Series(
+                    np.bincount(df["bucket"], minlength=_N_SHUF_BUCKETS),
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    counts = (
+        kd.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cols = ["doc_id", "n_segs", "n_kept", "n_chars_dedup", "rank", "shard"]
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    full = np.zeros(_N_SHUF_BUCKETS, dtype=np.int64)
+    full[counts["bucket"].to_numpy()] = counts["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        rank = offsets[int(g["bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        out = g[["doc_id", "n_segs", "n_kept", "n_chars_dedup"]].reset_index(drop=True)
+        out["rank"] = rank
+        out["shard"] = rank % REF_N_SHARDS
+        return out
+
+    return kd.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+REFINERY_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg0 AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(ceil(len(ws) / {SEG_W}.0) AS BIGINT))) AS seg_no
+  FROM words),
+segs AS (
+  SELECT doc_id, seg_no,
+         array_to_string(ws[(seg_no*{SEG_W}+1):(seg_no*{SEG_W}+{SEG_W})], ' ') AS seg
+  FROM seg0),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, seg_no, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+    FROM segs) WHERE rn = 1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_no) AS txt
+  FROM kept GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, CAST(ceil(len(ws) / {SEG_W}.0) AS BIGINT) AS n_segs FROM words),
+docs2 AS (
+  SELECT t.doc_id, t.n_segs, coalesce(a.n_kept, 0) AS n_kept,
+         coalesce(a.txt, '') AS txt
+  FROM tot t LEFT JOIN agg a USING (doc_id)),
+surv AS (
+  SELECT doc_id, n_segs, n_kept, CAST(strlen(txt) AS BIGINT) AS n_chars_dedup
+  FROM docs2
+  WHERE n_kept > 0 AND strlen(txt) >= {REF_MIN_CHARS} AND n_kept * 2 >= n_segs),
+r AS (
+  SELECT doc_id, n_segs, n_kept, n_chars_dedup,
+         CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('{REF_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS rank
+  FROM surv)
+SELECT doc_id, n_segs, n_kept, n_chars_dedup, rank,
+       rank % {REF_N_SHARDS} AS shard
+FROM r
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "refinery": (q_refinery, REFINERY_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "main_content_extract": (q_main_content_extract, MAIN_CONTENT_EXTRACT_SQL),

@@ -178,3 +178,27 @@ def test_epoch_shuffle_is_exact_global_rank(ray_session, tmp_path):
     assert list(by_rank["doc_id"]) == [i for _k, i in expect]
     assert (by_rank["batch_id"].to_numpy()
             == by_rank["global_rank"].to_numpy() // EPOCH_BATCH_ROWS).all()
+
+
+# ------------------------------------------------------------ refinery
+
+
+def test_refinery_gate_and_global_rank(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.webtext_ops import q_refinery
+
+    w = " ".join(f"unique{i}" for i in range(SEG_W))  # one full unique segment
+    v = " ".join(f"fresh{i}" for i in range(SEG_W))
+    texts = {
+        1: w,            # survives (unique, 1 seg kept, > 40 bytes)
+        2: w,            # fully deduped -> dropped (n_kept 0)
+        3: "tiny doc",   # < 40 bytes -> dropped
+        4: w + " " + v,  # seg0 lost to doc 1, seg1 survives: 1 of 2 kept
+    }
+    _write_docs(tmp_path, texts)
+    res = q_refinery(str(tmp_path))
+    out = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index("doc_id")
+    assert sorted(out.index) == [1, 4]
+    assert sorted(out["rank"]) == [0, 1]  # dense global rank over survivors
+    assert (out["shard"] == out["rank"] % 16).all()
+    # doc 4 sits exactly on the 50%-loss gate boundary (n_kept*2 == n_segs)
+    assert out.loc[4, "n_segs"] == 2 and out.loc[4, "n_kept"] == 1
