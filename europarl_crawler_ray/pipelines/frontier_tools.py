@@ -13,6 +13,8 @@ rate limits stay correct while no single task owns the hot host's tail.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -727,7 +729,188 @@ FROM h
 """
 
 
+# ============== crawl-budget water-filling (politeness-fair quotas)
+#
+# Allocate a global crawl budget B across hosts the politeness-fair
+# way: every host gets up to the common water level T (the largest
+# integer with Σ min(n_h, T) <= B), and the leftover R = B − Σ min(n_h,
+# T) single slots go to the first R hosts above the level in a
+# deterministic md5 order. Exactly Σ quota = B whenever B <= Σ n_h.
+
+WF_BUDGET_DEN = 3  # B = total urls // 3
+WF_SEED = "wf|"
+_WF_BUCKETS = 256
+
+
+def q_crawl_budget_waterfill(sf_dir: str):
+    """(host, n_urls, quota) over per-customer order counts as the
+    host→url histogram.
+
+    Scale shape: one coarse exchange builds exact per-host counts
+    (hosts are data-scaled); the water level is solved on a BOUNDED
+    count-of-counts histogram (the count_gini trick — the value domain
+    of per-host counts, not the host count, reaches the driver); the R
+    bonus slots use the epoch_shuffle rank machinery (fixed 256-int
+    offset reduce) over only the above-level hosts. No host set ever
+    materializes on the driver."""
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        vc = _pd.Series(t.column("o_custkey").to_numpy()).value_counts()
+        return pa.table(
+            {
+                "host": pa.array(vc.index.to_numpy().astype(np.int64)),
+                "n_part": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False)["n_part"].sum()
+        out = out.rename(columns={"n_part": "n"})
+        keys = [
+            hashlib.md5(f"{WF_SEED}{int(h)}".encode("utf-8")).hexdigest()
+            for h in out["host"]
+        ]
+        out["key"] = keys
+        out["bucket"] = pd.Series([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return out.astype({"host": np.int64, "n": np.int64})
+
+    from .grouping import with_coarse_group as _wg
+
+    counts = (
+        _wg(orders.map_batches(partial_counts, batch_format="pyarrow"), "host")
+        .groupby("_g")
+        .map_groups(lambda g: sum_counts(g.drop(columns=["_g"])), batch_format="pandas")
+        .materialize()  # narrow (host, n, key, bucket) projection, reused 3×
+    )
+
+    def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        return pd.DataFrame(
+            {
+                "val": vc.index.to_numpy().astype(np.int64),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        counts.map_batches(hist_part, batch_format="pandas")
+        .groupby("val")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )  # bounded by the value DOMAIN of per-host counts (count_gini trick)
+    empty = pa.table(
+        {
+            "host": pa.array([], pa.int64()),
+            "n_urls": pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64()),
+        }
+    )
+    if hist.empty:
+        return ray.data.from_arrow(empty)
+
+    vals = hist["val"].to_numpy().astype(np.int64)
+    cnts = hist["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    k = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    budget = total // WF_BUDGET_DEN
+    below_sum = np.concatenate([[0], np.cumsum(vals * cnts)[:-1]])
+    below_cnt = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    at_or_above = k - below_cnt
+    feasible = below_sum <= budget
+    t_here = np.minimum(vals, (budget - below_sum) // np.maximum(at_or_above, 1))
+    level = int(t_here[feasible].max())
+    s_level = int(np.minimum(vals, level).astype(np.int64) @ cnts)
+    r_bonus = budget - s_level
+
+    # rank the above-level hosts (bonus eligibility) — terasort prefix
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        above = df[df["n"] > level]
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(range(_WF_BUCKETS), dtype=np.int64),
+                "n": pd.Series(
+                    np.bincount(above["bucket"], minlength=_WF_BUCKETS),
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    bc = (
+        counts.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    full = np.zeros(_WF_BUCKETS, dtype=np.int64)
+    if not bc.empty:
+        full[bc["bucket"].to_numpy()] = bc["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    def quotas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "host"], kind="mergesort")
+        n = g["n"].to_numpy()
+        above = n > level
+        rank = np.full(len(g), np.iinfo(np.int64).max, dtype=np.int64)
+        rank[above] = offsets[int(g["bucket"].iloc[0])] + np.arange(
+            int(above.sum()), dtype=np.int64
+        )
+        quota = np.minimum(n, level) + (rank < r_bonus)
+        return pd.DataFrame(
+            {
+                "host": g["host"].to_numpy().astype(np.int64),
+                "n_urls": n.astype(np.int64),
+                "quota": quota.astype(np.int64),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(quotas, batch_format="pandas")
+
+
+CRAWL_BUDGET_WATERFILL_SQL = f"""
+WITH c AS (SELECT o_custkey AS host, CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(n) // {WF_BUDGET_DEN} AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS k FROM c),
+v AS (SELECT n AS val, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+cum AS (
+  SELECT val,
+         COALESCE(SUM(val*cnt) OVER (ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_sum,
+         COALESCE(SUM(cnt) OVER (ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_cnt
+  FROM v),
+cand AS (
+  SELECT LEAST(cum.val, (tot.b - cum.below_sum) // (tot.k - cum.below_cnt))
+           AS t_here
+  FROM cum, tot WHERE cum.below_sum <= tot.b),
+params AS (
+  SELECT (SELECT MAX(t_here) FROM cand) AS T,
+         tot.b - (SELECT COALESCE(SUM(LEAST(n, (SELECT MAX(t_here) FROM cand))), 0)
+                  FROM c) AS R
+  FROM tot),
+ranked AS (
+  SELECT c.host,
+         ROW_NUMBER() OVER (ORDER BY md5('{WF_SEED}' || CAST(c.host AS VARCHAR)),
+                            c.host) AS rk
+  FROM c, params WHERE c.n > params.T)
+SELECT c.host, c.n AS n_urls,
+       CAST(LEAST(c.n, p.T) +
+            CASE WHEN r.rk IS NOT NULL AND r.rk <= p.R THEN 1 ELSE 0 END
+         AS BIGINT) AS quota
+FROM c CROSS JOIN params p LEFT JOIN ranked r ON r.host = c.host
+"""
+
+
 FRONTIER_SQL_QUERIES: dict[str, tuple] = {
+    "crawl_budget_waterfill": (q_crawl_budget_waterfill, CRAWL_BUDGET_WATERFILL_SQL),
     "registrable_domain": (q_registrable_domain, REGISTRABLE_DOMAIN_SQL),
     "robots_filter": (q_robots_filter, ROBOTS_FILTER_SQL),
     "sitemap_frontier": (q_sitemap_frontier, SITEMAP_FRONTIER_SQL),

@@ -236,3 +236,34 @@ def test_recrawl_intervals_fold(ray_session, tmp_path):
         assert df.loc[i, "interval_days"] == iv
     # AIMD bounds always hold
     assert df["interval_days"].between(RECRAWL_MIN_DAYS, RECRAWL_MAX_DAYS).all()
+
+
+# ------------------------------------------- crawl_budget_waterfill
+
+
+def test_waterfill_budget_exact_and_fair(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.frontier_tools import (
+        WF_BUDGET_DEN,
+        q_crawl_budget_waterfill,
+    )
+
+    # skewed hosts: one mega host, several mid, many tiny
+    hosts = [1] * 60 + [2] * 10 + [3] * 10 + [4] * 5 + [5, 6, 7, 8, 9]
+    t = pa.table({"o_custkey": pa.array(hosts, pa.int64())})
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = q_crawl_budget_waterfill(str(tmp_path)).to_pandas().set_index("host")
+    total = len(hosts)
+    budget = total // WF_BUDGET_DEN
+    # the whole budget is spent, exactly
+    assert out["quota"].sum() == budget
+    # nobody exceeds their own demand, nobody below level while others above
+    assert (out["quota"] <= out["n_urls"]).all()
+    level = out["quota"].min()  # tiny hosts (n=1) sit at min(1, T)=1 though
+    # fairness: the mega host is capped hard below its demand
+    assert out.loc[1, "quota"] < out.loc[1, "n_urls"]
+    # hosts with demand <= level are fully satisfied
+    small = out[out["n_urls"] <= out.loc[1, "quota"]]
+    assert (small["quota"] == small["n_urls"]).all()
