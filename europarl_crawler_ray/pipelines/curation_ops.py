@@ -324,7 +324,116 @@ FROM documents
 """
 
 
+# ===================== proportional source interleave (data mixing)
+#
+# The multi-source mixing order LLM trainers stream: each source s has
+# an integer weight w_s; doc number r of a source is scheduled at
+# virtual time (r+1)·D // w_s, so heavier sources appear
+# proportionally more often in any prefix of the (vtime, source, rank)
+# order. Fully deterministic (md5 within-source order), no RNG.
+
+MIX_DENOM = 6
+
+
+def mix_weight(source: str) -> int:
+    """1 + (source number % 3) — the deterministic demo weight map
+    (swap for a real mixture config in production)."""
+    return 1 + int(source[3:]) % 3 if source[3:].isdigit() else 1
+
+
+def q_mix_interleave(sf_dir: str):
+    """(doc_id, source, rank_in_source, vtime): sorting by (vtime,
+    source, rank_in_source) IS the training stream order.
+
+    Scale shape: within-source ranks via the terasort prefix machinery
+    generalized per source — counts reduce to a (n_sources × 256)
+    offset table (sources are a schema-bounded dimension), one exchange
+    on (source, key-prefix bucket) ranks every source's docs
+    vectorized."""
+    from ray.data.aggregate import Sum as _Sum
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        keys = [
+            hashlib.md5(f"mix|{int(i)}".encode("utf-8")).hexdigest() for i in ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": df["source"].to_numpy(),
+                "key": keys,
+                "bucket": pd.Series([int(k[:2], 16) for k in keys], dtype=np.int64),
+            }
+        )
+
+    kd = d.map_batches(keyed, batch_format="pandas").materialize()
+
+    def counts_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "bucket"], as_index=False).size()
+        out.columns = ["source", "bucket", "n_part"]
+        return out.astype({"bucket": np.int64, "n_part": np.int64})
+
+    counts = (
+        kd.map_batches(counts_part, batch_format="pandas")
+        .groupby(["source", "bucket"])
+        .aggregate(_Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )  # n_sources × 256 rows — schema-bounded reduce
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=object),
+                "rank_in_source": pd.Series([], dtype=np.int64),
+                "vtime": pd.Series([], dtype=np.int64),
+            }
+        )
+    counts = counts.sort_values(["source", "bucket"])
+    counts["offset"] = counts.groupby("source")["n"].cumsum() - counts["n"]
+    offsets = {
+        (s, int(b)): int(o)
+        for s, b, o in zip(counts["source"], counts["bucket"], counts["offset"])
+    }
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        src = g["source"].iloc[0]
+        off = offsets[(src, int(g["bucket"].iloc[0]))]
+        rs = off + np.arange(len(g), dtype=np.int64)
+        w = mix_weight(src)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "source": g["source"].to_numpy(),
+                "rank_in_source": rs,
+                "vtime": (rs + 1) * MIX_DENOM // w,
+            }
+        )
+
+    return kd.groupby(["source", "bucket"]).map_groups(
+        rank_group, batch_format="pandas"
+    )
+
+
+MIX_INTERLEAVE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS rank_in_source,
+         CASE WHEN regexp_matches(substr(source, 4), '^[0-9]+$')
+              THEN 1 + CAST(substr(source, 4) AS BIGINT) % 3 ELSE 1 END AS w
+  FROM documents)
+SELECT doc_id, source, rank_in_source,
+       CAST((rank_in_source + 1) * {MIX_DENOM} // w AS BIGINT) AS vtime
+FROM r
+"""
+
+
 CURATION_SQL_QUERIES: dict[str, tuple] = {
+    "mix_interleave": (q_mix_interleave, MIX_INTERLEAVE_SQL),
     "scd2_history": (q_scd2_history, SCD2_HISTORY_SQL),
     "oov_rate": (q_oov_rate, OOV_RATE_SQL),
     "leakage_safe_split": (q_leakage_safe_split, _leakage_safe_split_sql()),

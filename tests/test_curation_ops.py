@@ -110,3 +110,37 @@ def test_schema_evolution_null_fill(ray_session, tmp_path):
     assert out.loc[0, "snapshot"] == "v1" and pd.isna(out.loc[0, "lang"])
     assert out.loc[1, "snapshot"] == "v2" and out.loc[1, "lang"] == "de"
     assert out.loc[3, "n_chars_read"] == len("more odd")
+
+
+def test_mix_interleave_proportional(ray_session, tmp_path):
+    from europarl_crawler_ray.pipelines.curation_ops import q_mix_interleave
+
+    # src1 weight 2, src0 weight 1 -> any long prefix of the vtime order
+    # holds ~2x as many src1 docs
+    texts, langs = {}, {}
+    srcs = {}
+    for i in range(120):
+        texts[i] = "x"
+        srcs[i] = "src1" if i % 2 == 0 else "src0"
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array([srcs[i] for i in texts]),
+            "n_chars": pa.array([1] * len(texts), pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    res = q_mix_interleave(str(tmp_path))
+    out = (res.to_pandas() if hasattr(res, "to_pandas") else res).sort_values(
+        ["vtime", "source", "rank_in_source"]
+    )
+    # ranks are dense permutations per source
+    for s in ["src0", "src1"]:
+        rs = sorted(out[out["source"] == s]["rank_in_source"])
+        assert rs == list(range(60))
+    head = out.head(45)
+    n1 = (head["source"] == "src1").sum()
+    n0 = (head["source"] == "src0").sum()
+    assert n1 == 2 * n0  # exact 2:1 interleave in a prefix
