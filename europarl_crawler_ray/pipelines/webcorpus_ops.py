@@ -1,0 +1,331 @@
+"""Web-corpus operators (round-3 batch 6): parallel-corpus (bitext)
+alignment, SURT locality keys, and a broadcast IP-range geo join.
+
+The reference repo's whole purpose is harvesting EuroParl — the classic
+parallel-corpus source — so ``bitext_align`` implements the alignment
+shape its downstream consumers run (per-session language pivoting with
+a Gale-Church-style length-ratio filter; cf. reference test fixtures
+exercising per-language day/session documents). ``surt_keys`` is the
+Common-Crawl/CDX Sorted-URL-Reordering-Transform: the canonical range-
+partitioning key that co-locates a domain's pages in one shard.
+``ip_geo_join`` is the broadcast-side range-lookup join (GeoIP shape):
+the small sorted breakpoint table ships once via ``ray.put`` and every
+batch binary-searches it — no shuffle, no per-batch re-ship.
+
+All three SQL-oracled; scale idioms per pipelines/grouping.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .grouping import with_coarse_group as _with_coarse_group
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _md5u(expr: str) -> str:
+    """DuckDB SQL for the first-16-hex-digit md5 integer (uint64)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 16)) AS UBIGINT)"
+
+
+# ====================================================== bitext alignment
+#
+# Pair documents across languages inside a shared "session" (EuroParl's
+# sitting): per (session, lang) pick the representative (min doc_id),
+# pivot on English, and keep pairs passing the Gale-Church-lite length
+# ratio (max/min <= 2). Output is the bitext candidate table a
+# translation-pair miner feeds to an aligner.
+
+BITEXT_SESSION_SIZE = 8  # consecutive doc_ids per synthetic session
+BITEXT_PIVOT = "en"
+
+
+def q_bitext_align(sf_dir: str):
+    """(session_id, lang, doc_en, doc_xx, ratio_bp): per session, the
+    pivot-language representative paired with every other language's
+    representative, filtered to length ratio <= 2; ratio_bp is the
+    integer basis-point ratio 10000*min/max (IEEE-free, oracle-exact).
+
+    Scale shape: a 24-byte (doc_id, lang, n_chars) projection — bodies
+    never move — through ONE coarse exchange on session_id; the
+    representative pick and the pivot join are vectorized pandas inside
+    each coarse task. Sessions are contiguous doc_id ranges, so the
+    exchange is near-sorted and skew-free by construction."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "session_id", pa.array(ids // BITEXT_SESSION_SIZE, type=pa.int64())
+        )
+
+    kd = _with_coarse_group(
+        d.map_batches(keyed, batch_format="pyarrow"), "session_id"
+    )
+
+    def align(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        rep = g.drop_duplicates(["session_id", "lang"], keep="first")
+        en = rep[rep["lang"] == BITEXT_PIVOT]
+        xx = rep[rep["lang"] != BITEXT_PIVOT]
+        m = xx.merge(
+            en[["session_id", "doc_id", "n_chars"]],
+            on="session_id",
+            suffixes=("", "_en"),
+        )
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "session_id": pd.Series([], dtype=np.int64),
+                    "lang": pd.Series([], dtype=object),
+                    "doc_en": pd.Series([], dtype=np.int64),
+                    "doc_xx": pd.Series([], dtype=np.int64),
+                    "ratio_bp": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = m["n_chars"].to_numpy(np.int64)
+        b = m["n_chars_en"].to_numpy(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        ok = (lo > 0) & (2 * lo >= hi)
+        m = m[ok]
+        return pd.DataFrame(
+            {
+                "session_id": m["session_id"].to_numpy(np.int64),
+                "lang": m["lang"].to_numpy(),
+                "doc_en": m["doc_id_en"].to_numpy(np.int64),
+                "doc_xx": m["doc_id"].to_numpy(np.int64),
+                "ratio_bp": 10000 * lo[ok] // hi[ok],
+            }
+        )
+
+    return kd.groupby("_g").map_groups(align, batch_format="pandas")
+
+
+BITEXT_ALIGN_SQL = f"""
+WITH rep AS (
+  SELECT session_id, lang, doc_id, n_chars FROM (
+    SELECT doc_id // {BITEXT_SESSION_SIZE} AS session_id, lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY doc_id // {BITEXT_SESSION_SIZE}, lang
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), en AS (
+  SELECT session_id, doc_id, n_chars FROM rep WHERE lang = '{BITEXT_PIVOT}'
+), xx AS (
+  SELECT session_id, lang, doc_id, n_chars FROM rep WHERE lang <> '{BITEXT_PIVOT}'
+)
+SELECT xx.session_id AS session_id, xx.lang AS lang,
+       en.doc_id AS doc_en, xx.doc_id AS doc_xx,
+       CAST(10000 * LEAST(en.n_chars, xx.n_chars)
+            // GREATEST(en.n_chars, xx.n_chars) AS BIGINT) AS ratio_bp
+FROM en JOIN xx USING (session_id)
+WHERE LEAST(en.n_chars, xx.n_chars) > 0
+  AND 2 * LEAST(en.n_chars, xx.n_chars) >= GREATEST(en.n_chars, xx.n_chars)
+"""
+
+
+# ========================================================== SURT keys
+#
+# Sorted URL Reordering Transform (the CDX / Common-Crawl index key):
+# scheme dropped, host labels reversed and comma-joined, query params
+# sorted — so one domain's pages are CONTIGUOUS under a global sort.
+# The Ray side PARSES arbitrary urls (the oracle constructs expected
+# keys from the generation rule, so any parser slip breaks the gate).
+
+_SURT_SUBS = ["www", "en", "m", ""]
+_SURT_TLDS = ["com", "org", "co.uk"]
+N_SURT_SHARDS = 16
+
+
+def _surt_url(doc_id: int) -> str:
+    sub = _SURT_SUBS[doc_id % 4]
+    host = (sub + "." if sub else "") + f"site{doc_id % 97}." + _SURT_TLDS[doc_id % 3]
+    q = f"?b=2&a={doc_id % 5}" if doc_id % 2 == 0 else ""
+    return f"https://{host}/p/{doc_id}{q}"
+
+
+def surt_key(url: str) -> str:
+    """SURT of ``url``: ``tld,dom,sub)/path?a=1&b=2`` (query sorted)."""
+    rest = url.split("://", 1)[1]
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+        query = "&".join(sorted(query.split("&")))
+    else:
+        query = ""
+    host, _, path = rest.partition("/")
+    rev = ",".join(reversed(host.lower().split(".")))
+    return rev + ")/" + path + ("?" + query if query else "")
+
+
+def q_surt_keys(sf_dir: str):
+    """(doc_id, url, surt, shard): SURT key per url plus the locality
+    shard — md5 of the reversed-host 2-label prefix % 16, so every page
+    of a registrable domain lands in ONE shard (the partitioning a CDX
+    writer sorts within; for multi-label suffixes like co.uk the PSL
+    operator q_registrable_domain is the production prefix picker).
+
+    Scale shape: a pure per-batch map — no exchange; the global sort by
+    surt that a CDX writer runs afterwards is the epoch_shuffle terasort
+    shape already demonstrated."""
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        urls = [_surt_url(int(i)) for i in ids]
+        surts = [surt_key(u) for u in urls]
+        prefix2 = [",".join(s.split(")", 1)[0].split(",")[:2]) for s in surts]
+        shard = np.array(
+            [
+                int(hashlib.md5(p.encode("utf-8")).hexdigest()[:16], 16)
+                % N_SURT_SHARDS
+                for p in prefix2
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "url": urls, "surt": surts, "shard": shard}
+        )
+
+    return d.map_batches(make, batch_format="pandas")
+
+
+SURT_KEYS_SQL = f"""
+WITH parts AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'en' WHEN 2 THEN 'm' ELSE '' END AS sub,
+    'site' || CAST(doc_id % 97 AS VARCHAR) AS dom,
+    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END AS tld,
+    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'uk,co' END AS tldrev,
+    '/p/' || CAST(doc_id AS VARCHAR) AS path,
+    CASE WHEN doc_id % 2 = 0
+         THEN 'a=' || CAST(doc_id % 5 AS VARCHAR) || '&b=2' ELSE '' END AS qsorted,
+    CASE WHEN doc_id % 2 = 0
+         THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS qraw
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN sub = '' THEN '' ELSE sub || '.' END
+      || dom || '.' || tld || path || qraw AS url,
+    tldrev || ',' || dom || CASE WHEN sub = '' THEN '' ELSE ',' || sub END
+      || ')' || path
+      || CASE WHEN qsorted = '' THEN '' ELSE '?' || qsorted END AS surt,
+    CASE doc_id % 3 WHEN 2 THEN 'uk,co' ELSE tldrev || ',' || dom END AS prefix2
+  FROM parts
+)
+SELECT doc_id, url, surt,
+       CAST({_md5u('prefix2')} % {N_SURT_SHARDS} AS BIGINT) AS shard
+FROM built
+"""
+
+
+# ======================================================== IP-range geo join
+#
+# The GeoIP enrichment shape: a SMALL sorted range table (CIDR block ->
+# country) against a LARGE fact stream. The block table is built once on
+# the driver (bounded: N_GEO_BLOCKS rows), broadcast via ray.put, and
+# each batch matches with one np.searchsorted — a broadcast range-lookup
+# instead of an all-to-all range join.
+
+N_GEO_BLOCKS = 64
+_U32 = 1 << 32
+
+
+def _geo_breakpoints() -> np.ndarray:
+    bps = [
+        int(hashlib.md5(f"blk|{i}".encode("utf-8")).hexdigest()[:16], 16) % _U32
+        for i in range(N_GEO_BLOCKS)
+    ]
+    return np.array(sorted(bps), dtype=np.int64)
+
+
+def _ip32(user_ids: np.ndarray) -> np.ndarray:
+    return np.array(
+        [
+            int(hashlib.md5(f"ip|{int(u)}".encode("utf-8")).hexdigest()[:16], 16)
+            % _U32
+            for u in user_ids
+        ],
+        dtype=np.int64,
+    )
+
+
+def q_ip_geo_join(sf_dir: str):
+    """(country, n_events, n_users): per-country event volume after
+    mapping every user's deterministic IPv4 through the breakpoint
+    table; range k (k = number of breakpoints <= ip) is country Ckk.
+
+    Scale shape: breakpoints broadcast ONCE via ray.put (read inside
+    every task, never re-shipped per batch); per-batch (user, country,
+    n) combiner -> ONE coarse exchange on user_id -> in-task per-user
+    collapse -> bounded (<= 65-row) country groupby. A shuffle range
+    join would move every event row; this moves one count per
+    (batch, user)."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    bps_ref = ray.put(_geo_breakpoints())
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size()
+        out.columns = ["user_id", "n"]
+        bps = ray.get(bps_ref)
+        k = np.searchsorted(bps, _ip32(out["user_id"].to_numpy(np.int64)), side="right")
+        out["country"] = [f"C{int(i):02d}" for i in k]
+        return out.astype({"user_id": np.int64, "n": np.int64})
+
+    kd = _with_coarse_group(
+        ev.map_batches(combine, batch_format="pandas"), "user_id"
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["user_id", "country"], as_index=False)["n"].sum()
+        return out.astype({"user_id": np.int64, "n": np.int64})
+
+    users = kd.groupby("_g").map_groups(per_user, batch_format="pandas")
+    return (
+        users.groupby("country")
+        .aggregate(
+            _Sum("n", alias_name="n_events"), _Count("user_id", alias_name="n_users")
+        )
+    )
+
+
+IP_GEO_JOIN_SQL = f"""
+WITH bp AS (
+  SELECT i, CAST({_md5u("'blk|' || CAST(i AS VARCHAR)")} % 4294967296 AS BIGINT) AS b
+  FROM range({N_GEO_BLOCKS}) t(i)
+), ranges AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY b) AS BIGINT) AS k, b AS lo,
+         LEAD(b, 1, 4294967296) OVER (ORDER BY b) AS hi
+  FROM bp
+), allr AS (
+  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS lo,
+         (SELECT MIN(b) FROM bp) AS hi
+  UNION ALL SELECT k, lo, hi FROM ranges
+), ips AS (
+  SELECT user_id,
+         CAST({_md5u("'ip|' || CAST(user_id AS VARCHAR)")} % 4294967296 AS BIGINT) AS ip,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT 'C' || lpad(CAST(r.k AS VARCHAR), 2, '0') AS country,
+       CAST(SUM(i.n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ips i JOIN allr r ON i.ip >= r.lo AND i.ip < r.hi
+GROUP BY 1
+"""
+
+
+WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
+    "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
+    "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),
+}

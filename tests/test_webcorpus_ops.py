@@ -1,0 +1,130 @@
+"""webcorpus_ops semantics on planted fixtures: bitext representative
+pick / pivot pairing / length-ratio boundary, SURT parser edge cases
+(no-sub host, co.uk, query sorting, shard co-location), and ip_geo_join
+range-boundary assignment. Oracle parity at gate scale is covered by
+the driver gate / tools/check_oracles.py."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from europarl_crawler_ray.pipelines.webcorpus_ops import (
+    BITEXT_SESSION_SIZE,
+    _geo_breakpoints,
+    _ip32,
+    _surt_url,
+    q_bitext_align,
+    q_ip_geo_join,
+    q_surt_keys,
+    surt_key,
+)
+
+
+def _write_docs(path, rows):
+    # rows: list of (doc_id, lang, n_chars)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x" * r[2] for r in rows]),
+            "lang": pa.array([r[1] for r in rows]),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, path / "documents.parquet")
+
+
+def _write_events(path, user_ids):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(user_ids)), pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01")] * len(user_ids), pa.timestamp("us")
+            ),
+            "user_id": pa.array(user_ids, pa.int64()),
+            "event_type": pa.array(["e"] * len(user_ids)),
+            "value": pa.array([0.0] * len(user_ids)),
+            "props": pa.array(["{}"] * len(user_ids)),
+        }
+    )
+    pq.write_table(t, path / "events.parquet")
+
+
+class TestBitextAlign:
+    def test_pivot_pairing_and_ratio_filter(self, ray_session, tmp_path):
+        s = BITEXT_SESSION_SIZE
+        # session 0: en rep is min doc_id (0 over 3); de passes ratio,
+        # fr fails (201 > 2*100); session 1: no en -> no pairs.
+        _write_docs(
+            tmp_path,
+            [
+                (3, "en", 100),
+                (0, "en", 100),  # representative (min doc_id)
+                (1, "de", 200),  # 2*100 >= 200 -> kept, ratio_bp 5000
+                (2, "fr", 201),  # 2*100 < 201 -> dropped
+                (s + 1, "de", 50),
+                (s + 2, "fr", 50),
+            ],
+        )
+        df = (
+            q_bitext_align(str(tmp_path))
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        assert df["lang"].tolist() == ["de"]
+        assert df["doc_en"].tolist() == [0]
+        assert df["doc_xx"].tolist() == [1]
+        assert df["ratio_bp"].tolist() == [5000]
+
+    def test_exact_ratio_boundary_kept(self, ray_session, tmp_path):
+        _write_docs(tmp_path, [(0, "en", 100), (1, "zh", 200)])
+        df = q_bitext_align(str(tmp_path)).to_pandas()
+        assert len(df) == 1 and df["ratio_bp"].iloc[0] == 5000
+
+
+class TestSurtKey:
+    def test_parser_families(self):
+        assert (
+            surt_key("https://www.site5.co.uk/p/123?b=2&a=3")
+            == "uk,co,site5,www)/p/123?a=3&b=2"
+        )
+        assert surt_key("https://site4.com/p/4") == "com,site4)/p/4"
+        assert surt_key("https://m.Site2.org/p/2") == "org,site2,m)/p/2"
+
+    def test_shard_colocates_domain(self, ray_session, tmp_path):
+        # doc_ids 0 and 388 share dom=site0 tld=com but different subs
+        # (www vs ''); 388 % 97 == 0, 388 % 3 == 1 -> org, so use 291:
+        # 291 % 97 == 0, 291 % 3 == 0 -> com, sub = ''.
+        _write_docs(tmp_path, [(0, "en", 10), (291, "en", 10)])
+        df = q_surt_keys(str(tmp_path)).to_pandas().sort_values("doc_id")
+        assert _surt_url(0) == "https://www.site0.com/p/0?b=2&a=0"
+        assert df["surt"].tolist() == [
+            "com,site0,www)/p/0?a=0&b=2",
+            "com,site0)/p/291",
+        ]
+        assert df["shard"].iloc[0] == df["shard"].iloc[1]
+        exp = int(hashlib.md5(b"com,site0").hexdigest()[:16], 16) % 16
+        assert df["shard"].iloc[0] == exp
+
+
+class TestIpGeoJoin:
+    def test_range_assignment_matches_searchsorted(self, ray_session, tmp_path):
+        users = [1, 2, 3, 3, 3, 7]
+        _write_events(tmp_path, users)
+        df = q_ip_geo_join(str(tmp_path)).to_pandas()
+        bps = _geo_breakpoints()
+        exp = {}
+        for u in set(users):
+            k = int(np.searchsorted(bps, _ip32(np.array([u]))[0], side="right"))
+            c = f"C{k:02d}"
+            n_ev, n_us = exp.get(c, (0, 0))
+            exp[c] = (n_ev + users.count(u), n_us + 1)
+        got = {
+            r.country: (int(r.n_events), int(r.n_users)) for r in df.itertuples()
+        }
+        assert got == exp
+        assert int(df["n_events"].sum()) == len(users)
