@@ -311,3 +311,60 @@ def extract_anchors(html: str) -> list[tuple[str, str]]:
     p.feed(html)
     p.close()
     return p.anchors
+
+
+class TableExtractor(HTMLParser):
+    """Collect table cells as (row_idx, col_idx, text, is_header) with
+    the same DOM semantics as the other extractors: script/style
+    contents are CDATA (a ``<td>`` inside a script string never opens a
+    cell), comments never surface, and character references inside
+    cells are CONVERTED. ``row_idx`` counts ``<tr>`` per table (reset at
+    ``<table>``); ``col_idx`` counts ``<td>``/``<th>`` per row. An
+    opening ``<td>``/``<th>``/``<tr>`` implicitly closes any open cell
+    (the HTML tree-construction rule browsers apply)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.cells: list[tuple[int, int, str, bool]] = []
+        self._row = -1
+        self._col = -1
+        self._open: bool | None = None  # is_header of the open cell, if any
+        self._parts: list[str] = []
+
+    def _close_cell(self):
+        if self._open is not None:
+            self.cells.append((self._row, self._col, "".join(self._parts), self._open))
+        self._open, self._parts = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._close_cell()
+            self._row = -1
+        elif tag == "tr":
+            self._close_cell()
+            self._row += 1
+            self._col = -1
+        elif tag in ("td", "th"):
+            self._close_cell()
+            self._col += 1
+            self._open = tag == "th"
+
+    def handle_endtag(self, tag):
+        if tag in ("td", "th", "tr", "table"):
+            self._close_cell()
+
+    def handle_data(self, data):
+        if self._open is not None:
+            self._parts.append(data)
+
+    def close(self):
+        super().close()
+        self._close_cell()
+
+
+def extract_table_cells(html: str) -> list[tuple[int, int, str, bool]]:
+    """All (row_idx, col_idx, text, is_header) cells in document order."""
+    p = TableExtractor()
+    p.feed(html)
+    p.close()
+    return p.cells

@@ -324,8 +324,255 @@ GROUP BY 1
 """
 
 
+# ====================================================== table extraction
+#
+# Structured-data harvesting from rendered HTML tables (the WebTables /
+# WDC-corpus shape): each page renders one <table> with a header row,
+# charref-encoded cell text, and script/comment decoys containing fake
+# <td> markup; functions/extract.TableExtractor parses the cells back
+# out. The oracle constructs the expected cells from the generation
+# rule, so any parser slip (decoy leak, charref miss, index drift)
+# breaks the gate.
+
+
+def _table_html(doc_id: int) -> str:
+    n_rows = 2 + doc_id % 4  # header row + 1..4 body rows
+    n_cols = 2 + doc_id % 3
+    parts = [
+        "<html><body>\n<!-- <tr><td>comment decoy</td></tr> -->\n<table>\n  <tr>"
+    ]
+    # header: h{c} with the digit written as a charref (&#48; == '0')
+    parts += [f"<th>h&#{48 + c};</th>" for c in range(n_cols)]
+    parts.append("</tr>\n")
+    for r in range(1, n_rows):
+        parts.append("  <tr>")
+        # body: v{doc}_{r}_{c} with '_' written as &#95;
+        parts += [f"<td>v{doc_id}&#95;{r}_{c}</td>" for c in range(n_cols)]
+        parts.append("</tr>\n")
+    parts.append(
+        '</table>\n<script>var x = "<td>script decoy</td>";</script>\n</body></html>'
+    )
+    return "".join(parts)
+
+
+def q_table_extract(sf_dir: str):
+    """(doc_id, row_idx, col_idx, cell, is_header): long-format cell
+    table from every page's rendered <table>.
+
+    Scale shape: a pure per-batch map (render -> parse -> fan out) — no
+    exchange; output rows ~10x input rows, which the streaming executor
+    absorbs block-by-block (no driver materialization)."""
+    from ..functions.extract import extract_table_cells
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        ids, rs, cs, cells, hdrs = [], [], [], [], []
+        for i in df["doc_id"].to_numpy(np.int64):
+            for r, c, text, is_h in extract_table_cells(_table_html(int(i))):
+                ids.append(i)
+                rs.append(r)
+                cs.append(c)
+                cells.append(text)
+                hdrs.append(1 if is_h else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "row_idx": pd.Series(rs, dtype=np.int64),
+                "col_idx": pd.Series(cs, dtype=np.int64),
+                "cell": pd.Series(cells, dtype=object),
+                "is_header": pd.Series(hdrs, dtype=np.int64),
+            }
+        )
+
+    return d.map_batches(extract, batch_format="pandas")
+
+
+TABLE_EXTRACT_SQL = """
+SELECT doc_id, r AS row_idx, c AS col_idx,
+  CASE WHEN r = 0 THEN 'h' || CAST(c AS VARCHAR)
+       ELSE 'v' || CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)
+                || '_' || CAST(c AS VARCHAR) END AS cell,
+  CASE WHEN r = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_header
+FROM documents,
+     unnest(range(2 + doc_id % 4)) t(r),
+     unnest(range(2 + doc_id % 3)) u(c)
+"""
+
+
+# ==================================================== charset detection
+#
+# The web serves bytes, not text: a crawler's normalize stage must sniff
+# the encoding (BOM, then UTF-8 validation, then a legacy fallback) and
+# decode to one canonical UTF-8 text column. The corpus stores each
+# page's bytes in one of three encodings; the detector must name the
+# charset AND round-trip the text md5-exactly.
+
+_CHARSETS = ["utf-16-le", "utf-8-sig", "utf-8"]
+
+
+def encode_page(text: str, enc_class: int) -> bytes:
+    if enc_class == 0:
+        return b"\xff\xfe" + text.encode("utf-16-le")
+    if enc_class == 1:
+        return b"\xef\xbb\xbf" + text.encode("utf-8")
+    return text.encode("utf-8")
+
+
+def detect_decode(raw: bytes) -> tuple[str, str]:
+    """(charset, text): BOM sniff -> UTF-8 validation -> latin-1
+    fallback (the WHATWG encoding-sniff order, legacy tail simplified;
+    the fallback never mis-fires on the corpus rule but is pinned by
+    unit tests)."""
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le", raw[2:].decode("utf-16-le")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", raw[3:].decode("utf-8")
+    try:
+        return "utf-8", raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return "latin-1", raw.decode("latin-1")
+
+
+def q_charset_normalize(sf_dir: str):
+    """(doc_id, charset, n_bytes, text_md5): detected charset, raw byte
+    length, and md5 of the decoded text — a wrong detection or a lossy
+    decode changes text_md5.
+
+    Scale shape: two chained per-batch maps (encode = the storage side,
+    sniff+decode = the operator) — no exchange, binary column never
+    leaves the task."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        raw = [
+            encode_page(t, int(i) % 3) for i, t in zip(ids, df["text"].tolist())
+        ]
+        return pd.DataFrame({"doc_id": ids, "raw": pd.Series(raw, dtype=object)})
+
+    def sniff(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        out_cs, out_nb, out_md5 = [], [], []
+        for raw in df["raw"].tolist():
+            raw = bytes(raw)
+            cs, text = detect_decode(raw)
+            out_cs.append(cs)
+            out_nb.append(len(raw))
+            out_md5.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "charset": pd.Series(out_cs, dtype=object),
+                "n_bytes": pd.Series(out_nb, dtype=np.int64),
+                "text_md5": pd.Series(out_md5, dtype=object),
+            }
+        )
+
+    return d.map_batches(encode, batch_format="pandas").map_batches(
+        sniff, batch_format="pandas"
+    )
+
+
+CHARSET_NORMALIZE_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'utf-16-le' WHEN 1 THEN 'utf-8-sig'
+       ELSE 'utf-8' END AS charset,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 2 + 2 * strlen(text)
+       WHEN 1 THEN 3 + strlen(text) ELSE strlen(text) END AS BIGINT) AS n_bytes,
+  md5(text) AS text_md5
+FROM documents
+"""
+
+
+# ======================================================== MIME sniffing
+#
+# WHATWG-style content-type sniffing over raw payload bytes: exact magic
+# numbers for binary formats, leading-whitespace-skipped case-insensitive
+# tag match for HTML, and a binary-byte scan deciding text/plain vs
+# octet-stream. The corpus plants one payload family per doc_id % 6.
+
+_MIME_MAGICS: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"%PDF-", "application/pdf"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"BM", "image/bmp"),
+]
+_BINARY_BYTES = frozenset(range(0x00, 0x09)) | {0x0B} | frozenset(range(0x0E, 0x1B)) | {
+    0x1C,
+    0x1D,
+    0x1E,
+    0x1F,
+}
+
+
+def sniff_mime(raw: bytes) -> str:
+    """WHATWG mime-sniff (trimmed): magic table, then whitespace-skipped
+    HTML tag match, then the binary-data-byte rule."""
+    for magic, mime in _MIME_MAGICS:
+        if raw[: len(magic)] == magic:
+            return mime
+    stripped = raw.lstrip(b"\t\n\x0c\r ")
+    up = stripped[:15].upper()
+    if up.startswith(b"<!DOCTYPE HTML") or up.startswith(b"<HTML"):
+        return "text/html"
+    if any(b in _BINARY_BYTES for b in raw[:512]):
+        return "application/octet-stream"
+    return "text/plain"
+
+
+def _mime_payload(doc_id: int, text: str) -> bytes:
+    filler = hashlib.md5(f"mime|{doc_id}".encode("utf-8")).digest()
+    fam = doc_id % 6
+    if fam == 0:
+        return b"\x89PNG\r\n\x1a\n" + filler
+    if fam == 1:
+        return b"BM" + filler
+    if fam == 2:
+        return b"\x1f\x8b\x08" + filler
+    if fam == 3:
+        return b"%PDF-1.5\n" + filler
+    if fam == 4:
+        return b"\n\t  <!doctype html><html><body>x</body></html>"
+    return text.encode("utf-8")
+
+
+def q_mime_sniff(sf_dir: str):
+    """(doc_id, mime): sniffed content type of each page's payload.
+
+    Scale shape: pure per-batch map, binary payloads built and consumed
+    inside the task (the fetch-side dispatch gate that routes a payload
+    to the right extract stage)."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sniff(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        mimes = [
+            sniff_mime(_mime_payload(int(i), t))
+            for i, t in zip(ids, df["text"].tolist())
+        ]
+        return pd.DataFrame(
+            {"doc_id": ids, "mime": pd.Series(mimes, dtype=object)}
+        )
+
+    return d.map_batches(sniff, batch_format="pandas")
+
+
+MIME_SNIFF_SQL = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+    WHEN 2 THEN 'application/gzip' WHEN 3 THEN 'application/pdf'
+    WHEN 4 THEN 'text/html' ELSE 'text/plain' END AS mime
+FROM documents
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),
+    "table_extract": (q_table_extract, TABLE_EXTRACT_SQL),
+    "charset_normalize": (q_charset_normalize, CHARSET_NORMALIZE_SQL),
+    "mime_sniff": (q_mime_sniff, MIME_SNIFF_SQL),
 }

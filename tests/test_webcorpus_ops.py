@@ -11,14 +11,19 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from europarl_crawler_ray.functions.extract import extract_table_cells
 from europarl_crawler_ray.pipelines.webcorpus_ops import (
     BITEXT_SESSION_SIZE,
     _geo_breakpoints,
     _ip32,
     _surt_url,
+    _table_html,
+    detect_decode,
+    encode_page,
     q_bitext_align,
     q_ip_geo_join,
     q_surt_keys,
+    sniff_mime,
     surt_key,
 )
 
@@ -128,3 +133,50 @@ class TestIpGeoJoin:
         }
         assert got == exp
         assert int(df["n_events"].sum()) == len(users)
+
+
+class TestTableExtractor:
+    def test_decoys_charrefs_and_indices(self):
+        cells = extract_table_cells(_table_html(7))  # 5 rows x 3 cols
+        assert len(cells) == 15
+        assert cells[0] == (0, 0, "h0", True)
+        assert cells[-1] == (4, 2, "v7_4_2", False)
+        assert all("decoy" not in c[2] for c in cells)
+
+    def test_implicit_cell_close_and_table_reset(self):
+        html = (
+            "<table><tr><td>a<td>b</tr></table>"
+            "<table><tr><th>c</th></tr></table>"
+        )
+        assert extract_table_cells(html) == [
+            (0, 0, "a", False),
+            (0, 1, "b", False),
+            (0, 0, "c", True),
+        ]
+
+
+class TestCharset:
+    def test_roundtrip_all_classes(self):
+        for enc_class, name in [(0, "utf-16-le"), (1, "utf-8-sig"), (2, "utf-8")]:
+            cs, text = detect_decode(encode_page("héllo 世", enc_class))
+            assert (cs, text) == (name, "héllo 世")
+
+    def test_latin1_fallback(self):
+        cs, text = detect_decode(b"caf\xe9")  # invalid utf-8 continuation
+        assert (cs, text) == ("latin-1", "café")
+
+
+class TestMimeSniff:
+    def test_magic_and_whitespace_html(self):
+        assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
+        assert sniff_mime(b"BM\x00\x01") == "image/bmp"
+        assert sniff_mime(b"\x1f\x8b\x08rest") == "application/gzip"
+        assert sniff_mime(b"%PDF-1.4") == "application/pdf"
+        assert sniff_mime(b"  \n<!DOCTYPE html>") == "text/html"
+        assert sniff_mime(b"\t<HtMl><body>") == "text/html"
+
+    def test_binary_vs_plain(self):
+        assert sniff_mime(b"plain words\n") == "text/plain"
+        assert sniff_mime(b"has\x00nul") == "application/octet-stream"
+        # a <td> fragment is NOT html per the tag table
+        assert sniff_mime(b"<td>cell</td>") == "text/plain"
