@@ -568,7 +568,198 @@ FROM documents
 """
 
 
+# ====================================================== record linkage
+#
+# Entity resolution with blocking: each customer yields two records (the
+# clean name and a deterministic mid-serial typo), records are blocked
+# on the typo-stable name suffix, and every in-block pair within
+# Levenshtein distance 2 is a linkage candidate. same_entity carries the
+# ground truth so the output doubles as a precision measurement — the
+# classic blocking-recall/threshold-precision trade every dedup-by-name
+# pipeline tunes.
+
+LINKAGE_MAX_DIST = 2
+
+
+def _typo_name(name: str, custkey: int) -> str:
+    pos = 9 + custkey % 6  # inside the 9-digit serial, last 3 chars intact
+    return name[:pos] + "x" + name[pos + 1 :]
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Two-row DP edit distance (Wagner-Fischer — public algorithm)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def q_record_linkage(sf_dir: str):
+    """(rec_a, rec_b, dist, same_entity): all in-block record pairs with
+    edit distance <= 2; same_entity = 1 when both records belong to one
+    customer (the blocking key also admits near-serial FALSE candidates
+    that the threshold must judge).
+
+    Scale shape: variant fan-out in the read map; ONE coarse exchange on
+    the block key; pairwise DP only INSIDE blocks (blocks are suffix-3
+    groups, ~N/1000 records each — quadratic work stays bounded and
+    local, the whole point of blocking)."""
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["c_custkey"].to_numpy(np.int64)
+        names = df["c_name"].tolist()
+        typo = [_typo_name(n, int(k)) for n, k in zip(names, ck)]
+        out = pd.DataFrame(
+            {
+                "custkey": np.concatenate([ck, ck]),
+                "rec_id": np.concatenate([2 * ck, 2 * ck + 1]),
+                "name": names + typo,
+            }
+        )
+        out["block"] = [n[15:18] for n in out["name"]]
+        return out
+
+    kd = _with_coarse_group(
+        c.map_batches(variants, batch_format="pandas"), "block"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ra, rb, dist, same = [], [], [], []
+        for _, blk in g.groupby("block"):
+            recs = sorted(
+                zip(blk["rec_id"].to_numpy(np.int64), blk["name"], blk["custkey"])
+            )
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = levenshtein(recs[i][1], recs[j][1])
+                    if d <= LINKAGE_MAX_DIST:
+                        ra.append(recs[i][0])
+                        rb.append(recs[j][0])
+                        dist.append(d)
+                        same.append(1 if recs[i][2] == recs[j][2] else 0)
+        return pd.DataFrame(
+            {
+                "rec_a": pd.Series(ra, dtype=np.int64),
+                "rec_b": pd.Series(rb, dtype=np.int64),
+                "dist": pd.Series(dist, dtype=np.int64),
+                "same_entity": pd.Series(same, dtype=np.int64),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(pairs, batch_format="pandas")
+
+
+RECORD_LINKAGE_SQL = f"""
+WITH recs AS (
+  SELECT c_custkey AS custkey, 2 * c_custkey AS rec_id, c_name AS name
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2 * c_custkey + 1,
+         substr(c_name, 1, 9 + c_custkey % 6) || 'x'
+           || substr(c_name, 11 + c_custkey % 6)
+  FROM customer
+)
+SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       CAST(CASE WHEN a.custkey = b.custkey THEN 1 ELSE 0 END AS BIGINT)
+         AS same_entity
+FROM recs a JOIN recs b
+  ON substr(a.name, 16, 3) = substr(b.name, 16, 3) AND a.rec_id < b.rec_id
+WHERE levenshtein(a.name, b.name) <= {LINKAGE_MAX_DIST}
+"""
+
+
+# ====================================================== badword filter
+#
+# Multi-pattern lexicon scan (the safety/blocklist content filter): a
+# from-scratch Aho-Corasick automaton (functions/ahocorasick.py) counts
+# every occurrence of every lexicon pattern in one pass per document —
+# including NESTED patterns ('scan' also fires 'can'). Patterns are
+# chosen borderless (no proper prefix = suffix), so occurrences cannot
+# overlap *themselves* and the SQL non-overlapping replace-count is
+# exact.
+
+BADWORD_LEXICON = [
+    "sort",
+    "or",
+    "merge",
+    "erg",
+    "slow",
+    "low",
+    "dup",
+    "batch",
+    "at",
+    "scan",
+    "can",
+]
+BADWORD_FLAG_MIN = 12
+
+
+class BadwordScanner:
+    """Actor-pool stage: automaton built ONCE per actor in __init__."""
+
+    def __init__(self):
+        from ..functions.ahocorasick import AhoCorasick
+
+        self._ac = AhoCorasick(BADWORD_LEXICON)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.stack(
+            [self._ac.count_matches(t) for t in df["text"].tolist()]
+        )
+        n_hits = counts.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_hits": n_hits.astype(np.int64),
+                "n_patterns": (counts > 0).sum(axis=1).astype(np.int64),
+                "flagged": (n_hits >= BADWORD_FLAG_MIN).astype(np.int64),
+            }
+        )
+
+
+def q_badword_filter(sf_dir: str):
+    """(doc_id, n_hits, n_patterns, flagged): per-document lexicon hit
+    totals from one Aho-Corasick pass.
+
+    Scale shape: stateful actor pool (automaton construction amortized
+    across batches), no exchange; matching is O(text length) regardless
+    of lexicon size — the property that makes AC the blocklist scanner
+    at 100 TB where per-pattern regex passes are O(patterns x text)."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return d.map_batches(
+        BadwordScanner, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+def _badword_sql() -> str:
+    per = [
+        f"(strlen(text) - strlen(replace(text, '{p}', ''))) // {len(p)}"
+        for p in BADWORD_LEXICON
+    ]
+    hits = " + ".join(per)
+    distinct = " + ".join(f"CASE WHEN {c} > 0 THEN 1 ELSE 0 END" for c in per)
+    return f"""
+SELECT doc_id,
+  CAST({hits} AS BIGINT) AS n_hits,
+  CAST({distinct} AS BIGINT) AS n_patterns,
+  CAST(CASE WHEN {hits} >= {BADWORD_FLAG_MIN} THEN 1 ELSE 0 END AS BIGINT)
+    AS flagged
+FROM documents
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
+    "badword_filter": (q_badword_filter, _badword_sql()),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

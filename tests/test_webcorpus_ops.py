@@ -166,6 +166,61 @@ class TestCharset:
         assert (cs, text) == ("latin-1", "café")
 
 
+class TestAhoCorasick:
+    def test_nested_and_overlapping_counts(self):
+        from europarl_crawler_ray.functions.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["scan", "can", "a", "aa"])
+        got = dict(zip(["scan", "can", "a", "aa"], ac.count_matches("scan aaa")))
+        # 'aa' in 'aaa' overlaps itself: positions 0-1 and 1-2 both count
+        assert got == {"scan": 1, "can": 1, "a": 4, "aa": 2}
+
+    def test_fail_links_across_patterns(self):
+        from europarl_crawler_ray.functions.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["ab", "bc", "abc"])
+        assert ac.count_matches("zabcz").tolist() == [1, 1, 1]
+
+    def test_matches_re_on_borderless_lexicon(self):
+        import re
+
+        from europarl_crawler_ray.functions.ahocorasick import AhoCorasick
+        from europarl_crawler_ray.pipelines.webcorpus_ops import BADWORD_LEXICON
+
+        text = "sort or merge slow dup batch at scan can sorter lowlands"
+        ac = AhoCorasick(BADWORD_LEXICON)
+        got = ac.count_matches(text)
+        for p, n in zip(BADWORD_LEXICON, got):
+            assert n == len(re.findall(f"(?={re.escape(p)})", text)), p
+
+
+class TestRecordLinkage:
+    def test_levenshtein_dp(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import levenshtein
+
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("", "abc") == 3
+        assert levenshtein("abc", "abc") == 0
+
+    def test_true_pairs_present_with_dist_one(self, ray_session, tmp_path):
+        t = pa.table(
+            {
+                "c_custkey": pa.array([0, 1], pa.int64()),
+                "c_name": pa.array(["Customer#000000000", "Customer#000000001"]),
+            }
+        )
+        pq.write_table(t, tmp_path / "customer.parquet")
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_record_linkage
+
+        df = q_record_linkage(str(tmp_path)).to_pandas()
+        true_pairs = df[df["same_entity"] == 1]
+        assert set(zip(true_pairs["rec_a"], true_pairs["rec_b"])) == {
+            (0, 1),
+            (2, 3),
+        }
+        assert (true_pairs["dist"] == 1).all()
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
