@@ -194,6 +194,7 @@ def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.sketch_ops import SKETCH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
 
     SQL_QUERIES = {
         **SQL_QUERIES,
@@ -205,6 +206,7 @@ def bench_queries(sf_dir: str) -> dict:
         **SKETCH_SQL_QUERIES,
         **WEBTEXT_SQL_QUERIES,
         **CURATION_SQL_QUERIES,
+        **WEBCORPUS_SQL_QUERIES,
     }
 
     out = {}

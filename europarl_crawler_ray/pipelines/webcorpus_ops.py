@@ -757,9 +757,308 @@ FROM documents
 """
 
 
+# ================================================== winnowing fingerprints
+#
+# Local document fingerprinting by winnowing (Schleimer, Wilkerson &
+# Aiken, SIGMOD 2003 — the MOSS algorithm, public): hash every K-gram,
+# slide a W-hash window, keep the RIGHTMOST minimal hash per window; the
+# selected set is position-insensitive and guarantees any shared
+# substring of length >= K + W - 1 shares a fingerprint. Complements the
+# rolling-hash fingerprint_docs and MinHash ops with the
+# guaranteed-detection sketch.
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # window size (hashes)
+
+
+def winnow_select(hashes: np.ndarray, w: int = WINNOW_W) -> np.ndarray:
+    """Distinct selected gram positions (sorted). Rightmost-min rule;
+    fewer than ``w`` hashes selects nothing (documents here are far
+    longer; pinned by unit tests)."""
+    n = len(hashes) - w + 1
+    if n < 1:
+        return np.empty(0, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)[:n]
+    # rightmost argmin = (w-1) - argmin over the reversed window
+    right = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+    return np.unique(np.arange(n, dtype=np.int64) + right)
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    """(doc_id, n_grams, n_windows, n_selected, density_bp): winnowing
+    fingerprint statistics per document; density_bp = selected grams per
+    10k windows (the 2/(W+1) expected-density law made measurable).
+
+    Scale shape: pure per-batch map — the K-gram hash pass and the
+    vectorized sliding-window argmin never leave the task; a cross-doc
+    match join on selected hashes would be the dup_ngram_coverage
+    exchange shape."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def winnow(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ng, nw, ns, dens = [], [], [], []
+        for t in df["text"].tolist():
+            grams = max(0, len(t) - WINNOW_K + 1)
+            hs = np.array(
+                [
+                    int(
+                        hashlib.md5(
+                            ("wf|" + t[i : i + WINNOW_K]).encode("utf-8")
+                        ).hexdigest()[:16],
+                        16,
+                    )
+                    for i in range(grams)
+                ],
+                dtype=np.uint64,
+            )
+            sel = winnow_select(hs)
+            wins = max(0, grams - WINNOW_W + 1)
+            ng.append(grams)
+            nw.append(wins)
+            ns.append(len(sel))
+            dens.append(10000 * len(sel) // wins if wins else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_grams": pd.Series(ng, dtype=np.int64),
+                "n_windows": pd.Series(nw, dtype=np.int64),
+                "n_selected": pd.Series(ns, dtype=np.int64),
+                "density_bp": pd.Series(dens, dtype=np.int64),
+            }
+        )
+
+    return d.map_batches(winnow, batch_format="pandas")
+
+
+WINNOW_FINGERPRINT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, strlen(text) - {WINNOW_K - 1} AS n_grams FROM documents
+), pos AS (
+  SELECT doc_id, n_grams, i,
+         {_md5u(f"'wf|' || substr(text, CAST(i AS INTEGER) + 1, {WINNOW_K})")} AS h
+  FROM d, unnest(range(n_grams)) t(i)
+), expand AS (
+  SELECT doc_id, n_grams, i, h, i - k AS j
+  FROM pos, unnest(range({WINNOW_W})) u(k)
+  WHERE i - k BETWEEN 0 AND n_grams - {WINNOW_W}
+), sel AS (
+  SELECT doc_id, n_grams, j, i,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
+  FROM expand
+)
+SELECT doc_id,
+  CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+  CAST(MAX(n_grams) - {WINNOW_W - 1} AS BIGINT) AS n_windows,
+  CAST(COUNT(DISTINCT CASE WHEN rn = 1 THEN i END) AS BIGINT) AS n_selected,
+  CAST(10000 * COUNT(DISTINCT CASE WHEN rn = 1 THEN i END)
+       // (MAX(n_grams) - {WINNOW_W - 1}) AS BIGINT) AS density_bp
+FROM sel GROUP BY doc_id
+"""
+
+
+# ===================================================== crawl-trap filter
+#
+# The frontier's trap heuristics: kill URLs with runaway path depth,
+# self-repeating segments (symlink/faceted-nav loops), stacked calendar
+# dates (infinite archive pages), and volatile session-id params. One
+# verdict per URL with rule precedence depth > loop > calendar >
+# session; the corpus plants one family per doc_id % 5 and the oracle is
+# the decision table (the Ray side PARSES the url).
+
+TRAP_MAX_DEPTH = 8
+_DATE_RE = None  # segments checked numerically, no regex needed
+
+
+def classify_trap(url: str) -> str:
+    rest = url.split("://", 1)[1]
+    path_q = rest.partition("/")[2]
+    path, _, query = path_q.partition("?")
+    segs = [s for s in path.split("/") if s]
+    if len(segs) > TRAP_MAX_DEPTH:
+        return "depth"
+    run, prev = 1, None
+    for s in segs:
+        run = run + 1 if s == prev else 1
+        prev = s
+        if run >= 3:
+            return "loop"
+    triples = 0
+    for a, b, c in zip(segs, segs[1:], segs[2:]):
+        if (
+            len(a) == 4
+            and a.isdigit()
+            and 1900 <= int(a) <= 2099
+            and len(b) == 2
+            and b.isdigit()
+            and 1 <= int(b) <= 12
+            and len(c) == 2
+            and c.isdigit()
+            and 1 <= int(c) <= 31
+        ):
+            triples += 1
+    if triples >= 2:
+        return "calendar"
+    for kv in query.split("&") if query else []:
+        v = kv.partition("=")[2]
+        if len(v) == 32 and all(ch in "0123456789abcdef" for ch in v):
+            return "session"
+    return "ok"
+
+
+def _trap_url(doc_id: int) -> str:
+    host = f"https://site{doc_id % 7}.com"
+    fam = doc_id % 5
+    if fam == 0:
+        return f"{host}/a/b/c{doc_id}"
+    if fam == 1:
+        return host + "".join(f"/s{doc_id}x{k}" for k in range(12))
+    if fam == 2:
+        return f"{host}/cat/x/x/x/page{doc_id}"
+    if fam == 3:
+        return f"{host}/2024/01/05/2024/01/06/post{doc_id}"
+    sid = hashlib.md5(f"sid|{doc_id}".encode("utf-8")).hexdigest()
+    return f"{host}/page{doc_id}?sid={sid}"
+
+
+def q_crawl_trap_filter(sf_dir: str):
+    """(doc_id, url, verdict): trap classification per frontier URL.
+
+    Scale shape: pure per-batch map, sits in the frontier expand stage
+    before the seen-set exchange — every URL killed here never costs a
+    shuffle slot downstream."""
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        urls = [_trap_url(int(i)) for i in ids]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "url": pd.Series(urls, dtype=object),
+                "verdict": pd.Series(
+                    [classify_trap(u) for u in urls], dtype=object
+                ),
+            }
+        )
+
+    return d.map_batches(classify, batch_format="pandas")
+
+
+def _crawl_trap_sql() -> str:
+    segs = " || ".join(
+        f"'/s' || CAST(doc_id AS VARCHAR) || 'x{k}'" for k in range(12)
+    )
+    return f"""
+SELECT doc_id,
+  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+  CASE doc_id % 5
+    WHEN 0 THEN '/a/b/c' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN {segs}
+    WHEN 2 THEN '/cat/x/x/x/page' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN '/2024/01/05/2024/01/06/post' || CAST(doc_id AS VARCHAR)
+    ELSE '/page' || CAST(doc_id AS VARCHAR) || '?sid='
+         || md5('sid|' || CAST(doc_id AS VARCHAR))
+  END AS url,
+  CASE doc_id % 5
+    WHEN 0 THEN 'ok' WHEN 1 THEN 'depth' WHEN 2 THEN 'loop'
+    WHEN 3 THEN 'calendar' ELSE 'session' END AS verdict
+FROM documents
+"""
+
+
+# ====================================================== activity trend
+#
+# Per-entity OLS slope over time, integer-exact: with x = epoch day and
+# y = integer cents, the least-squares slope is the RATIONAL
+# (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); emitting numerator and denominator
+# as int64 sidesteps float division entirely (the decayed_counts
+# philosophy applied to regression). The per-key feature-engineering
+# shape every engagement/churn model computes.
+
+
+def q_activity_trend(sf_dir: str):
+    """(user_id, n, slope_num, slope_den, trend): exact rational OLS
+    slope of value-cents over epoch-day per user; trend = sign(num)
+    (den >= 0 always; 0 when a user's events share one day).
+
+    Scale shape: the five sums are a per-batch combiner (one row per
+    (batch, user)) -> ONE coarse exchange on user_id -> in-task sum;
+    bodies/timestamps reduce to 40 bytes per user before the wire."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].astype("int64").to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        y = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        ).groupby("user_id", as_index=False).sum()
+        return g.astype(np.int64)
+
+    kd = _with_coarse_group(
+        ev.map_batches(partial, batch_format="pandas"), "user_id"
+    )
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", as_index=False)[
+            ["n", "sx", "sy", "sxx", "sxy"]
+        ].sum()
+        n = s["n"].to_numpy(np.int64)
+        num = n * s["sxy"].to_numpy(np.int64) - s["sx"].to_numpy(
+            np.int64
+        ) * s["sy"].to_numpy(np.int64)
+        den = n * s["sxx"].to_numpy(np.int64) - s["sx"].to_numpy(np.int64) ** 2
+        return pd.DataFrame(
+            {
+                "user_id": s["user_id"].to_numpy(np.int64),
+                "n": n,
+                "slope_num": num,
+                "slope_den": den,
+                "trend": np.sign(num).astype(np.int64),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(reduce, batch_format="pandas")
+
+
+ACTIVITY_TREND_SQL = """
+WITH e AS (
+  -- DuckDB's // on DOUBLE is plain division: floor explicitly
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sy,
+         CAST(SUM(d * d) AS BIGINT) AS sxx,
+         CAST(SUM(d * c) AS BIGINT) AS sxy
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+FROM s
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
+    "winnow_fingerprint": (q_winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
+    "crawl_trap_filter": (q_crawl_trap_filter, _crawl_trap_sql()),
+    "activity_trend": (q_activity_trend, ACTIVITY_TREND_SQL),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

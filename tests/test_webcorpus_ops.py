@@ -221,6 +221,117 @@ class TestRecordLinkage:
         assert (true_pairs["dist"] == 1).all()
 
 
+class TestWinnowing:
+    def test_rightmost_min_and_dedup(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import winnow_select
+
+        # windows of [5,2,8,2,9] with w=3: min of [5,2,8]=2@1,
+        # [2,8,2]=2 rightmost @3, [8,2,9]=2@3 -> selected {1,3}
+        sel = winnow_select(np.array([5, 2, 8, 2, 9], dtype=np.uint64), w=3)
+        assert sel.tolist() == [1, 3]
+
+    def test_guarantee_shared_substring_shares_fingerprint(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            WINNOW_K,
+            WINNOW_W,
+        )
+
+        # any shared substring of length >= K+W-1 must share a selected
+        # gram hash between the two docs (the winnowing guarantee)
+        import hashlib as h
+
+        common = "zqxwvutsrqponmlk"  # K+W-1 = 11 <= 16
+        a, b = "AAAA" + common + "BBBB", "CCCCCC" + common + "DD"
+
+        def fps(t):
+            from europarl_crawler_ray.pipelines.webcorpus_ops import (
+                winnow_select,
+            )
+
+            hs = np.array(
+                [
+                    int(
+                        h.md5(("wf|" + t[i : i + WINNOW_K]).encode()).hexdigest()[
+                            :16
+                        ],
+                        16,
+                    )
+                    for i in range(len(t) - WINNOW_K + 1)
+                ],
+                dtype=np.uint64,
+            )
+            return {int(hs[p]) for p in winnow_select(hs)}
+
+        assert fps(a) & fps(b)
+
+    def test_too_short_selects_nothing(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import winnow_select
+
+        assert winnow_select(np.array([3, 1], dtype=np.uint64), w=4).size == 0
+
+
+class TestCrawlTrap:
+    def test_rule_families_and_precedence(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import classify_trap
+
+        assert classify_trap("https://h.com/a/b/c") == "ok"
+        assert classify_trap("https://h.com/" + "/".join("abcdefghi")) == "depth"
+        assert classify_trap("https://h.com/cat/x/x/x/p") == "loop"
+        assert (
+            classify_trap("https://h.com/2024/01/05/2024/01/06/post")
+            == "calendar"
+        )
+        assert classify_trap("https://h.com/p?sid=" + "a1" * 16) == "session"
+        # precedence: depth beats loop when both fire
+        deep_loop = "https://h.com/" + "/".join(["x"] * 10)
+        assert classify_trap(deep_loop) == "depth"
+        # near-misses stay ok
+        assert classify_trap("https://h.com/2024/13/05/2024/01/06/p") == "ok"
+        assert classify_trap("https://h.com/p?sid=" + "g" * 32) == "ok"
+        assert classify_trap("https://h.com/x/x/y/x/p") == "ok"
+
+
+class TestActivityTrend:
+    def test_exact_rational_slope(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_activity_trend
+
+        # user 1: y rises 100 cents/day over 3 days -> num>0;
+        # user 2: single day -> den 0, trend 0
+        rows = [
+            (1, "2024-01-01", 1.00),
+            (1, "2024-01-02", 2.00),
+            (1, "2024-01-03", 3.00),
+            (2, "2024-01-01", 5.00),
+            (2, "2024-01-01", 1.00),
+        ]
+        _write_events_valued(tmp_path, rows)
+        df = (
+            q_activity_trend(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        # user 1: n=3, days d,d+1,d+2, cents 100,200,300
+        # num = 3*Sxy - Sx*Sy = 600 exactly (slope*den: 100 * 6)
+        assert df.loc[1, "slope_num"] == 600 and df.loc[1, "slope_den"] == 6
+        assert df.loc[1, "trend"] == 1
+        assert df.loc[2, "slope_den"] == 0 and df.loc[2, "trend"] == 0
+
+
+def _write_events_valued(path, rows):
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows)),
+            "value": pa.array([r[2] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, path / "events.parquet")
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
