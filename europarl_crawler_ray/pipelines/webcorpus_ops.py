@@ -1053,12 +1053,149 @@ FROM s
 """
 
 
+# ================================================ consistent-hash ring
+#
+# The placement function a 256-node seen-set / cache tier uses: N nodes
+# x V virtual nodes hash onto a ring; a key is owned by the successor
+# vnode (first ring hash >= key hash, wrapping to the minimum). Adding
+# or removing one node relocates only ~1/N of the keys — the property
+# that makes frontier-shard rebalancing cheap mid-crawl.
+
+CH_NODES = 8
+CH_VNODES = 16
+
+
+def _ring_points() -> tuple[np.ndarray, np.ndarray]:
+    """(sorted ring hashes, owning node per point)."""
+    hs, owners = [], []
+    for n in range(CH_NODES):
+        for v in range(CH_VNODES):
+            hs.append(
+                int(hashlib.md5(f"ring|{n}|{v}".encode("utf-8")).hexdigest()[:16], 16)
+            )
+            owners.append(n)
+    order = np.argsort(np.array(hs, dtype=np.uint64), kind="stable")
+    return (
+        np.array(hs, dtype=np.uint64)[order],
+        np.array(owners, dtype=np.int64)[order],
+    )
+
+
+def q_consistent_hash_assign(sf_dir: str):
+    """(doc_id, node): successor-vnode ring placement of every doc key.
+
+    Scale shape: the ring (N*V rows, bounded) is built on the driver and
+    broadcast ONCE via ray.put; each batch places its keys with one
+    np.searchsorted — placement is a pure map, no exchange, which is
+    exactly why consistent hashing is the router shape: any task can
+    place any key with 128 longs of state."""
+    ring_ref = ray.put(_ring_points())
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ring_h, ring_n = ray.get(ring_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        kh = np.array(
+            [
+                int(hashlib.md5(f"key|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        idx = np.searchsorted(ring_h, kh, side="left")  # first point >= key
+        idx[idx == len(ring_h)] = 0  # wrap to the ring minimum
+        return pd.DataFrame({"doc_id": ids, "node": ring_n[idx]})
+
+    return d.map_batches(assign, batch_format="pandas")
+
+
+CONSISTENT_HASH_SQL = f"""
+WITH ring AS (
+  SELECT n, {_md5u("'ring|' || CAST(n AS VARCHAR) || '|' || CAST(v AS VARCHAR)")} AS h
+  FROM range({CH_NODES}) t(n), range({CH_VNODES}) u(v)
+), keys AS (
+  SELECT doc_id, {_md5u("'key|' || CAST(doc_id AS VARCHAR)")} AS kh FROM documents
+)
+SELECT k.doc_id AS doc_id,
+  CAST(COALESCE(
+    (SELECT arg_min(r.n, r.h) FROM ring r WHERE r.h >= k.kh),
+    (SELECT arg_min(r.n, r.h) FROM ring r)) AS BIGINT) AS node
+FROM keys k
+"""
+
+
+# ===================================================== Z-order indexing
+#
+# Morton-curve clustering (the Delta-Lake/Iceberg Z-ORDER shape): bit-
+# interleave (user_id, epoch_day) so ranges of the curve are rectangles
+# in key space — a reader filtering on EITHER dimension prunes most
+# files. file_id = top 6 curve bits = the 64-way range partition a
+# writer would emit.
+
+ZORDER_BITS = 16
+ZORDER_FILES_SHIFT = 2 * ZORDER_BITS - 6  # top 6 bits -> 64 files
+
+
+def zorder_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave the low 16 bits of x (even positions) and y (odd)."""
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(ZORDER_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def q_zorder_index(sf_dir: str):
+    """(event_id, zkey, file_id): Morton key of (user_id, epoch day) and
+    the 64-way curve-range file assignment.
+
+    Scale shape: pure vectorized per-batch map (16 shift/or passes);
+    the subsequent cluster-write is the terasort exchange on zkey
+    already demonstrated by epoch_shuffle."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def zorder(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["user_id"].to_numpy(np.int64) % (1 << ZORDER_BITS)
+        y = (
+            df["ts"].astype("int64").to_numpy() // 86_400_000_000
+        ) % (1 << ZORDER_BITS)
+        z = zorder_interleave(x, y)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "zkey": z,
+                "file_id": z >> ZORDER_FILES_SHIFT,
+            }
+        )
+
+    return ev.map_batches(zorder, batch_format="pandas")
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id % {1 << ZORDER_BITS} AS x,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % {1 << ZORDER_BITS} AS y
+  FROM events
+)
+SELECT event_id, CAST({terms} AS BIGINT) AS zkey,
+       CAST(({terms}) >> {ZORDER_FILES_SHIFT} AS BIGINT) AS file_id
+FROM e
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
     "winnow_fingerprint": (q_winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "crawl_trap_filter": (q_crawl_trap_filter, _crawl_trap_sql()),
     "activity_trend": (q_activity_trend, ACTIVITY_TREND_SQL),
+    "consistent_hash_assign": (q_consistent_hash_assign, CONSISTENT_HASH_SQL),
+    "zorder_index": (q_zorder_index, _zorder_sql()),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

@@ -332,6 +332,60 @@ def _write_events_valued(path, rows):
     pq.write_table(t, path / "events.parquet")
 
 
+class TestConsistentHash:
+    def test_successor_wrap_and_minimal_relocation(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import _ring_points
+
+        ring_h, ring_n = _ring_points()
+        assert (np.diff(ring_h.astype(object)) > 0).all()
+        # a key above the max ring point wraps to the minimum's owner
+        kh = np.array([int(ring_h[-1]) + 1], dtype=np.uint64)
+        idx = np.searchsorted(ring_h, kh, side="left")
+        idx[idx == len(ring_h)] = 0
+        assert ring_n[idx][0] == ring_n[0]
+
+    def test_balance_roughly_even(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            CH_NODES,
+            q_consistent_hash_assign,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(2000), pa.int64()),
+                "text": pa.array(["x"] * 2000),
+                "lang": pa.array(["en"] * 2000),
+                "source": pa.array(["s"] * 2000),
+                "n_chars": pa.array([1] * 2000, pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = q_consistent_hash_assign(str(tmp_path)).to_pandas()
+        counts = df["node"].value_counts()
+        assert len(counts) == CH_NODES
+        # 16 vnodes/node keeps the max/min spread well under 4x
+        assert counts.max() < 4 * counts.min()
+
+
+class TestZorder:
+    def test_interleave_bits(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import zorder_interleave
+
+        # x=0b11, y=0b01 -> z = y1 x1 y0 x0 = 0 1 1 1 = 7
+        z = zorder_interleave(
+            np.array([3], dtype=np.int64), np.array([1], dtype=np.int64)
+        )
+        assert z.tolist() == [7]
+        # locality: nearby (x,y) share high bits
+        a = zorder_interleave(
+            np.array([100], dtype=np.int64), np.array([200], dtype=np.int64)
+        )[0]
+        b = zorder_interleave(
+            np.array([101], dtype=np.int64), np.array([200], dtype=np.int64)
+        )[0]
+        assert (a >> 4) == (b >> 4)
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
