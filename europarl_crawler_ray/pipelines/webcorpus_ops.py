@@ -1188,6 +1188,171 @@ FROM e
 """
 
 
+# ============================================= distribution resampling
+#
+# Deterministic importance resampling to a target language mix (the
+# CCNet/DoReMi data-mixing shape): per-language keep probability
+# p_l = min(1, target_share_l * N / n_l), realized as an EXACT integer
+# threshold on a per-doc md5 key — floor(p_l * 2^64) computed in
+# arbitrary-precision integers on both sides, so the kept set is
+# bit-reproducible (no float probability ever exists).
+
+RESAMPLE_TARGET_BP = {"en": 3000, "de": 2000, "es": 2000, "fr": 2000, "zh": 1000}
+_2_64 = 1 << 64
+
+
+def q_distribution_resample(sf_dir: str):
+    """(doc_id, lang, kept): kept=1 iff md5('rs|doc_id') falls under the
+    language's exact integer threshold; languages above their target are
+    downsampled toward it, languages at/below keep everything.
+
+    Scale shape: a bounded lang-count groupby (|langs| rows) feeds the
+    driver the thresholds, which broadcast via ray.put; the keep pass is
+    a pure vectorized uint64 compare per batch. Two passes over a narrow
+    projection, zero data-scaled driver state."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    counts = {
+        r["lang"]: r["count()"]
+        for r in d.groupby("lang").count().take_all()
+    }
+    total = sum(counts.values())
+    thresholds = {}
+    for lang, n_l in counts.items():
+        bp = RESAMPLE_TARGET_BP.get(lang, 0)
+        thresholds[lang] = min(_2_64, (bp * total * _2_64) // (10000 * n_l))
+    thr_ref = ray.put(thresholds)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        kh = np.array(
+            [
+                int(hashlib.md5(f"rs|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        kept = np.zeros(len(ids), dtype=np.int64)
+        for lang, t in thr.items():
+            m = (df["lang"] == lang).to_numpy()
+            if t >= _2_64:
+                kept[m] = 1
+            else:
+                kept[m] = (kh[m] < np.uint64(t)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "lang": df["lang"].to_numpy(), "kept": kept}
+        )
+
+    return d.map_batches(keep, batch_format="pandas")
+
+
+def _distribution_resample_sql() -> str:
+    bp_case = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in RESAMPLE_TARGET_BP.items()
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         COUNT(*) OVER (PARTITION BY lang) AS n_l,
+         COUNT(*) OVER () AS total,
+         CASE lang {bp_case} ELSE 0 END AS bp
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(CASE WHEN {_md5u("'rs|' || CAST(doc_id AS VARCHAR)")} <
+       LEAST(CAST({_2_64} AS HUGEINT),
+             (CAST(bp AS HUGEINT) * total * CAST({_2_64} AS HUGEINT))
+               // (10000 * n_l))
+       THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c
+"""
+
+
+# ========================================== prefix-preserving IP anonymization
+#
+# Crypto-PAn-style pseudonymization (Xu et al., ICNP 2002 — public
+# scheme, md5 standing in for the AES PRF): output bit i = input bit i
+# XOR prf(input bits 0..i-1), which preserves prefix relationships
+# EXACTLY — two IPs share a k-bit anonymized prefix iff they shared a
+# k-bit original prefix — the property that keeps subnet-level analytics
+# valid over scrubbed crawl telemetry (complements pii_scrub's content
+# redaction with structure-preserving field redaction).
+
+
+def anonymize_ip(ip: int) -> int:
+    bits = format(ip, "032b")
+    out = 0
+    for i in range(32):
+        f = (
+            int(hashlib.md5(("pan|" + bits[:i]).encode("utf-8")).hexdigest()[:16], 16)
+            % 2
+        )
+        out = (out << 1) | ((ip >> (31 - i)) & 1) ^ f
+    return out
+
+
+def _dotted(ip: int) -> str:
+    return ".".join(str((ip >> s) & 255) for s in (24, 16, 8, 0))
+
+
+def q_ip_anonymize(sf_dir: str):
+    """(user_id, ip, ip_anon): each distinct user's deterministic IPv4
+    and its prefix-preserving pseudonym, both dotted-quad.
+
+    Scale shape: distinct users via per-batch dedup + ONE coarse
+    exchange (the seen-set shape); the 32-round PRF walk is per distinct
+    user, not per event."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("user_id").astype({"user_id": np.int64})
+
+    kd = _with_coarse_group(
+        ev.map_batches(distinct_part, batch_format="pandas"), "user_id"
+    )
+
+    def anon(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy(np.int64))
+        ips = _ip32(users)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "ip": [_dotted(int(p)) for p in ips],
+                "ip_anon": [_dotted(anonymize_ip(int(p))) for p in ips],
+            }
+        )
+
+    return kd.groupby("_g").map_groups(anon, batch_format="pandas")
+
+
+def _ip_anonymize_sql() -> str:
+    dotted = (
+        lambda col: f"CAST(({col} >> 24) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({col} >> 16) & 255 AS VARCHAR) || '.' || "
+        f"CAST(({col} >> 8) & 255 AS VARCHAR) || '.' || "
+        f"CAST({col} & 255 AS VARCHAR)"
+    )
+    return f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), ips AS (
+  SELECT user_id,
+         CAST({_md5u("'ip|' || CAST(user_id AS VARCHAR)")} % 4294967296 AS BIGINT) AS ip
+  FROM u
+), bits AS (
+  SELECT user_id, ip, i,
+    xor((ip >> (31 - CAST(i AS INTEGER))) & 1,
+        CAST({_md5u("'pan|' || substr(lpad(bin(ip), 32, '0'), 1, CAST(i AS INTEGER))")} % 2 AS BIGINT)) AS ob
+  FROM ips, unnest(range(32)) t(i)
+), anon AS (
+  SELECT user_id, ip,
+         CAST(SUM(ob << (31 - CAST(i AS INTEGER))) AS BIGINT) AS ipa
+  FROM bits GROUP BY user_id, ip
+)
+SELECT user_id, {dotted('ip')} AS ip, {dotted('ipa')} AS ip_anon FROM anon
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
@@ -1196,6 +1361,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "activity_trend": (q_activity_trend, ACTIVITY_TREND_SQL),
     "consistent_hash_assign": (q_consistent_hash_assign, CONSISTENT_HASH_SQL),
     "zorder_index": (q_zorder_index, _zorder_sql()),
+    "distribution_resample": (q_distribution_resample, _distribution_resample_sql()),
+    "ip_anonymize": (q_ip_anonymize, _ip_anonymize_sql()),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

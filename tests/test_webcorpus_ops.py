@@ -386,6 +386,56 @@ class TestZorder:
         assert (a >> 4) == (b >> 4)
 
 
+class TestDistributionResample:
+    def test_under_target_keeps_all_over_target_downsamples(
+        self, ray_session, tmp_path
+    ):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            q_distribution_resample,
+        )
+
+        # 90 en (target 30%) + 10 zh (target 10%): en thr = 100*0.3/90 -> keeps
+        # ~1/3 of en; zh thr = 100*0.1/10 = 1.0 -> keeps ALL zh
+        rows = [(i, "en", 10) for i in range(90)] + [
+            (90 + i, "zh", 10) for i in range(10)
+        ]
+        _write_docs(tmp_path, rows)
+        df = q_distribution_resample(str(tmp_path)).to_pandas()
+        assert (df[df["lang"] == "zh"]["kept"] == 1).all()
+        en_kept = int(df[df["lang"] == "en"]["kept"].sum())
+        assert 0 < en_kept < 90
+        # exact threshold recheck for one doc
+        import hashlib as h
+
+        thr = (3000 * 100 * (1 << 64)) // (10000 * 90)
+        for _, r in df[df["lang"] == "en"].iterrows():
+            kh = int(h.md5(f"rs|{int(r.doc_id)}".encode()).hexdigest()[:16], 16)
+            assert (kh < thr) == bool(r.kept)
+
+
+class TestIpAnonymize:
+    def test_prefix_preservation_exact(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import anonymize_ip
+
+        a = 0b11000000_10101000_00000001_00000001  # 192.168.1.1
+        b = 0b11000000_10101000_00000001_11111110  # 192.168.1.254 (24-bit shared)
+        c = 0b00001010_00000000_00000000_00000001  # 10.0.0.1 (0-bit shared)
+        aa, ab, ac = anonymize_ip(a), anonymize_ip(b), anonymize_ip(c)
+
+        def shared(x, y):
+            d = x ^ y
+            return 32 - d.bit_length() if d else 32
+
+        assert shared(aa, ab) == shared(a, b) == 24
+        assert shared(aa, ac) == shared(a, c)
+        assert aa != a or ab != b  # actually pseudonymized
+
+    def test_deterministic(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import anonymize_ip
+
+        assert anonymize_ip(3232235777) == anonymize_ip(3232235777)
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
