@@ -1353,6 +1353,119 @@ SELECT user_id, {dotted('ip')} AS ip, {dotted('ipa')} AS ip_anon FROM anon
 """
 
 
+# ====================================================== politeness audit
+#
+# The compliance check a crawl operator runs after the fact: per host
+# (user_id standing in as the host key of the events stream), the PEAK
+# number of requests inside any sliding 10-minute window — the number a
+# rate-limit SLA is written against. Inclusive window [t-10min, t] with
+# equal-timestamp peers counted, matching SQL RANGE framing exactly.
+
+AUDIT_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_politeness_audit(sf_dir: str):
+    """(user_id, n_events, peak_10m): max events in any trailing
+    10-minute window per user.
+
+    Scale shape: ONE coarse exchange on user_id; inside each task the
+    window counts for ALL of a user's events come from two vectorized
+    np.searchsorted passes over the sorted timestamps (no per-event
+    rescan, no RANGE self-join)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    kd = _with_coarse_group(ev, "user_id")
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_n, out_p = [], [], []
+        for uid, rows in g.groupby("user_id"):
+            ts = np.sort(rows["ts"].astype("int64").to_numpy())
+            hi = np.searchsorted(ts, ts, side="right")
+            lo = np.searchsorted(ts, ts - AUDIT_WINDOW_US, side="left")
+            out_u.append(uid)
+            out_n.append(len(ts))
+            out_p.append(int((hi - lo).max()) if len(ts) else 0)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_u, dtype=np.int64),
+                "n_events": pd.Series(out_n, dtype=np.int64),
+                "peak_10m": pd.Series(out_p, dtype=np.int64),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(audit, batch_format="pandas")
+
+
+POLITENESS_AUDIT_SQL = """
+WITH w AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS c
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS peak_10m
+FROM w GROUP BY user_id
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """(true_lang, pred_lang, n_docs, row_bp): confusion matrix of the
+    stopword language identifier against the labeled lang column;
+    row_bp = basis points of the true language's docs landing in this
+    cell (integer-exact recall diagonal).
+
+    Scale shape: prediction is the existing per-batch langid map; the
+    matrix is a bounded (|langs|^2) groupby after a per-batch cell
+    combiner — evaluation costs one schema-bounded exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .ml_queries import q_langid
+
+    pred = q_langid(sf_dir)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["lang_actual", "lang_pred"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "lang_actual": "true_lang",
+                    "lang_pred": "pred_lang",
+                    "size": "n",
+                }
+            )
+        )
+        return out.astype({"n": np.int64})
+
+    m = (
+        pred.map_batches(cells, batch_format="pandas")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(_Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )  # bounded: |langs|^2 rows
+    totals = m.groupby("true_lang")["n_docs"].transform("sum").to_numpy(np.int64)
+    m["n_docs"] = m["n_docs"].astype(np.int64)
+    m["row_bp"] = 10000 * m["n_docs"].to_numpy(np.int64) // totals
+    return m
+
+
+def _langid_confusion_sql() -> str:
+    from .ml_queries import LANGID_SQL
+
+    return f"""
+WITH pred AS ({LANGID_SQL}),
+m AS (
+  SELECT lang_actual AS true_lang, lang_pred AS pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n_docs,
+  CAST(10000 * n_docs // SUM(n_docs) OVER (PARTITION BY true_lang) AS BIGINT)
+    AS row_bp
+FROM m
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
@@ -1363,6 +1476,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "zorder_index": (q_zorder_index, _zorder_sql()),
     "distribution_resample": (q_distribution_resample, _distribution_resample_sql()),
     "ip_anonymize": (q_ip_anonymize, _ip_anonymize_sql()),
+    "politeness_audit": (q_politeness_audit, POLITENESS_AUDIT_SQL),
+    "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

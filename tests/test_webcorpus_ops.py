@@ -436,6 +436,54 @@ class TestIpAnonymize:
         assert anonymize_ip(3232235777) == anonymize_ip(3232235777)
 
 
+class TestPolitenessAudit:
+    def test_inclusive_window_boundary_and_peers(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_politeness_audit
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),  # exactly 10min before the 3rd -> counts
+            (1, "2024-01-01 00:05:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:30:00"),  # isolated
+            (2, "2024-01-01 00:00:00"),  # equal-ts peers both count
+            (2, "2024-01-01 00:00:00"),
+        ]
+        _write_events(tmp_path, [r[0] for r in rows])
+        # rewrite with real timestamps
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        df = (
+            q_politeness_audit(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert df.loc[1, "peak_10m"] == 3 and df.loc[1, "n_events"] == 4
+        assert df.loc[2, "peak_10m"] == 2
+
+
+class TestLangidConfusion:
+    def test_row_bp_sums_to_10000_per_true_lang(self, ray_session):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_langid_confusion
+
+        df = q_langid_confusion("/root/testdata/sf0.001")
+        sums = df.groupby("true_lang")["row_bp"].sum()
+        # integer floor division loses at most (cells-1) bp per row
+        assert ((sums > 9990) & (sums <= 10000)).all()
+        assert int(df["n_docs"].sum()) == 500
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
