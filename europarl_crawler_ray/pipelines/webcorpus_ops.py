@@ -1443,6 +1443,15 @@ def q_langid_confusion(sf_dir: str):
         .aggregate(_Sum("n", alias_name="n_docs"))
         .to_pandas()
     )  # bounded: |langs|^2 rows
+    if m.empty:  # Ray's empty to_pandas() carries no columns
+        return pd.DataFrame(
+            {
+                "true_lang": pd.Series([], dtype=object),
+                "pred_lang": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "row_bp": pd.Series([], dtype=np.int64),
+            }
+        )
     totals = m.groupby("true_lang")["n_docs"].transform("sum").to_numpy(np.int64)
     m["n_docs"] = m["n_docs"].astype(np.int64)
     m["row_bp"] = 10000 * m["n_docs"].to_numpy(np.int64) // totals
@@ -1466,6 +1475,269 @@ FROM m
 """
 
 
+# ======================================================= rank normalize
+#
+# Exact global RANK() (ties share the min rank) computed WITHOUT a
+# global sort: the ranked column is value-bounded (document lengths), so
+# a per-batch value-counts combiner -> one bounded histogram reduce ->
+# broadcast rank-of-value lookup gives every row its exact rank in two
+# narrow passes — the shuffle-free alternative to the terasort shape
+# whenever the domain is bounded (the percentile-feature-normalization
+# step of every quality-score blend).
+
+
+def q_rank_normalize(sf_dir: str):
+    """(doc_id, n_chars, rnk, pct_bp): RANK() by n_chars ascending and
+    the basis-point percentile 10000*(rnk-1)//(N-1).
+
+    Scale shape: histogram combiner (<= |distinct values| rows per
+    batch) -> bounded groupby -> driver builds the <= |domain|-entry
+    rank table -> ray.put broadcast -> vectorized map lookup. No
+    all-to-all exchange touches data-scaled rows."""
+    from ray.data.aggregate import Sum as _Sum
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("n_chars", as_index=False).size()
+        out.columns = ["n_chars", "n"]
+        return out.astype(np.int64)
+
+    counts = (
+        d.map_batches(hist, batch_format="pandas")
+        .groupby("n_chars")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: one row per distinct length
+    if counts.empty:  # Ray's empty to_pandas() carries no columns
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "rnk": pd.Series([], dtype=np.int64),
+                "pct_bp": pd.Series([], dtype=np.int64),
+            }
+        )
+    counts = counts.sort_values("n_chars")
+    n_total = int(counts["n"].sum())
+    ranks = {}
+    below = 0
+    for v, n in zip(counts["n_chars"], counts["n"]):
+        ranks[int(v)] = below + 1
+        below += int(n)
+    lookup_ref = ray.put((ranks, n_total))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ranks_, n_ = ray.get(lookup_ref)
+        v = df["n_chars"].to_numpy(np.int64)
+        r = np.array([ranks_[int(x)] for x in v], dtype=np.int64)
+        pct = 10000 * (r - 1) // (n_ - 1) if n_ > 1 else np.zeros_like(r)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": v,
+                "rnk": r,
+                "pct_bp": pct,
+            }
+        )
+
+    return d.map_batches(assign, batch_format="pandas")
+
+
+RANK_NORMALIZE_SQL = """
+SELECT doc_id, n_chars,
+  CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
+  CAST(10000 * (RANK() OVER (ORDER BY n_chars) - 1)
+       // GREATEST(COUNT(*) OVER () - 1, 1) AS BIGINT) AS pct_bp
+FROM documents
+"""
+
+
+# ========================================================= basket lift
+#
+# Association-rule mining over user event baskets: for every unordered
+# event-type pair, lift = P(a,b) / (P(a) P(b)) over users — emitted as
+# the exact integer (10000 * n_ab * N) // (n_a * n_b), so >10000 means
+# positive association. The market-basket shape with a bounded type
+# dimension: all heavy work collapses to per-user type sets.
+
+
+def q_basket_lift(sf_dir: str):
+    """(type_a, type_b, n_ab, lift_bp) for type_a < type_b.
+
+    Scale shape: per-batch distinct (user, type) combiner -> ONE coarse
+    exchange on user_id -> per-user pair fan-out (<= C(|types|,2) rows
+    per user) -> bounded pair/single groupby; type counts and the user
+    total ride the same exchange as tagged rows — one shuffle total."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().astype({"user_id": np.int64})
+
+    kd = _with_coarse_group(
+        ev.map_batches(distinct_part, batch_format="pandas"), "user_id"
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, n = [], [], []
+        for _, grp in g.drop_duplicates(["user_id", "event_type"]).groupby(
+            "user_id"
+        ):
+            types = sorted(grp["event_type"].tolist())
+            rows_a.append("__user__")
+            rows_b.append("")
+            n.append(1)
+            for i, a in enumerate(types):
+                rows_a.append(a)
+                rows_b.append("")
+                n.append(1)
+                for b in types[i + 1 :]:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    n.append(1)
+        return pd.DataFrame(
+            {"a": rows_a, "b": rows_b, "n": pd.Series(n, dtype=np.int64)}
+        )
+
+    agg = (
+        kd.groupby("_g")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: 1 + |types| + C(|types|,2) rows
+    if agg.empty:  # Ray's empty to_pandas() carries no columns
+        return pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n_ab": pd.Series([], dtype=np.int64),
+                "lift_bp": pd.Series([], dtype=np.int64),
+            }
+        )
+    n_users = int(agg.loc[agg["a"] == "__user__", "n"].iloc[0])
+    singles = {
+        r.a: int(r.n)
+        for r in agg[(agg["b"] == "") & (agg["a"] != "__user__")].itertuples()
+    }
+    pairs = agg[agg["b"] != ""].copy()
+    na = pairs["a"].map(singles).to_numpy(np.int64)
+    nb = pairs["b"].map(singles).to_numpy(np.int64)
+    nab = pairs["n"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "type_a": pairs["a"].to_numpy(),
+            "type_b": pairs["b"].to_numpy(),
+            "n_ab": nab,
+            "lift_bp": 10000 * nab * n_users // (na * nb),
+        }
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+ta AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+  CAST(10000 * p.n_ab * nu.n_users // (t1.n_t * t2.n_t) AS BIGINT) AS lift_bp
+FROM p, nu
+JOIN ta t1 ON t1.event_type = p.type_a
+JOIN ta t2 ON t2.event_type = p.type_b
+"""
+
+
+# ========================================================== Pareto docs
+#
+# Skyline query: documents not dominated in (length, quality) — the
+# multi-criteria selection shape ("longest AND highest-quality
+# representatives") that no single sort key expresses. quality is an
+# md5-derived bounded score so both sides agree bit-for-bit.
+
+
+def _pareto_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Local skyline, maximizing (n_chars, quality); strict dominance
+    (ties on both dims survive together)."""
+    if df.empty:  # empty blocks may arrive without columns
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "quality": pd.Series([], dtype=np.int64),
+            }
+        )
+    df = df.sort_values(
+        ["n_chars", "quality"], ascending=False, kind="mergesort"
+    )
+    keep_idx = []
+    best_y = -1
+    for x, grp in df.groupby("n_chars", sort=False):
+        gmax = int(grp["quality"].max())
+        if gmax > best_y:
+            keep_idx.extend(grp.index[grp["quality"] == gmax].tolist())
+            best_y = gmax
+    return df.loc[sorted(keep_idx)]
+
+
+def q_pareto_docs(sf_dir: str):
+    """(doc_id, n_chars, quality): the Pareto frontier.
+
+    Scale shape: per-batch local skyline (only frontier candidates
+    survive — expected O(log^2 n) of a random batch), then one
+    single-task global skyline over the union of candidates via
+    repartition(1): the classic two-level skyline reduction; nothing
+    data-scaled ever reaches one node."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def scored(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        q = np.array(
+            [
+                int(hashlib.md5(f"pq|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+                % 1000
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        return _pareto_frame(
+            pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_chars": df["n_chars"].to_numpy(np.int64),
+                    "quality": q,
+                }
+            )
+        )
+
+    cand = d.map_batches(scored, batch_format="pandas")
+    return cand.repartition(1).map_batches(_pareto_frame, batch_format="pandas")
+
+
+PARETO_DOCS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST({_md5u("'pq|' || CAST(doc_id AS VARCHAR)")} % 1000 AS BIGINT)
+           AS quality
+  FROM documents
+)
+SELECT a.doc_id AS doc_id, a.n_chars AS n_chars, a.quality AS quality
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.n_chars >= a.n_chars AND b.quality >= a.quality
+    AND (b.n_chars > a.n_chars OR b.quality > a.quality)
+)
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
@@ -1478,6 +1750,9 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "ip_anonymize": (q_ip_anonymize, _ip_anonymize_sql()),
     "politeness_audit": (q_politeness_audit, POLITENESS_AUDIT_SQL),
     "langid_confusion": (q_langid_confusion, _langid_confusion_sql()),
+    "rank_normalize": (q_rank_normalize, RANK_NORMALIZE_SQL),
+    "basket_lift": (q_basket_lift, BASKET_LIFT_SQL),
+    "pareto_docs": (q_pareto_docs, PARETO_DOCS_SQL),
     "bitext_align": (q_bitext_align, BITEXT_ALIGN_SQL),
     "surt_keys": (q_surt_keys, SURT_KEYS_SQL),
     "ip_geo_join": (q_ip_geo_join, IP_GEO_JOIN_SQL),

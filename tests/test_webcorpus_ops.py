@@ -484,6 +484,70 @@ class TestLangidConfusion:
         assert int(df["n_docs"].sum()) == 500
 
 
+class TestPareto:
+    def test_local_skyline_strict_dominance_and_ties(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import _pareto_frame
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "n_chars": [10, 10, 8, 8, 5],
+                "quality": [5, 3, 5, 5, 9],
+            }
+        )
+        # (10,5) dominates (10,3) and (8,5)x2 [strict on x]; (5,9) survives
+        out = _pareto_frame(df)
+        assert sorted(out["doc_id"].tolist()) == [0, 4]
+        # equal points both survive
+        df2 = pd.DataFrame(
+            {"doc_id": [0, 1], "n_chars": [7, 7], "quality": [7, 7]}
+        )
+        assert sorted(_pareto_frame(df2)["doc_id"].tolist()) == [0, 1]
+
+
+class TestRankNormalize:
+    def test_rank_ties_share_min_rank(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_rank_normalize
+
+        _write_docs(
+            tmp_path, [(0, "en", 10), (1, "en", 10), (2, "en", 20), (3, "en", 30)]
+        )
+        df = (
+            q_rank_normalize(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert df["rnk"].tolist() == [1, 1, 3, 4]
+        assert df["pct_bp"].tolist() == [0, 0, 6666, 10000]
+
+
+class TestBasketLift:
+    def test_exact_lift(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_basket_lift
+
+        # 4 users: {a,b} {a,b} {a} {b} -> n_a=3, n_b=3, n_ab=2, N=4
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b")]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(rows), pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        df = q_basket_lift(str(tmp_path))
+        assert len(df) == 1
+        r = df.iloc[0]
+        assert (r.type_a, r.type_b, r.n_ab) == ("a", "b", 2)
+        assert r.lift_bp == 10000 * 2 * 4 // (3 * 3)  # 8888
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
