@@ -26,15 +26,11 @@ import ray
 import ray.data
 
 from .grouping import with_coarse_group as _with_coarse_group
+from .ml_queries import _md5u  # the shared md5-uint64 SQL hash family
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _md5u(expr: str) -> str:
-    """DuckDB SQL for the first-16-hex-digit md5 integer (uint64)."""
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 16)) AS UBIGINT)"
 
 
 # ====================================================== bitext alignment
@@ -712,6 +708,15 @@ class BadwordScanner:
         self._ac = AhoCorasick(BADWORD_LEXICON)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # np.stack needs at least one row
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_hits": pd.Series([], dtype=np.int64),
+                    "n_patterns": pd.Series([], dtype=np.int64),
+                    "flagged": pd.Series([], dtype=np.int64),
+                }
+            )
         counts = np.stack(
             [self._ac.count_matches(t) for t in df["text"].tolist()]
         )
@@ -833,7 +838,9 @@ def q_winnow_fingerprint(sf_dir: str):
 
 WINNOW_FINGERPRINT_SQL = f"""
 WITH d AS (
-  SELECT doc_id, text, strlen(text) - {WINNOW_K - 1} AS n_grams FROM documents
+  SELECT doc_id, text,
+         GREATEST(strlen(text) - {WINNOW_K - 1}, 0) AS n_grams
+  FROM documents
 ), pos AS (
   SELECT doc_id, n_grams, i,
          {_md5u(f"'wf|' || substr(text, CAST(i AS INTEGER) + 1, {WINNOW_K})")} AS h
@@ -843,17 +850,24 @@ WITH d AS (
   FROM pos, unnest(range({WINNOW_W})) u(k)
   WHERE i - k BETWEEN 0 AND n_grams - {WINNOW_W}
 ), sel AS (
-  SELECT doc_id, n_grams, j, i,
+  SELECT doc_id, j, i,
          ROW_NUMBER() OVER (PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn
   FROM expand
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN rn = 1 THEN i END) AS BIGINT) AS n_sel
+  FROM sel GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(MAX(n_grams) AS BIGINT) AS n_grams,
-  CAST(MAX(n_grams) - {WINNOW_W - 1} AS BIGINT) AS n_windows,
-  CAST(COUNT(DISTINCT CASE WHEN rn = 1 THEN i END) AS BIGINT) AS n_selected,
-  CAST(10000 * COUNT(DISTINCT CASE WHEN rn = 1 THEN i END)
-       // (MAX(n_grams) - {WINNOW_W - 1}) AS BIGINT) AS density_bp
-FROM sel GROUP BY doc_id
+-- LEFT JOIN from documents: a doc with fewer than {WINNOW_W} k-grams has
+-- no windows and must still emit its zeros row (review finding)
+SELECT d.doc_id AS doc_id,
+  CAST(d.n_grams AS BIGINT) AS n_grams,
+  CAST(GREATEST(d.n_grams - {WINNOW_W - 1}, 0) AS BIGINT) AS n_windows,
+  COALESCE(agg.n_sel, 0) AS n_selected,
+  CAST(CASE WHEN d.n_grams - {WINNOW_W - 1} > 0
+       THEN 10000 * COALESCE(agg.n_sel, 0) // (d.n_grams - {WINNOW_W - 1})
+       ELSE 0 END AS BIGINT) AS density_bp
+FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -872,8 +886,10 @@ _DATE_RE = None  # segments checked numerically, no regex needed
 
 def classify_trap(url: str) -> str:
     rest = url.split("://", 1)[1]
-    path_q = rest.partition("/")[2]
-    path, _, query = path_q.partition("?")
+    # split the query off FIRST: a no-path url ('h.com?sid=...') must not
+    # lose its query to the path partition (review finding)
+    rest, _, query = rest.partition("?")
+    path = rest.partition("/")[2]
     segs = [s for s in path.split("/") if s]
     if len(segs) > TRAP_MAX_DEPTH:
         return "depth"
@@ -1178,8 +1194,11 @@ def _zorder_sql() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT event_id, user_id % {1 << ZORDER_BITS} AS x,
-         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % {1 << ZORDER_BITS} AS y
+  -- non-negative modulo (numpy semantics) even for pre-1970 timestamps
+  SELECT event_id, ((user_id % {1 << ZORDER_BITS}) + {1 << ZORDER_BITS})
+           % {1 << ZORDER_BITS} AS x,
+         ((CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % {1 << ZORDER_BITS})
+           + {1 << ZORDER_BITS}) % {1 << ZORDER_BITS} AS y
   FROM events
 )
 SELECT event_id, CAST({terms} AS BIGINT) AS zkey,

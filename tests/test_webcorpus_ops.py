@@ -289,6 +289,23 @@ class TestCrawlTrap:
         assert classify_trap("https://h.com/2024/13/05/2024/01/06/p") == "ok"
         assert classify_trap("https://h.com/p?sid=" + "g" * 32) == "ok"
         assert classify_trap("https://h.com/x/x/y/x/p") == "ok"
+        # no-path url must still surface its query (review finding)
+        assert classify_trap("https://h.com?sid=" + "a1" * 16) == "session"
+
+    def test_short_doc_zeros_row_in_oracle(self):
+        import duckdb
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            WINNOW_FINGERPRINT_SQL,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT 1 AS doc_id, 'short' AS text"
+        )
+        df = con.sql(WINNOW_FINGERPRINT_SQL).df()
+        assert len(df) == 1
+        assert df.n_selected.iloc[0] == 0 and df.n_windows.iloc[0] == 0
 
 
 class TestActivityTrend:
