@@ -1081,10 +1081,10 @@ CH_NODES = 8
 CH_VNODES = 16
 
 
-def _ring_points() -> tuple[np.ndarray, np.ndarray]:
+def _ring_points(n_nodes: int = CH_NODES) -> tuple[np.ndarray, np.ndarray]:
     """(sorted ring hashes, owning node per point)."""
     hs, owners = [], []
-    for n in range(CH_NODES):
+    for n in range(n_nodes):
         for v in range(CH_VNODES):
             hs.append(
                 int(hashlib.md5(f"ring|{n}|{v}".encode("utf-8")).hexdigest()[:16], 16)
@@ -1757,8 +1757,197 @@ WHERE NOT EXISTS (
 """
 
 
+# ======================================================= ring rebalance
+#
+# The consistent-hashing theorem made measurable: adding one node to the
+# ring relocates ONLY the keys the new node's vnodes capture (~1/(N+1)
+# of them) and never moves a key between two old nodes — the property
+# that lets a crawl add frontier shards mid-run without a global
+# re-shuffle. Both placements computed per key; `moved` rows must all
+# land on the new node (pinned by test and by the oracle itself).
+
+
+def q_ring_rebalance(sf_dir: str):
+    """(doc_id, node_before, node_after, moved): placement under N and
+    N+1 nodes.
+
+    Scale shape: both rings broadcast once; two searchsorted per batch —
+    rebalance planning costs one narrow map pass, no exchange."""
+    before_ref = ray.put(_ring_points(CH_NODES))
+    after_ref = ray.put(_ring_points(CH_NODES + 1))
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        kh = np.array(
+            [
+                int(hashlib.md5(f"key|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+
+        def place(ring):
+            ring_h, ring_n = ring
+            idx = np.searchsorted(ring_h, kh, side="left")
+            idx[idx == len(ring_h)] = 0
+            return ring_n[idx]
+
+        nb = place(ray.get(before_ref))
+        na = place(ray.get(after_ref))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "node_before": nb,
+                "node_after": na,
+                "moved": (nb != na).astype(np.int64),
+            }
+        )
+
+    return d.map_batches(assign, batch_format="pandas")
+
+
+def _ring_rebalance_sql() -> str:
+    vnode_h = _md5u("'ring|' || CAST(n AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+
+    def ring(n_nodes: int) -> str:
+        return (
+            f"SELECT n, {vnode_h} AS h "
+            f"FROM range({n_nodes}) t(n), range({CH_VNODES}) u(v)"
+        )
+
+    return f"""
+WITH ring_a AS ({ring(CH_NODES)}), ring_b AS ({ring(CH_NODES + 1)}),
+keys AS (
+  SELECT doc_id, {_md5u("'key|' || CAST(doc_id AS VARCHAR)")} AS kh FROM documents
+), placed AS (
+  SELECT doc_id,
+    CAST(COALESCE(
+      (SELECT arg_min(r.n, r.h) FROM ring_a r WHERE r.h >= k.kh),
+      (SELECT arg_min(r.n, r.h) FROM ring_a r)) AS BIGINT) AS node_before,
+    CAST(COALESCE(
+      (SELECT arg_min(r.n, r.h) FROM ring_b r WHERE r.h >= k.kh),
+      (SELECT arg_min(r.n, r.h) FROM ring_b r)) AS BIGINT) AS node_after
+  FROM keys k
+)
+SELECT doc_id, node_before, node_after,
+  CAST(CASE WHEN node_before <> node_after THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM placed
+"""
+
+
+# ==================================================== graph reciprocity
+#
+# Link-graph reciprocity: among distinct directed edges (self-loops
+# excluded), the fraction whose reverse edge also exists — the
+# mutual-linking signal that separates navigational site templates from
+# organic cross-site links. Reuses the SAME rendered-page edge extraction
+# as q_link_graph (the oracle rederives edges from the generation rule,
+# so a parser slip breaks this gate too).
+
+
+def q_graph_reciprocity(sf_dir: str):
+    """One row: (n_edges, n_recip, recip_bp).
+
+    Scale shape: edges bucket-exchange on the UNORDERED pair key, so
+    both orientations of a pair land in one task; per-task counts reduce
+    to two integers per bucket -> one bounded final sum."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.extract import extract_hrefs
+    from .queries import _link_targets, _render_link_page
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([0], dtype=np.int64),
+                "n_recip": pd.Series([0], dtype=np.int64),
+                "recip_bp": pd.Series([0], dtype=np.int64),
+            }
+        )
+    internal = _re.compile(r"^/doc/([0-9]+)$")
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = [], []
+        for did in t.column("doc_id").to_pylist():
+            html = _render_link_page(did, _link_targets(did, n_docs))
+            for href in extract_hrefs(html):
+                m = internal.match(href)
+                if m and int(m.group(1)) != did:
+                    src.append(did)
+                    dst.append(int(m.group(1)))
+        out = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        ).drop_duplicates()
+        out["pair"] = np.minimum(out["src"], out["dst"]) * np.int64(
+            n_docs
+        ) + np.maximum(out["src"], out["dst"])
+        return out
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    kd = _with_coarse_group(d.map_batches(edges, batch_format="pyarrow"), "pair")
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        fwd = set(zip(g["src"], g["dst"]))
+        n_recip = sum(1 for s, t in fwd if (t, s) in fwd)
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([len(fwd)], dtype=np.int64),
+                "n_recip": pd.Series([n_recip], dtype=np.int64),
+            }
+        )
+
+    parts = kd.groupby("_g").map_groups(count_bucket, batch_format="pandas")
+    tot = parts.sum(["n_edges", "n_recip"])  # bounded 2-scalar reduce
+    n_edges = int(tot["sum(n_edges)"] or 0)
+    n_recip = int(tot["sum(n_recip)"] or 0)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype=np.int64),
+            "n_recip": pd.Series([n_recip], dtype=np.int64),
+            "recip_bp": pd.Series(
+                [10000 * n_recip // n_edges if n_edges else 0], dtype=np.int64
+            ),
+        }
+    )
+
+
+GRAPH_RECIPROCITY_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+r AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT COUNT(*) FROM e a JOIN e b
+            ON a.src = b.dst AND a.dst = b.src) AS n_recip
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_recip,
+       CAST(CASE WHEN n_edges > 0 THEN 10000 * n_recip // n_edges
+            ELSE 0 END AS BIGINT) AS recip_bp
+FROM r
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
+    "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
+    "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
     "winnow_fingerprint": (q_winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "crawl_trap_filter": (q_crawl_trap_filter, _crawl_trap_sql()),

@@ -565,6 +565,49 @@ class TestBasketLift:
         assert r.lift_bp == 10000 * 2 * 4 // (3 * 3)  # 8888
 
 
+class TestRingRebalance:
+    def test_moved_keys_only_go_to_the_new_node(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            CH_NODES,
+            q_ring_rebalance,
+        )
+
+        _write_docs(tmp_path, [(i, "en", 10) for i in range(500)])
+        df = q_ring_rebalance(str(tmp_path)).to_pandas()
+        moved = df[df["moved"] == 1]
+        # the consistent-hashing theorem: relocations target ONLY the
+        # added node, and roughly 1/(N+1) of keys move
+        assert (moved["node_after"] == CH_NODES).all()
+        assert 0 < len(moved) < len(df) // 2
+        same = df[df["moved"] == 0]
+        assert (same["node_before"] == same["node_after"]).all()
+
+
+class TestGraphReciprocity:
+    def test_counts_match_bruteforce(self, ray_session):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            q_graph_reciprocity,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        df = q_graph_reciprocity(sf)
+        import hashlib as h
+
+        import pyarrow.parquet as pq_
+
+        n = pq_.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        edges = set()
+        for d in range(n):
+            k = 1 + int(h.md5(f"lnkk:42:{d}".encode()).hexdigest()[:16], 16) % 4
+            for j in range(1, k + 1):
+                dst = (d * 37 + j * 101) % n
+                if dst != d:
+                    edges.add((d, dst))
+        recip = sum(1 for s, t in edges if (t, s) in edges)
+        assert int(df["n_edges"].iloc[0]) == len(edges)
+        assert int(df["n_recip"].iloc[0]) == recip
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
