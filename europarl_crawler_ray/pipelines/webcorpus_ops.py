@@ -1944,10 +1944,176 @@ FROM r
 """
 
 
+# ======================================================= token Simpson
+#
+# Lexical-concentration index per document: Simpson / Herfindahl
+# collision probability over whitespace tokens, the integer-exact
+# rational sum(c_i*(c_i-1)) / (n*(n-1)) — the "repeated-token mass"
+# quality signal complementing repetition_stats' dup-line/bigram view
+# (a keyword-stuffed or template page scores high; no log, no float).
+
+
+def q_token_simpson(sf_dir: str):
+    """(doc_id, n_tokens, simpson_bp): basis points of the probability
+    two random tokens of the doc coincide.
+
+    Scale shape: pure per-batch map; per-doc value_counts is the whole
+    computation."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def simpson(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        nt, bp = [], []
+        for t in df["text"].tolist():
+            toks = t.split(" ") if t else []
+            toks = [x for x in toks if x]
+            n = len(toks)
+            nt.append(n)
+            if n < 2:
+                bp.append(0)
+                continue
+            _, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+            num = int((c * (c - 1)).sum())
+            bp.append(10000 * num // (n * (n - 1)))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": pd.Series(nt, dtype=np.int64),
+                "simpson_bp": pd.Series(bp, dtype=np.int64),
+            }
+        )
+
+    return d.map_batches(simpson, batch_format="pandas")
+
+
+TOKEN_SIMPSON_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok FROM documents,
+         unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+), cc AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+  FROM cc GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+  COALESCE(s.n, 0) AS n_tokens,
+  CAST(CASE WHEN COALESCE(s.n, 0) > 1 THEN 10000 * s.num // (s.n * (s.n - 1))
+       ELSE 0 END AS BIGINT) AS simpson_bp
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+# ===================================================== quantile mapping
+#
+# Cross-source quantile normalization: map every document's length onto
+# the GLOBAL length distribution at the same within-source percentile —
+# the curation step that makes per-source quality thresholds comparable
+# when sources have wildly different length profiles. Exact integer
+# CDFs in basis points; mapped value = smallest global value whose
+# global CDF reaches the doc's within-source CDF.
+
+
+def q_quantile_map(sf_dir: str):
+    """(doc_id, source, n_chars, mapped_chars).
+
+    Scale shape: TWO bounded histogram reduces (per-(source, value) and
+    global-value counts — both schema-bounded, never data-scaled), the
+    mapping table built on the driver with one vectorized searchsorted
+    per source, broadcast once; the apply pass is a dict lookup map."""
+    from ray.data.aggregate import Sum as _Sum
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "n_chars"], as_index=False).size()
+        out.columns = ["source", "n_chars", "n"]
+        return out.astype({"n_chars": np.int64, "n": np.int64})
+
+    counts = (
+        d.map_batches(hist, batch_format="pandas")
+        .groupby(["source", "n_chars"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |sources| x |distinct lengths|
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype=np.int64),
+                "mapped_chars": pd.Series([], dtype=np.int64),
+            }
+        )
+    counts = counts.sort_values(["source", "n_chars"])
+    gl = (
+        counts.groupby("n_chars", as_index=False)["n"].sum().sort_values("n_chars")
+    )
+    g_total = int(gl["n"].sum())
+    g_vals = gl["n_chars"].to_numpy(np.int64)
+    g_cdf = 10000 * gl["n"].cumsum().to_numpy(np.int64) // g_total
+    mapping: dict[tuple[str, int], int] = {}
+    for src, grp in counts.groupby("source"):
+        s_total = int(grp["n"].sum())
+        s_cdf = 10000 * grp["n"].cumsum().to_numpy(np.int64) // s_total
+        # smallest global value with g_cdf >= s_cdf
+        idx = np.searchsorted(g_cdf, s_cdf, side="left")
+        for v, m in zip(grp["n_chars"].to_numpy(np.int64), g_vals[idx]):
+            mapping[(src, int(v))] = int(m)
+    map_ref = ray.put(mapping)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        mp = ray.get(map_ref)
+        src = df["source"].tolist()
+        v = df["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": src,
+                "n_chars": v,
+                "mapped_chars": pd.Series(
+                    [mp[(s, int(x))] for s, x in zip(src, v)], dtype=np.int64
+                ),
+            }
+        )
+
+    return d.map_batches(apply, batch_format="pandas")
+
+
+QUANTILE_MAP_SQL = """
+WITH gh AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1
+), g AS (
+  SELECT v, CAST(10000 * SUM(c) OVER (ORDER BY v)
+                 // (SELECT SUM(c) FROM gh) AS BIGINT) AS cdf
+  FROM gh
+), sh AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), sc AS (
+  SELECT source, v,
+         CAST(10000 * SUM(c) OVER (PARTITION BY source ORDER BY v)
+              // SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cdf
+  FROM sh
+), map AS (
+  SELECT sc.source, sc.v, MIN(g.v) AS mapped
+  FROM sc JOIN g ON g.cdf >= sc.cdf
+  GROUP BY 1, 2
+)
+SELECT d.doc_id AS doc_id, d.source AS source, d.n_chars AS n_chars,
+       m.mapped AS mapped_chars
+FROM documents d
+JOIN map m ON m.source = d.source AND m.v = d.n_chars
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
+    "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
+    "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
     "winnow_fingerprint": (q_winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "crawl_trap_filter": (q_crawl_trap_filter, _crawl_trap_sql()),

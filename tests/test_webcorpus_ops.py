@@ -608,6 +608,60 @@ class TestGraphReciprocity:
         assert int(df["n_recip"].iloc[0]) == recip
 
 
+class TestTokenSimpson:
+    def test_exact_collision_probability(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_token_simpson
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a a a b", "a b c d", "solo"]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([7, 7, 4], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = (
+            q_token_simpson(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 0: counts {a:3,b:1} -> 3*2/(4*3) = 1/2 -> 5000 bp
+        assert df.loc[0, "simpson_bp"] == 5000
+        assert df.loc[1, "simpson_bp"] == 0  # all distinct
+        assert df.loc[2, "simpson_bp"] == 0 and df.loc[2, "n_tokens"] == 1
+
+
+class TestQuantileMap:
+    def test_maps_source_percentile_onto_global(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_quantile_map
+
+        # source A: lengths 1,2 (cdf 5000,10000); source B: 10,20
+        # global: 1,2,10,20 (cdf 2500,5000,7500,10000)
+        # A:1 -> smallest global v with cdf>=5000 -> 2; A:2 -> 20
+        # B:10 -> 2; B:20 -> 20
+        rows = [(0, "A", 1), (1, "A", 2), (2, "B", 10), (3, "B", 20)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array(["x"] * 4),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array([r[1] for r in rows]),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = (
+            q_quantile_map(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert df["mapped_chars"].tolist() == [2, 20, 2, 20]
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
