@@ -2108,12 +2108,92 @@ JOIN map m ON m.source = d.source AND m.v = d.n_chars
 """
 
 
+# ==================================================== JSON props stats
+#
+# Semi-structured payload extraction: the events table's `props` column
+# is a JSON string (the universal telemetry escape hatch); parse it with
+# a REAL json decode on the Ray side (the oracle uses DuckDB's
+# json_extract) and aggregate the extracted field per event type. The
+# value domain is bounded, so the whole aggregate is a per-batch
+# (type, k) histogram combiner -> one schema-bounded groupby -> stats
+# derived from the histogram (distinct/min/max/sum without a second
+# pass).
+
+
+def q_props_stats(sf_dir: str):
+    """(event_type, n_events, sum_k, min_k, max_k, n_distinct_k)."""
+    import json as _json
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [int(_json.loads(p)["k"]) for p in df["props"].tolist()]
+        out = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "k": ks})
+            .groupby(["event_type", "k"], as_index=False)
+            .size()
+        )
+        out.columns = ["event_type", "k", "n"]
+        return out.astype({"k": np.int64, "n": np.int64})
+
+    h = (
+        ev.map_batches(hist, batch_format="pandas")
+        .groupby(["event_type", "k"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: |types| x |k domain|
+    if h.empty:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_k": pd.Series([], dtype=np.int64),
+                "min_k": pd.Series([], dtype=np.int64),
+                "max_k": pd.Series([], dtype=np.int64),
+                "n_distinct_k": pd.Series([], dtype=np.int64),
+            }
+        )
+    g = h.groupby("event_type")
+    out = pd.DataFrame(
+        {
+            "event_type": list(g.groups.keys()),
+            "n_events": g["n"].sum().to_numpy(np.int64),
+            "sum_k": g.apply(
+                lambda x: int((x["k"] * x["n"]).sum()), include_groups=False
+            ).to_numpy(np.int64),
+            "min_k": g["k"].min().to_numpy(np.int64),
+            "max_k": g["k"].max().to_numpy(np.int64),
+            "n_distinct_k": g["k"].nunique().to_numpy(np.int64),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+PROPS_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(MAX(k) AS BIGINT) AS max_k,
+  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e GROUP BY event_type
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
     "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),
+    "props_stats": (q_props_stats, PROPS_STATS_SQL),
     "badword_filter": (q_badword_filter, _badword_sql()),
     "winnow_fingerprint": (q_winnow_fingerprint, WINNOW_FINGERPRINT_SQL),
     "crawl_trap_filter": (q_crawl_trap_filter, _crawl_trap_sql()),
