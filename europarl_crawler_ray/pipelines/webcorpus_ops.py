@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .grouping import partitioned_anti_join
 from .grouping import with_coarse_group as _with_coarse_group
 from .ml_queries import _md5u  # the shared md5-uint64 SQL hash family
 
@@ -2187,9 +2188,250 @@ FROM e GROUP BY event_type
 """
 
 
+# ========================================================== k-core peel
+#
+# k-core decomposition (k=3) of the undirected link graph by iterative
+# peeling: drop degree-<3 nodes, delete their incident edges, repeat —
+# the graph-cleaning pass that strips crawl tendrils/leaf chains before
+# community or centrality analysis. Defined as KCORE_ROUNDS-round
+# peeling (the fixpoint is reached in 3 rounds here; the Ray side
+# early-exits on a no-removal round, which equals running all rounds —
+# converged SQL rounds are idempotent, so both sides agree under the
+# cap by construction).
+
+KCORE_K = 3
+KCORE_ROUNDS = 12
+_KCORE_NB = 64
+
+
+def q_kcore_peel(sf_dir: str):
+    """(doc_id, in_core): 1 iff the doc survives 3-core peeling of the
+    distinct undirected link graph (self-loops excluded; isolated docs
+    are 0).
+
+    Scale shape: the dedup_clusters Pregel structure — undirected edges
+    live bucketed by endpoint (both directions stored, so a node's
+    degree is bucket-LOCAL); each round's task applies incoming removal
+    notifications, recomputes resident degrees, peels, and emits
+    notifications keyed by the OTHER endpoint's bucket — one bucket
+    exchange per round, convergence read from a per-round notification
+    count scalar; membership output via the shared partitioned
+    anti-join. No edge list or node set ever reaches the driver."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.extract import extract_hrefs
+    from .queries import _link_targets, _render_link_page
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "in_core": pd.Series([], dtype=np.int64),
+            }
+        )
+    internal = _re.compile(r"^/doc/([0-9]+)$")
+    empty_state = pd.DataFrame(
+        {
+            "kind": pd.Series([], dtype=np.int64),
+            "src": pd.Series([], dtype=np.int64),
+            "dst": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = [], []
+        for did in t.column("doc_id").to_pylist():
+            html = _render_link_page(did, _link_targets(did, n_docs))
+            for href in extract_hrefs(html):
+                m = internal.match(href)
+                if m and int(m.group(1)) != did:
+                    src.append(did)
+                    dst.append(int(m.group(1)))
+        e = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+        ).drop_duplicates()
+        e.insert(0, "kind", np.int64(0))
+        e["b"] = e["src"].to_numpy(np.int64) % _KCORE_NB
+        return e
+
+    def peel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["kind"] == 0]
+        dead_in = set(g.loc[g["kind"] == 1, "dst"].tolist())
+        if dead_in:
+            ed = ed[~ed["dst"].isin(dead_in)]
+        # duplicate edges across rounds are impossible (distinct at
+        # build, filters only remove), so degree = row count per src
+        deg = ed.groupby("src")["dst"].size()
+        dead = set(deg[deg < KCORE_K].index)
+        if not dead:
+            return ed if not ed.empty else empty_state
+        dying = ed[ed["src"].isin(dead)]
+        keep = ed[~ed["src"].isin(dead)]
+        notif = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "src": np.int64(-1),
+                "dst": dying["src"].to_numpy(np.int64),
+                "b": dying["dst"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        ).drop_duplicates(["dst", "b"])
+        out = pd.concat([keep, notif], ignore_index=True)
+        return out if not out.empty else empty_state
+
+    state = d.map_batches(edges, batch_format="pyarrow")
+    for _ in range(KCORE_ROUNDS):
+        state = (
+            state.groupby("b").map_groups(peel_bucket, batch_format="pandas")
+        ).materialize()
+        n_notif = state.sum("kind")  # notifications carry kind=1
+        if not n_notif:
+            break
+    alive = state.map_batches(
+        lambda g: g.loc[g["kind"] == 0, ["src"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    dead_docs = partitioned_anti_join(d, alive, "doc_id", "src", "doc_id")
+
+    def tag(flag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            col = "src" if "src" in df.columns else "doc_id"
+            ids = (
+                df[col].to_numpy(np.int64)
+                if len(df)
+                else np.array([], dtype=np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.unique(ids),
+                    "in_core": np.full(
+                        len(np.unique(ids)), flag, dtype=np.int64
+                    ),
+                }
+            )
+
+        return fn
+
+    # alive sides: distinct per bucket already; global distinct via the
+    # same bucket co-location (src rows of one node live in one bucket)
+    return alive.map_batches(tag(1), batch_format="pandas").union(
+        dead_docs.map_batches(tag(0), batch_format="pandas")
+    )
+
+
+def _kcore_sql(rounds: int = KCORE_ROUNDS) -> str:
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e0 AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de)"""
+    ]
+    for r in range(rounds):
+        # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+        # references the previous one three times — unmaterialized, the
+        # plan (and parquet re-opens) grows 3^rounds
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, COUNT(*) AS c FROM e{r} GROUP BY 1) WHERE c < {KCORE_K}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  WHERE e.src NOT IN (SELECT src FROM x{r})
+    AND e.dst NOT IN (SELECT src FROM x{r})
+)"""
+        )
+    final = f"""
+SELECT d.doc_id AS doc_id,
+  CAST(CASE WHEN d.doc_id IN (SELECT src FROM e{rounds}) THEN 1 ELSE 0 END
+       AS BIGINT) AS in_core
+FROM documents d
+"""
+    return ",\n".join(parts) + final
+
+
+# ========================================================== burst days
+#
+# Per-entity burst detection: a (user, day) is a burst when its event
+# count exceeds 3x the user's own mean over their ACTIVE days — the
+# integer cross-multiplied rule n * n_active_days > 3 * total_events
+# (no float rate ever computed). The crawl-telemetry anomaly shape
+# (which hosts hammered us, which days).
+
+
+def q_burst_days(sf_dir: str):
+    """(user_id, day, n, burst).
+
+    Scale shape: per-batch (user, day) count combiner -> ONE coarse
+    exchange on user_id -> in-task user totals + vectorized flag."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            }
+        ).groupby(["user_id", "day"], as_index=False).size()
+        out.columns = ["user_id", "day", "n"]
+        return out.astype(np.int64)
+
+    kd = _with_coarse_group(
+        ev.map_batches(partial, batch_format="pandas"), "user_id"
+    )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "day"], as_index=False)["n"].sum()
+        tot = s.groupby("user_id")["n"].transform("sum").to_numpy(np.int64)
+        nd = s.groupby("user_id")["day"].transform("size").to_numpy(np.int64)
+        n = s["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": s["user_id"].to_numpy(np.int64),
+                "day": s["day"].to_numpy(np.int64),
+                "n": n,
+                "burst": (n * nd > 3 * tot).astype(np.int64),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(flag, batch_format="pandas")
+
+
+BURST_DAYS_SQL = """
+WITH ud AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n,
+  CAST(CASE WHEN n * COUNT(*) OVER (PARTITION BY user_id)
+            > 3 * SUM(n) OVER (PARTITION BY user_id)
+       THEN 1 ELSE 0 END AS BIGINT) AS burst
+FROM ud
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
+    "kcore_peel": (q_kcore_peel, _kcore_sql()),
+    "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
     "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),

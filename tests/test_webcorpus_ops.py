@@ -662,6 +662,72 @@ class TestQuantileMap:
         assert df["mapped_chars"].tolist() == [2, 20, 2, 20]
 
 
+class TestKcorePeel:
+    def test_matches_bruteforce_peeling(self, ray_session):
+        import hashlib as h
+
+        import pyarrow.parquet as pq_
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            KCORE_K,
+            q_kcore_peel,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        n = pq_.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        edges = set()
+        for d in range(n):
+            k = 1 + int(h.md5(f"lnkk:42:{d}".encode()).hexdigest()[:16], 16) % 4
+            for j in range(1, k + 1):
+                t = (d * 37 + j * 101) % n
+                if t != d:
+                    edges.add((d, t))
+                    edges.add((t, d))
+        while True:
+            deg = {}
+            for s, _ in edges:
+                deg[s] = deg.get(s, 0) + 1
+            dead = {u for u, c in deg.items() if c < KCORE_K}
+            if not dead:
+                break
+            edges = {(s, t) for s, t in edges if s not in dead and t not in dead}
+        alive = {s for s, _ in edges}
+        df = q_kcore_peel(sf).to_pandas().set_index("doc_id")
+        assert len(df) == n
+        got = set(df[df["in_core"] == 1].index)
+        assert got == alive
+        assert 0 < len(alive) < n  # non-trivial cascade on this corpus
+
+
+class TestBurstDays:
+    def test_cross_multiplied_threshold(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_burst_days
+
+        # user 1 over 5 active days: counts 13,1,1,1,1 (total 17)
+        # burst iff n*5 > 3*17=51 -> n > 10.2 -> only the 13-day
+        rows = []
+        for i in range(13):
+            rows.append((1, f"2024-01-01 0{i % 10}:0{i % 6}:{10 + i}"))
+        for d in range(2, 6):
+            rows.append((1, f"2024-01-0{d} 12:00:00"))
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        df = q_burst_days(str(tmp_path)).to_pandas().sort_values("day")
+        assert df["burst"].tolist() == [1, 0, 0, 0, 0]
+        assert df["n"].tolist() == [13, 1, 1, 1, 1]
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
