@@ -202,6 +202,30 @@ class TestRecordLinkage:
         assert levenshtein("", "abc") == 3
         assert levenshtein("abc", "abc") == 0
 
+    def test_prefilter_equivalence_fuzz(self):
+        """The Hamming fast path and multiset-diff rejection used inside
+        q_record_linkage.pairs must agree with plain DP on every pair."""
+        import itertools
+        import random
+        from collections import Counter
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            LINKAGE_MAX_DIST,
+            levenshtein,
+        )
+
+        rng = random.Random(7)
+        strs = ["".join(rng.choice("abc") for _ in range(6)) for _ in range(80)]
+        for a, b in itertools.combinations(strs, 2):
+            lev = levenshtein(a, b)
+            ham = sum(x != y for x, y in zip(a, b))
+            ca, cb = Counter(a), Counter(b)
+            D = sum(abs(ca[c] - cb[c]) for c in set(ca) | set(cb))
+            if ham <= LINKAGE_MAX_DIST:
+                assert lev == ham, (a, b)
+            elif D > 2 * LINKAGE_MAX_DIST:
+                assert lev > LINKAGE_MAX_DIST, (a, b)
+
     def test_true_pairs_present_with_dist_one(self, ray_session, tmp_path):
         t = pa.table(
             {
