@@ -2452,10 +2452,112 @@ FROM ud
 """
 
 
+# ====================================================== radix quantiles
+#
+# Mergeable quantile sketch for UNBOUNDED domains: a log2-bucket (radix)
+# histogram — at most 64 buckets no matter the value range — with
+# integer linear interpolation inside the picked bucket. This is the
+# scale path where the exact value-histogram quantile operators
+# (length_quantiles / group_quantiles / rank_normalize) stop working:
+# their state is O(|distinct values|), this is O(64) with a bounded
+# relative error (one power-of-two bucket), deterministic and
+# merge-order-independent (bucket counts are sums).
+
+RADIX_QS_BP = [2500, 5000, 7500, 9900]
+
+
+def q_radix_quantiles(sf_dir: str):
+    """(q_bp, bucket, est_cents): radix-sketch quantile estimates of the
+    event value in cents.
+
+    Scale shape: per-batch 64-bucket count combiner -> bounded groupby
+    -> driver interpolation over 64 rows. Merge = integer vector add,
+    so shard/epoch sketches combine exactly (the HLL/CMS property for
+    quantiles)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cents = np.maximum(cents, 1)
+        # exact floor(log2): frexp exponent (ints < 2^53 are exact in
+        # float64; np.log2+floor can misround at 2^k-1 boundaries)
+        b = np.frexp(cents.astype(np.float64))[1] - 1
+        out = pd.DataFrame({"b": b.astype(np.int64)}).groupby(
+            "b", as_index=False
+        ).size()
+        out.columns = ["b", "n"]
+        return out.astype(np.int64)
+
+    h = (
+        ev.map_batches(hist, batch_format="pandas")
+        .groupby("b")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # bounded: <= 64 rows
+    if h.empty:
+        return pd.DataFrame(
+            {
+                "q_bp": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64),
+                "est_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    h = h.sort_values("b")
+    bs = h["b"].to_numpy(np.int64)
+    ns = h["n"].to_numpy(np.int64)
+    cum = np.cumsum(ns)
+    total = int(cum[-1])
+    rows = []
+    for q in RADIX_QS_BP:
+        rk = (total - 1) * q // 10000
+        i = int(np.searchsorted(cum, rk, side="right"))  # first cum > rk
+        b, n, before = int(bs[i]), int(ns[i]), int(cum[i] - ns[i])
+        est = (1 << b) + ((rk - before) * (1 << b)) // n
+        rows.append((q, b, est))
+    return pd.DataFrame(
+        {
+            "q_bp": pd.Series([r[0] for r in rows], dtype=np.int64),
+            "bucket": pd.Series([r[1] for r in rows], dtype=np.int64),
+            "est_cents": pd.Series([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def _radix_quantiles_sql() -> str:
+    qlist = ", ".join(str(q) for q in RADIX_QS_BP)
+    return f"""
+WITH c AS (
+  SELECT GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS cents
+  FROM events
+), h AS (
+  SELECT CAST(strlen(bin(cents)) - 1 AS BIGINT) AS b, COUNT(*) AS n
+  FROM c GROUP BY 1
+), cumh AS (
+  SELECT b, CAST(n AS BIGINT) AS n,
+         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cum
+  FROM h
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+qs AS (SELECT unnest([{qlist}]) AS q),
+r AS (SELECT q, (total - 1) * q // 10000 AS rk FROM qs, t),
+pick AS (
+  SELECT r.q, r.rk, MIN(c.b) AS b
+  FROM r JOIN cumh c ON c.cum > r.rk GROUP BY 1, 2
+)
+SELECT CAST(p.q AS BIGINT) AS q_bp, p.b AS bucket,
+  CAST((CAST(1 AS BIGINT) << p.b)
+       + ((p.rk - (c.cum - c.n)) * (CAST(1 AS BIGINT) << p.b)) // c.n
+       AS BIGINT) AS est_cents
+FROM pick p JOIN cumh c ON c.b = p.b
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
+    "radix_quantiles": (q_radix_quantiles, _radix_quantiles_sql()),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),

@@ -752,6 +752,36 @@ class TestBurstDays:
         assert df["n"].tolist() == [13, 1, 1, 1, 1]
 
 
+class TestRadixQuantiles:
+    def test_estimates_bracket_exact_quantiles(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            RADIX_QS_BP,
+            q_radix_quantiles,
+        )
+
+        vals = [round(0.01 * (i + 1), 2) for i in range(1000)]  # 1..1000 cents
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(vals), pa.timestamp("us")
+                ),
+                "user_id": pa.array([0] * len(vals), pa.int64()),
+                "event_type": pa.array(["e"] * len(vals)),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * len(vals)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        df = q_radix_quantiles(str(tmp_path)).to_pandas().set_index("q_bp")
+        for q in RADIX_QS_BP:
+            exact = 1 + (len(vals) - 1) * q // 10000  # cents are 1..1000
+            est, b = int(df.loc[q, "est_cents"]), int(df.loc[q, "bucket"])
+            assert (1 << b) <= est < (1 << (b + 1))  # inside its bucket
+            # one-bucket relative error bound: within 2x of exact
+            assert exact / 2 <= est <= exact * 2, (q, est, exact)
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
