@@ -773,7 +773,7 @@ class TestRadixQuantiles:
             }
         )
         pq.write_table(t, tmp_path / "events.parquet")
-        df = q_radix_quantiles(str(tmp_path)).to_pandas().set_index("q_bp")
+        df = q_radix_quantiles(str(tmp_path)).set_index("q_bp")
         for q in RADIX_QS_BP:
             exact = 1 + (len(vals) - 1) * q // 10000  # cents are 1..1000
             est, b = int(df.loc[q, "est_cents"]), int(df.loc[q, "bucket"])
