@@ -194,6 +194,31 @@ class TestAhoCorasick:
             assert n == len(re.findall(f"(?={re.escape(p)})", text)), p
 
 
+class TestAhoCorasickProperties:
+    def test_counts_equal_regex_lookahead_on_arbitrary_inputs(self):
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from europarl_crawler_ray.functions.ahocorasick import AhoCorasick
+
+        pat = st.text(alphabet="ab", min_size=1, max_size=4)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(pat, min_size=1, max_size=6, unique=True),
+            st.text(alphabet="ab", max_size=40),
+        )
+        def check(patterns, text):
+            ac = AhoCorasick(patterns)
+            got = ac.count_matches(text)
+            for p, n in zip(patterns, got):
+                assert n == len(re.findall(f"(?={re.escape(p)})", text))
+
+        check()
+
+
 class TestRecordLinkage:
     def test_levenshtein_dp(self):
         from europarl_crawler_ray.pipelines.webcorpus_ops import levenshtein
