@@ -420,7 +420,9 @@ def detect_decode(raw: bytes) -> tuple[str, str]:
     """(charset, text): BOM sniff -> UTF-8 validation -> latin-1
     fallback (the WHATWG encoding-sniff order, legacy tail simplified;
     the fallback never mis-fires on the corpus rule but is pinned by
-    unit tests)."""
+    unit tests). Inherent ambiguity (as in every BOM sniffer): a plain
+    UTF-8 text whose first character IS U+FEFF is byte-identical to a
+    BOM'd file and reads back without it."""
     if raw[:2] == b"\xff\xfe":
         return "utf-16-le", raw[2:].decode("utf-16-le")
     if raw[:3] == b"\xef\xbb\xbf":

@@ -219,6 +219,81 @@ class TestAhoCorasickProperties:
         check()
 
 
+class TestWebcorpusProperties:
+    def test_surt_invariant_under_query_order_and_host_case(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import surt_key
+
+        label = st.text(alphabet="abcz", min_size=1, max_size=5)
+        param = st.tuples(
+            st.text(alphabet="kq", min_size=1, max_size=2),
+            st.text(alphabet="0123456789", min_size=1, max_size=3),
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(label, min_size=2, max_size=4), st.lists(param, min_size=0, max_size=4), st.randoms())
+        def check(labels, params, rnd):
+            host = ".".join(labels)
+            qs = [f"{k}={v}" for k, v in params]
+            base = f"https://{host}/p/1" + ("?" + "&".join(qs) if qs else "")
+            rnd.shuffle(qs)
+            perm = f"https://{host.upper()}/p/1" + ("?" + "&".join(qs) if qs else "")
+            assert surt_key(base) == surt_key(perm)
+
+        check()
+
+    def test_charset_roundtrip_arbitrary_unicode(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            detect_decode,
+            encode_page,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFFF
+                ),
+                max_size=60,
+            ),
+            st.integers(min_value=0, max_value=2),
+        )
+        def check(text, enc_class):
+            if enc_class == 2 and text.startswith("﻿"):
+                # inherent sniffing ambiguity: a plain-UTF-8 text whose
+                # first char IS U+FEFF is byte-identical to a BOM'd file
+                return
+            cs, out = detect_decode(encode_page(text, enc_class))
+            assert out == text
+
+        check()
+
+    def test_ip_anonymize_prefix_lengths_preserved(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import anonymize_ip
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+        )
+        def check(a, b):
+            def shared(x, y):
+                d = x ^ y
+                return 32 - d.bit_length() if d else 32
+
+            assert shared(anonymize_ip(a), anonymize_ip(b)) == shared(a, b)
+
+        check()
+
+
 class TestRecordLinkage:
     def test_levenshtein_dp(self):
         from europarl_crawler_ray.pipelines.webcorpus_ops import levenshtein
