@@ -1541,19 +1541,22 @@ def q_rank_normalize(sf_dir: str):
     batch) -> bounded groupby -> driver builds the <= |domain|-entry
     rank table -> ray.put broadcast -> vectorized map lookup. No
     all-to-all exchange touches data-scaled rows."""
-    from ray.data.aggregate import Sum as _Sum
-
     d = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("n_chars", as_index=False).size()
         out.columns = ["n_chars", "n"]
+        out["bucket"] = out["n_chars"] % 8  # 8 Ray groups, not |domain|
+        return out.astype(np.int64)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_chars", as_index=False)["n"].sum()
         return out.astype(np.int64)
 
     counts = (
         d.map_batches(hist, batch_format="pandas")
-        .groupby("n_chars")
-        .aggregate(_Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
     )  # bounded: one row per distinct length
     if counts.empty:  # Ray's empty to_pandas() carries no columns
@@ -2051,8 +2054,6 @@ def q_quantile_map(sf_dir: str):
     global-value counts — both schema-bounded, never data-scaled), the
     mapping table built on the driver with one vectorized searchsorted
     per source, broadcast once; the apply pass is a dict lookup map."""
-    from ray.data.aggregate import Sum as _Sum
-
     d = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
@@ -2060,10 +2061,17 @@ def q_quantile_map(sf_dir: str):
         out.columns = ["source", "n_chars", "n"]
         return out.astype({"n_chars": np.int64, "n": np.int64})
 
+    def merge_source(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "n_chars"], as_index=False)["n"].sum()
+        return out.astype({"n_chars": np.int64, "n": np.int64})
+
+    # Ray groupby keyed on source ONLY (|sources| groups); the
+    # (source, value) merge happens inside the group task — a
+    # (source, value)-keyed Ray groupby costs ~100x more groups
     counts = (
         d.map_batches(hist, batch_format="pandas")
-        .groupby(["source", "n_chars"])
-        .aggregate(_Sum("n", alias_name="n"))
+        .groupby("source")
+        .map_groups(merge_source, batch_format="pandas")
         .to_pandas()
     )  # bounded: |sources| x |distinct lengths|
     if counts.empty:
@@ -2149,10 +2157,13 @@ JOIN map m ON m.source = d.source AND m.v = d.n_chars
 
 
 def q_props_stats(sf_dir: str):
-    """(event_type, n_events, sum_k, min_k, max_k, n_distinct_k)."""
-    import json as _json
+    """(event_type, n_events, sum_k, min_k, max_k, n_distinct_k).
 
-    from ray.data.aggregate import Sum as _Sum
+    Perf note: the per-batch combiner keys the Ray groupby on
+    event_type ONLY (|types| groups) and sums the k-histogram inside
+    the group task — a groupby keyed on (type, k) costs ~100x more Ray
+    groups for the same result (measured 5.8 s -> 1.4 s at sf0.1)."""
+    import json as _json
 
     ev = _read(sf_dir, "events", columns=["event_type", "props"])
 
@@ -2166,10 +2177,14 @@ def q_props_stats(sf_dir: str):
         out.columns = ["event_type", "k", "n"]
         return out.astype({"k": np.int64, "n": np.int64})
 
+    def merge_type(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "k"], as_index=False)["n"].sum()
+        return out.astype({"k": np.int64, "n": np.int64})
+
     h = (
         ev.map_batches(hist, batch_format="pandas")
-        .groupby(["event_type", "k"])
-        .aggregate(_Sum("n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(merge_type, batch_format="pandas")
         .to_pandas()
     )  # bounded: |types| x |k domain|
     if h.empty:
