@@ -940,22 +940,21 @@ def q_retention_cohorts(sf_dir: str):
         )
         return out.astype(np.int64)
 
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cohort_week": df["cohort_week"].to_numpy().astype(np.int64),
-                "age_weeks": df["age_weeks"].to_numpy().astype(np.int64),
-                "n_users": df["sum(n_users_part)"].to_numpy().astype(np.int64),
-            }
-        )
+    def merge_cohort(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_week", "age_weeks"], as_index=False)[
+            "n_users_part"
+        ].sum()
+        out.columns = ["cohort_week", "age_weeks", "n_users"]
+        return out.astype(np.int64)
 
+    # final reduce keyed on cohort_week ONLY (|weeks| Ray groups; the
+    # (cohort, age) key costs |weeks|x more groups for the same cells)
     return (
         _with_coarse_group(ev.map_batches(proj, batch_format="pandas"), "user_id")
         .groupby("_g")
         .map_groups(lambda g: cells(g.drop(columns=["_g"])), batch_format="pandas")
-        .groupby(["cohort_week", "age_weeks"])
-        .sum("n_users_part")
-        .map_batches(rename, batch_format="pandas")
+        .groupby("cohort_week")
+        .map_groups(merge_cohort, batch_format="pandas")
     )
 
 

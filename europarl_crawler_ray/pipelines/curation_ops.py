@@ -375,10 +375,17 @@ def q_mix_interleave(sf_dir: str):
         out.columns = ["source", "bucket", "n_part"]
         return out.astype({"bucket": np.int64, "n_part": np.int64})
 
+    def counts_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["source", "bucket"], as_index=False)["n_part"].sum()
+        out.columns = ["source", "bucket", "n"]
+        return out.astype({"bucket": np.int64, "n": np.int64})
+
+    # Ray groupby on source ONLY (|sources| groups; a (source, bucket)
+    # key costs 256x more Ray groups for the same bounded result)
     counts = (
         kd.map_batches(counts_part, batch_format="pandas")
-        .groupby(["source", "bucket"])
-        .aggregate(_Sum("n_part", alias_name="n"))
+        .groupby("source")
+        .map_groups(counts_merge, batch_format="pandas")
         .to_pandas()
     )  # n_sources × 256 rows — schema-bounded reduce
     if counts.empty:
@@ -412,9 +419,15 @@ def q_mix_interleave(sf_dir: str):
             }
         )
 
-    return kd.groupby(["source", "bucket"]).map_groups(
-        rank_group, batch_format="pandas"
-    )
+    def rank_groups(outer: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [rank_group(sub) for _, sub in outer.groupby(["source", "bucket"])],
+            ignore_index=True,
+        )
+
+    # co-locate on the bucket ONLY (256 Ray groups); every source's
+    # slice of a bucket is ranked by the inner pandas groupby above
+    return kd.groupby("bucket").map_groups(rank_groups, batch_format="pandas")
 
 
 MIX_INTERLEAVE_SQL = f"""
