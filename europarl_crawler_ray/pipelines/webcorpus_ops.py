@@ -2570,11 +2570,156 @@ FROM pick p JOIN cumh c ON c.b = p.b
 """
 
 
+# ====================================================== type inference
+#
+# Schema inference over untyped string data (the CSV/scrape ingest
+# problem): classify every value of every virtual column with anchored
+# regex classifiers (int / float / ISO date), count conformers, and
+# infer the narrowest type that fits ALL values. The corpus builds four
+# string columns per doc — pure int, float, date, and a mixed column
+# that must correctly DEMOTE to string. Patterns are byte-identical
+# between Python re and DuckDB regexp_full_matches, so the oracle checks
+# the classifiers themselves, not just the verdicts.
+
+_INT_RE = r"-?[0-9]+"
+_FLOAT_RE = r"-?[0-9]+\.[0-9]+"
+_DATE_RE = r"[0-9]{4}-[0-9]{2}-[0-9]{2}"
+
+
+def _virtual_cells(doc_id: int) -> list[tuple[str, str]]:
+    return [
+        ("a_int", str(doc_id)),
+        ("b_float", f"{doc_id % 100}.{doc_id % 7}{doc_id % 3}"),
+        ("c_date", f"2024-01-{1 + doc_id % 28:02d}"),
+        ("d_mixed", str(doc_id) if doc_id % 2 == 0 else f"w{doc_id}"),
+    ]
+
+
+def q_infer_types(sf_dir: str):
+    """(column_name, n_values, n_int_like, n_float_like, n_date_like,
+    inferred_type): narrowest type fitting every value (int < float <
+    date < string precedence; int-like values are NOT float-like — the
+    classifiers are exclusive by pattern).
+
+    Scale shape: per-batch per-column conformity-count combiner (4 rows
+    per batch) -> bounded column groupby -> 4-row driver decision."""
+    import re as _re
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    pats = {
+        "n_int_like": _re.compile(_INT_RE),
+        "n_float_like": _re.compile(_FLOAT_RE),
+        "n_date_like": _re.compile(_DATE_RE),
+    }
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {
+            "column_name": [],
+            "n_values": [],
+            "n_int_like": [],
+            "n_float_like": [],
+            "n_date_like": [],
+        }
+        cells: dict[str, list[str]] = {}
+        for i in df["doc_id"].to_numpy(np.int64):
+            for col, v in _virtual_cells(int(i)):
+                cells.setdefault(col, []).append(v)
+        for col, vals in cells.items():
+            rows["column_name"].append(col)
+            rows["n_values"].append(len(vals))
+            for key, pat in pats.items():
+                rows[key].append(sum(1 for v in vals if pat.fullmatch(v)))
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {
+                "n_values": np.int64,
+                "n_int_like": np.int64,
+                "n_float_like": np.int64,
+                "n_date_like": np.int64,
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("column_name", as_index=False)[
+            ["n_values", "n_int_like", "n_float_like", "n_date_like"]
+        ].sum()
+        return out.astype(
+            {c: np.int64 for c in out.columns if c != "column_name"}
+        )
+
+    h = (
+        d.map_batches(counts, batch_format="pandas")
+        .groupby("column_name")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: 4 rows
+    if h.empty:
+        return pd.DataFrame(
+            {
+                "column_name": pd.Series([], dtype=object),
+                "n_values": pd.Series([], dtype=np.int64),
+                "n_int_like": pd.Series([], dtype=np.int64),
+                "n_float_like": pd.Series([], dtype=np.int64),
+                "n_date_like": pd.Series([], dtype=np.int64),
+                "inferred_type": pd.Series([], dtype=object),
+            }
+        )
+    n = h["n_values"].to_numpy(np.int64)
+    t = np.where(
+        h["n_int_like"].to_numpy(np.int64) == n,
+        "int",
+        np.where(
+            h["n_float_like"].to_numpy(np.int64) == n,
+            "float",
+            np.where(h["n_date_like"].to_numpy(np.int64) == n, "date", "string"),
+        ),
+    )
+    h["inferred_type"] = t
+    return h
+
+
+INFER_TYPES_SQL = f"""
+WITH cells AS (
+  SELECT 'a_int' AS column_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+  UNION ALL
+  SELECT 'b_float',
+         CAST(doc_id % 100 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR)
+           || CAST(doc_id % 3 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'c_date', '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+  FROM documents
+  UNION ALL
+  SELECT 'd_mixed',
+         CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR)
+              ELSE 'w' || CAST(doc_id AS VARCHAR) END
+  FROM documents
+), c AS (
+  SELECT column_name,
+    CAST(COUNT(*) AS BIGINT) AS n_values,
+    CAST(SUM(CASE WHEN regexp_full_match(v, '{_INT_RE}') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_int_like,
+    CAST(SUM(CASE WHEN regexp_full_match(v, '{_FLOAT_RE}') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_float_like,
+    CAST(SUM(CASE WHEN regexp_full_match(v, '{_DATE_RE}') THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_date_like
+  FROM cells GROUP BY 1
+)
+SELECT column_name, n_values, n_int_like, n_float_like, n_date_like,
+  CASE WHEN n_int_like = n_values THEN 'int'
+       WHEN n_float_like = n_values THEN 'float'
+       WHEN n_date_like = n_values THEN 'date'
+       ELSE 'string' END AS inferred_type
+FROM c
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
     "radix_quantiles": (q_radix_quantiles, _radix_quantiles_sql()),
+    "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
