@@ -1,0 +1,78 @@
+"""Scale-design guards for the webcorpus driver-side reduces: every
+driver collect must be exactly the documented SCHEMA/DOMAIN-BOUNDED
+reduce (histograms, type counts), never data-scaled rows (the
+test_join_scale pattern applied to the fifth-session operators)."""
+
+import duckdb
+
+
+def _spy_collects(monkeypatch):
+    import ray.data
+
+    collected = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        df = orig(self, *a, **kw)
+        collected.append(len(df))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    return collected
+
+
+def test_driver_collects_are_exactly_the_bounded_reduces(
+    ray_session, sf_dir, monkeypatch
+):
+    from europarl_crawler_ray.pipelines.webcorpus_ops import (
+        q_infer_types,
+        q_props_stats,
+        q_quantile_map,
+        q_radix_quantiles,
+        q_rank_normalize,
+    )
+
+    con = duckdb.connect()
+    exp = {
+        "q_rank_normalize": con.sql(
+            f"SELECT COUNT(DISTINCT n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0],
+        "q_quantile_map": con.sql(
+            f"SELECT COUNT(*) FROM (SELECT DISTINCT source, n_chars FROM read_parquet('{sf_dir}/documents.parquet'))"
+        ).fetchone()[0],
+        "q_props_stats": con.sql(
+            f"SELECT COUNT(*) FROM (SELECT DISTINCT event_type, json_extract_string(props, '$.k') FROM read_parquet('{sf_dir}/events.parquet'))"
+        ).fetchone()[0],
+        "q_radix_quantiles": con.sql(
+            f"SELECT COUNT(DISTINCT strlen(bin(GREATEST(CAST(FLOOR(value*100+0.5) AS BIGINT), 1)))) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0],
+        "q_infer_types": 4,
+    }
+    n_docs = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_events = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+
+    for q, rows in [
+        (q_rank_normalize, n_docs),
+        (q_quantile_map, n_docs),
+        (q_props_stats, n_events),
+        (q_radix_quantiles, n_events),
+        (q_infer_types, n_docs),
+    ]:
+        collected = _spy_collects(monkeypatch)
+        res = q(sf_dir)
+        # construction collects exactly ONE frame: the bounded reduce
+        assert collected == [exp[q.__name__]], (
+            q.__name__,
+            collected,
+            f"expected exactly the bounded histogram ({exp[q.__name__]} rows), "
+            f"tables are {rows} rows",
+        )
+        import ray.data
+
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        assert n >= 0
+        monkeypatch.undo()
