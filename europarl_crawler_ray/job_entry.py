@@ -47,10 +47,20 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
+        address = os.environ.get("RAY_ADDRESS", "auto")
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        # num_cpus is only legal when STARTING a local Ray (ray.init
+        # rejects it when attaching to an existing cluster — the cluster
+        # defines its own resources); drop it with a note otherwise
         if args.num_cpus is not None:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"), **kwargs)
+            if address == "local":
+                kwargs["num_cpus"] = args.num_cpus
+            else:
+                print(
+                    f"note: --num-cpus ignored when attaching to '{address}'",
+                    file=sys.stderr,
+                )
+        ray.init(address=address, **kwargs)
 
     t0 = time.time()
     if args.pipeline == "flagship":

@@ -350,7 +350,6 @@ def q_mix_interleave(sf_dir: str):
     offset table (sources are a schema-bounded dimension), one exchange
     on (source, key-prefix bucket) ranks every source's docs
     vectorized."""
-    from ray.data.aggregate import Sum as _Sum
 
     d = _read(sf_dir, "documents", columns=["doc_id", "source"])
 

@@ -953,6 +953,26 @@ def _link_targets(doc_id: int, n_docs: int) -> list[int]:
     return [(doc_id * 37 + j * 101) % n_docs for j in range(1, k + 1)]
 
 
+def iter_internal_edges(doc_ids, n_docs: int):
+    """Yield every (src, dst) internal link of the rendered pages for
+    ``doc_ids`` — the ONE render → parse → ``/doc/<id>`` filter walk
+    shared by q_link_graph, q_graph_reciprocity and q_kcore_peel (review
+    finding: the walk was triplicated and could desynchronize from the
+    'lnkk:42' oracle rule). Self-loops are NOT filtered here — callers
+    that exclude them do so explicitly (q_link_graph counts them)."""
+    import re as _re
+
+    from ..functions.extract import extract_hrefs
+
+    internal = _re.compile(r"^/doc/([0-9]+)$")
+    for did in doc_ids:
+        html = _render_link_page(did, _link_targets(did, n_docs))
+        for href in extract_hrefs(html):
+            m = internal.match(href)
+            if m:
+                yield did, int(m.group(1))
+
+
 def _render_link_page(doc_id: int, targets: list[int]) -> str:
     """A crawled page whose REAL anchors point at ``/doc/<id>`` — plus
     the decoys a regex extractor would wrongly pick up: an anchor inside
@@ -990,11 +1010,7 @@ def q_link_graph(sf_dir: str):
     a coarse-hash-keyed pandas sum — never a per-key Ray groupby. The
     doc count (for the synthetic target formula) comes from parquet
     metadata, not a scan."""
-    import re as _re
-
     import pyarrow.parquet as _pq
-
-    from ..functions.extract import extract_hrefs
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     empty = pa.table(
@@ -1006,23 +1022,16 @@ def q_link_graph(sf_dir: str):
     )
     if n_docs == 0:
         return ray.data.from_arrow(empty)
-    internal = _re.compile(r"^/doc/([0-9]+)$")
-
     def edges_partial(t: pa.Table) -> pa.Table:
         """Render → parse → per-batch degree combiner. Emits one row per
         doc appearing in this batch's edges (as source or target)."""
         out_n: dict[int, int] = {}
         in_n: dict[int, int] = {}
         for did in t.column("doc_id").to_pylist():
-            html = _render_link_page(did, _link_targets(did, n_docs))
-            dsts = []
-            for href in extract_hrefs(html):
-                m = internal.match(href)
-                if m:
-                    dsts.append(int(m.group(1)))
-            out_n[did] = out_n.get(did, 0) + len(dsts)
-            for dst in dsts:
-                in_n[dst] = in_n.get(dst, 0) + 1
+            out_n.setdefault(did, 0)
+        for src, dst in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
+            out_n[src] = out_n.get(src, 0) + 1
+            in_n[dst] = in_n.get(dst, 0) + 1
         ids = sorted(set(out_n) | set(in_n))
         return pa.table(
             {

@@ -645,10 +645,17 @@ def q_record_linkage(sf_dir: str):
             # multiset diff) still pay the O(n^2) DP.
             same_len = len({len(nm) for nm in names}) == 1
             if same_len and names:
-                mat = np.frombuffer(
-                    "".join(names).encode("latin-1"), dtype=np.uint8
-                ).reshape(len(names), -1)
-                cnt = np.stack([np.bincount(row, minlength=256) for row in mat])
+                try:
+                    mat = np.frombuffer(
+                        "".join(names).encode("latin-1"), dtype=np.uint8
+                    ).reshape(len(names), -1)
+                    cnt = np.stack(
+                        [np.bincount(row, minlength=256) for row in mat]
+                    )
+                except UnicodeEncodeError:
+                    # non-latin-1 names: fall back to the plain DP path
+                    # the prefilter replaced (review finding)
+                    same_len = False
             for i in range(len(recs)):
                 for j in range(i + 1, len(recs)):
                     if same_len:
@@ -1125,6 +1132,26 @@ def _ring_points(n_nodes: int = CH_NODES) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def _ring_key_hashes(ids: np.ndarray) -> np.ndarray:
+    return np.array(
+        [
+            int(hashlib.md5(f"key|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+            for i in ids
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _place_on_ring(ring: tuple[np.ndarray, np.ndarray], kh: np.ndarray) -> np.ndarray:
+    """Successor-vnode placement (first ring hash >= key, wrap to the
+    minimum) — the ONE placement function shared by assign and rebalance
+    so the two operators stay provably consistent (review finding)."""
+    ring_h, ring_n = ring
+    idx = np.searchsorted(ring_h, kh, side="left")
+    idx[idx == len(ring_h)] = 0
+    return ring_n[idx]
+
+
 def q_consistent_hash_assign(sf_dir: str):
     """(doc_id, node): successor-vnode ring placement of every doc key.
 
@@ -1137,18 +1164,9 @@ def q_consistent_hash_assign(sf_dir: str):
     d = _read(sf_dir, "documents", columns=["doc_id"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ring_h, ring_n = ray.get(ring_ref)
         ids = df["doc_id"].to_numpy(np.int64)
-        kh = np.array(
-            [
-                int(hashlib.md5(f"key|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
-                for i in ids
-            ],
-            dtype=np.uint64,
-        )
-        idx = np.searchsorted(ring_h, kh, side="left")  # first point >= key
-        idx[idx == len(ring_h)] = 0  # wrap to the ring minimum
-        return pd.DataFrame({"doc_id": ids, "node": ring_n[idx]})
+        node = _place_on_ring(ray.get(ring_ref), _ring_key_hashes(ids))
+        return pd.DataFrame({"doc_id": ids, "node": node})
 
     return d.map_batches(assign, batch_format="pandas")
 
@@ -1636,6 +1654,11 @@ def q_basket_lift(sf_dir: str):
             "user_id"
         ):
             types = sorted(grp["event_type"].tolist())
+            # the tagged-row encoding reserves these two values
+            assert "__user__" not in types and "" not in types, (
+                "basket_lift: event_type collides with the in-band "
+                "sentinel values '__user__'/''"
+            )
             rows_a.append("__user__")
             rows_b.append("")
             n.append(1)
@@ -1810,22 +1833,9 @@ def q_ring_rebalance(sf_dir: str):
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
-        kh = np.array(
-            [
-                int(hashlib.md5(f"key|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
-                for i in ids
-            ],
-            dtype=np.uint64,
-        )
-
-        def place(ring):
-            ring_h, ring_n = ring
-            idx = np.searchsorted(ring_h, kh, side="left")
-            idx[idx == len(ring_h)] = 0
-            return ring_n[idx]
-
-        nb = place(ray.get(before_ref))
-        na = place(ray.get(after_ref))
+        kh = _ring_key_hashes(ids)
+        nb = _place_on_ring(ray.get(before_ref), kh)
+        na = _place_on_ring(ray.get(after_ref), kh)
         return pd.DataFrame(
             {
                 "doc_id": ids,
@@ -1883,12 +1893,9 @@ def q_graph_reciprocity(sf_dir: str):
     Scale shape: edges bucket-exchange on the UNORDERED pair key, so
     both orientations of a pair land in one task; per-task counts reduce
     to two integers per bucket -> one bounded final sum."""
-    import re as _re
-
     import pyarrow.parquet as _pq
 
-    from ..functions.extract import extract_hrefs
-    from .queries import _link_targets, _render_link_page
+    from .queries import iter_internal_edges
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     if n_docs == 0:
@@ -1899,17 +1906,13 @@ def q_graph_reciprocity(sf_dir: str):
                 "recip_bp": pd.Series([0], dtype=np.int64),
             }
         )
-    internal = _re.compile(r"^/doc/([0-9]+)$")
 
     def edges(t: pa.Table) -> pd.DataFrame:
         src, dst = [], []
-        for did in t.column("doc_id").to_pylist():
-            html = _render_link_page(did, _link_targets(did, n_docs))
-            for href in extract_hrefs(html):
-                m = internal.match(href)
-                if m and int(m.group(1)) != did:
-                    src.append(did)
-                    dst.append(int(m.group(1)))
+        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
+            if s != d_:  # self-loops excluded for reciprocity
+                src.append(s)
+                dst.append(d_)
         out = pd.DataFrame(
             {
                 "src": pd.Series(src, dtype=np.int64),
@@ -2259,12 +2262,9 @@ def q_kcore_peel(sf_dir: str):
     exchange per round, convergence read from a per-round notification
     count scalar; membership output via the shared partitioned
     anti-join. No edge list or node set ever reaches the driver."""
-    import re as _re
-
     import pyarrow.parquet as _pq
 
-    from ..functions.extract import extract_hrefs
-    from .queries import _link_targets, _render_link_page
+    from .queries import iter_internal_edges
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = _read(sf_dir, "documents", columns=["doc_id"])
@@ -2275,7 +2275,6 @@ def q_kcore_peel(sf_dir: str):
                 "in_core": pd.Series([], dtype=np.int64),
             }
         )
-    internal = _re.compile(r"^/doc/([0-9]+)$")
     empty_state = pd.DataFrame(
         {
             "kind": pd.Series([], dtype=np.int64),
@@ -2287,13 +2286,10 @@ def q_kcore_peel(sf_dir: str):
 
     def edges(t: pa.Table) -> pd.DataFrame:
         src, dst = [], []
-        for did in t.column("doc_id").to_pylist():
-            html = _render_link_page(did, _link_targets(did, n_docs))
-            for href in extract_hrefs(html):
-                m = internal.match(href)
-                if m and int(m.group(1)) != did:
-                    src.append(did)
-                    dst.append(int(m.group(1)))
+        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
+            if s != d_:  # self-loops never contribute to a core
+                src.append(s)
+                dst.append(d_)
         e = pd.DataFrame(
             {
                 "src": pd.Series(src, dtype=np.int64),
@@ -2332,6 +2328,7 @@ def q_kcore_peel(sf_dir: str):
         return out if not out.empty else empty_state
 
     state = d.map_batches(edges, batch_format="pyarrow")
+    n_notif = 0
     for _ in range(KCORE_ROUNDS):
         state = (
             state.groupby("b").map_groups(peel_bucket, batch_format="pandas")
@@ -2339,6 +2336,18 @@ def q_kcore_peel(sf_dir: str):
         n_notif = state.sum("kind")  # notifications carry kind=1
         if not n_notif:
             break
+    if n_notif:
+        # the cap bound with removals still propagating: membership is
+        # NOT the fixpoint and the (same-depth) SQL oracle may disagree
+        # — make the divergence loud instead of silent (review finding)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kcore_peel: %d removal notifications still pending after %d "
+            "rounds — result is the capped peel, not the fixpoint",
+            int(n_notif),
+            KCORE_ROUNDS,
+        )
     alive = state.map_batches(
         lambda g: g.loc[g["kind"] == 0, ["src"]].drop_duplicates(),
         batch_format="pandas",
