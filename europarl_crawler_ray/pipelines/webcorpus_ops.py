@@ -2723,12 +2723,178 @@ FROM c
 """
 
 
+# ===================================================== interval union
+#
+# Gaps-and-islands interval merging: each event opens a 5-minute
+# activity window; per user, merge overlapping/touching windows and
+# report the union length — the "actual active time" measure (crawl
+# connection-held time, user engagement time) that naive SUM(duration)
+# double-counts.
+
+IU_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def q_interval_union(sf_dir: str):
+    """(user_id, n_events, n_islands, covered_us): merged-interval count
+    and exact union length in microseconds.
+
+    Scale shape: ONE coarse exchange on user_id; inside the task the
+    island boundaries come from one sort + np.maximum.accumulate over
+    the user's interval ends — no per-interval scan."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    kd = _with_coarse_group(ev, "user_id")
+
+    def union(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_n, out_i, out_c = [], [], [], []
+        for uid, rows in g.groupby("user_id"):
+            s = np.sort(rows["ts"].astype("int64").to_numpy())
+            e = s + IU_WINDOW_US
+            if len(s) == 0:
+                continue
+            run_end = np.maximum.accumulate(e)
+            new_island = np.ones(len(s), dtype=bool)
+            new_island[1:] = s[1:] > run_end[:-1]
+            isl = np.cumsum(new_island) - 1
+            starts = s[new_island]
+            ends = np.array(
+                [run_end[isl == i].max() for i in range(isl[-1] + 1)],
+                dtype=np.int64,
+            )
+            out_u.append(uid)
+            out_n.append(len(s))
+            out_i.append(int(isl[-1] + 1))
+            out_c.append(int((ends - starts).sum()))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_u, dtype=np.int64),
+                "n_events": pd.Series(out_n, dtype=np.int64),
+                "n_islands": pd.Series(out_i, dtype=np.int64),
+                "covered_us": pd.Series(out_c, dtype=np.int64),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(union, batch_format="pandas")
+
+
+INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_i
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+  FROM m
+), isl AS (
+  SELECT user_id, isl, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM iv WHERE iv.user_id = isl.user_id)
+    AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(e - s) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
+"""
+
+
+# =================================================== co-citation pairs
+#
+# Bipartite projection of the link graph: two pages are co-cited when
+# one source links to both; pairs with support >= 2 are the
+# "customers who bought X also bought Y" signal (collaborative
+# filtering / related-pages). Pair fan-out is bounded per source
+# (<= C(k,2), k <= 5 outlinks), so the projection never explodes.
+
+COCITE_MIN_SUPPORT = 2
+
+
+def q_cocitation_pairs(sf_dir: str):
+    """(dst_a, dst_b, n_common) for dst_a < dst_b with support >= 2.
+
+    Scale shape: per-source pair fan-out in the edge map (bounded by
+    the outlink cap) -> ONE coarse exchange on the unordered pair key
+    -> in-task count + support filter."""
+    import pyarrow.parquet as _pq
+
+    from .queries import iter_internal_edges
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "dst_a": pd.Series([], dtype=np.int64),
+                "dst_b": pd.Series([], dtype=np.int64),
+                "n_common": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        by_src: dict[int, set] = {}
+        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
+            if s != d_:
+                by_src.setdefault(s, set()).add(d_)
+        a, b = [], []
+        for dsts in by_src.values():
+            ds = sorted(dsts)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    a.append(ds[i])
+                    b.append(ds[j])
+        out = pd.DataFrame(
+            {
+                "dst_a": pd.Series(a, dtype=np.int64),
+                "dst_b": pd.Series(b, dtype=np.int64),
+            }
+        )
+        out["pair"] = out["dst_a"] * np.int64(n_docs) + out["dst_b"]
+        return out
+
+    kd = _with_coarse_group(d.map_batches(pairs, batch_format="pyarrow"), "pair")
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["dst_a", "dst_b"], as_index=False).size()
+        out.columns = ["dst_a", "dst_b", "n_common"]
+        out = out[out["n_common"] >= COCITE_MIN_SUPPORT]
+        return out.astype(np.int64)
+
+    return kd.groupby("_g").map_groups(count, batch_format="pandas")
+
+
+COCITATION_PAIRS_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+)
+SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING COUNT(*) >= {COCITE_MIN_SUPPORT}
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
     "radix_quantiles": (q_radix_quantiles, _radix_quantiles_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
+    "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
+    "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),

@@ -882,6 +882,79 @@ class TestRadixQuantiles:
             assert exact / 2 <= est <= exact * 2, (q, est, exact)
 
 
+class TestIntervalUnion:
+    def test_merge_touch_and_gap(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import q_interval_union
+
+        # user 1: events at 0min and 4min overlap (window 5min) -> one
+        # island of 9min; event at 20min is its own island (5min)
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:04:00"),
+            (1, "2024-01-01 00:20:00"),
+            # user 2: touching boundary (exactly 5min apart) merges
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:05:00"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["e"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        df = (
+            q_interval_union(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        m = 60 * 1_000_000
+        assert df.loc[1, "n_islands"] == 2
+        assert df.loc[1, "covered_us"] == 9 * m + 5 * m
+        assert df.loc[2, "n_islands"] == 1
+        assert df.loc[2, "covered_us"] == 10 * m
+
+
+class TestCocitation:
+    def test_matches_bruteforce(self, ray_session):
+        import hashlib as h
+
+        import pyarrow.parquet as pq_
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            COCITE_MIN_SUPPORT,
+            q_cocitation_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        n = pq_.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        from collections import Counter
+
+        c = Counter()
+        for d in range(n):
+            k = 1 + int(h.md5(f"lnkk:42:{d}".encode()).hexdigest()[:16], 16) % 4
+            dsts = sorted(
+                {(d * 37 + j * 101) % n for j in range(1, k + 1)} - {d}
+            )
+            for i in range(len(dsts)):
+                for j in range(i + 1, len(dsts)):
+                    c[(dsts[i], dsts[j])] += 1
+        want = {p: v for p, v in c.items() if v >= COCITE_MIN_SUPPORT}
+        df = q_cocitation_pairs(sf).to_pandas()
+        got = {
+            (int(r.dst_a), int(r.dst_b)): int(r.n_common)
+            for r in df.itertuples()
+        }
+        assert got == want and len(want) > 0
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
