@@ -2492,42 +2492,27 @@ FROM ud
 RADIX_QS_BP = [2500, 5000, 7500, 9900]
 
 
-def q_radix_quantiles(sf_dir: str):
-    """(q_bp, bucket, est_cents): radix-sketch quantile estimates of the
-    event value in cents.
+def radix_hist(values: np.ndarray) -> pd.DataFrame:
+    """(b, n) log2-bucket counts of positive int64 values. Exact
+    floor(log2) via the frexp exponent (ints < 2^53 are exact in
+    float64; np.log2+floor can misround at 2^k-1 boundaries)."""
+    v = np.maximum(values.astype(np.int64), 1)
+    b = np.frexp(v.astype(np.float64))[1] - 1
+    out = pd.DataFrame({"b": b.astype(np.int64)}).groupby("b", as_index=False).size()
+    out.columns = ["b", "n"]
+    return out.astype(np.int64)
 
-    Scale shape: per-batch 64-bucket count combiner -> bounded groupby
-    -> driver interpolation over 64 rows. Merge = integer vector add,
-    so shard/epoch sketches combine exactly (the HLL/CMS property for
-    quantiles)."""
-    from ray.data.aggregate import Sum as _Sum
 
-    ev = _read(sf_dir, "events", columns=["value"])
-
-    def hist(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        cents = np.maximum(cents, 1)
-        # exact floor(log2): frexp exponent (ints < 2^53 are exact in
-        # float64; np.log2+floor can misround at 2^k-1 boundaries)
-        b = np.frexp(cents.astype(np.float64))[1] - 1
-        out = pd.DataFrame({"b": b.astype(np.int64)}).groupby(
-            "b", as_index=False
-        ).size()
-        out.columns = ["b", "n"]
-        return out.astype(np.int64)
-
-    h = (
-        ev.map_batches(hist, batch_format="pandas")
-        .groupby("b")
-        .aggregate(_Sum("n", alias_name="n"))
-        .to_pandas()
-    )  # bounded: <= 64 rows
+def radix_interp(h: pd.DataFrame, est_col: str) -> pd.DataFrame:
+    """(q_bp, bucket, <est_col>) quantile estimates from a merged (b, n)
+    radix histogram — integer linear interpolation inside the picked
+    bucket."""
     if h.empty:
         return pd.DataFrame(
             {
                 "q_bp": pd.Series([], dtype=np.int64),
                 "bucket": pd.Series([], dtype=np.int64),
-                "est_cents": pd.Series([], dtype=np.int64),
+                est_col: pd.Series([], dtype=np.int64),
             }
         )
     h = h.sort_values("b")
@@ -2546,18 +2531,43 @@ def q_radix_quantiles(sf_dir: str):
         {
             "q_bp": pd.Series([r[0] for r in rows], dtype=np.int64),
             "bucket": pd.Series([r[1] for r in rows], dtype=np.int64),
-            "est_cents": pd.Series([r[2] for r in rows], dtype=np.int64),
+            est_col: pd.Series([r[2] for r in rows], dtype=np.int64),
         }
     )
 
 
-def _radix_quantiles_sql() -> str:
+def _merge_radix_hist(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Merge per-batch (b, n) partials: <= 64 Ray groups by design."""
+    from ray.data.aggregate import Sum as _Sum
+
+    h = ds.groupby("b").aggregate(_Sum("n", alias_name="n")).to_pandas()
+    return h if not h.empty else pd.DataFrame({"b": [], "n": []})
+
+
+def q_radix_quantiles(sf_dir: str):
+    """(q_bp, bucket, est_cents): radix-sketch quantile estimates of the
+    event value in cents.
+
+    Scale shape: per-batch 64-bucket count combiner -> bounded groupby
+    -> driver interpolation over 64 rows. Merge = integer vector add,
+    so shard/epoch sketches combine exactly (the HLL/CMS property for
+    quantiles)."""
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return radix_hist(cents)
+
+    h = _merge_radix_hist(ev.map_batches(hist, batch_format="pandas"))
+    return radix_interp(h, "est_cents")
+
+
+def _radix_sql(cents_cte: str, est_col: str) -> str:
+    """Full radix-quantile SQL given a CTE chain ending in c(cents) —
+    shared by radix_quantiles and funnel_latency."""
     qlist = ", ".join(str(q) for q in RADIX_QS_BP)
     return f"""
-WITH c AS (
-  SELECT GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS cents
-  FROM events
-), h AS (
+WITH {cents_cte}, h AS (
   SELECT CAST(strlen(bin(cents)) - 1 AS BIGINT) AS b, COUNT(*) AS n
   FROM c GROUP BY 1
 ), cumh AS (
@@ -2574,9 +2584,83 @@ pick AS (
 SELECT CAST(p.q AS BIGINT) AS q_bp, p.b AS bucket,
   CAST((CAST(1 AS BIGINT) << p.b)
        + ((p.rk - (c.cum - c.n)) * (CAST(1 AS BIGINT) << p.b)) // c.n
-       AS BIGINT) AS est_cents
+       AS BIGINT) AS {est_col}
 FROM pick p JOIN cumh c ON c.b = p.b
 """
+
+
+_RADIX_CENTS_CTE = """c AS (
+  SELECT GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS cents
+  FROM events
+)"""
+
+
+# ====================================================== funnel latency
+#
+# Time-to-convert distribution: for every user completing the full
+# greedy earliest-chain funnel (corpus_ops.q_funnel_counts semantics),
+# the latency from stage-1 to final-stage timestamp, summarized through
+# the SAME radix quantile sketch as radix_quantiles — the composition a
+# product-analytics pipeline runs ("how long does conversion take at
+# p50/p99") with unbounded latencies and bounded sketch state.
+
+
+def q_funnel_latency(sf_dir: str):
+    """(q_bp, bucket, est_us): radix-quantile estimates of the
+    signup->purchase latency in microseconds over converting users.
+
+    Scale shape: the funnel chain runs inside ONE coarse user exchange
+    (vectorized min-join per stage); each task emits its <= 64-bucket
+    latency histogram; bounded merge + driver interpolation."""
+    from .corpus_ops import FUNNEL_STAGES
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    kd = _with_coarse_group(ev, "user_id")
+
+    def lat_hist(g: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            g[g["event_type"] == FUNNEL_STAGES[0]].groupby("user_id")["ts"].min()
+        )
+        cur = first
+        for st in FUNNEL_STAGES[1:]:
+            nxt = (
+                g.loc[g["event_type"] == st, ["user_id", "ts"]]
+                .merge(cur.rename("prev"), left_on="user_id", right_index=True)
+                .reset_index(drop=True)
+            )
+            cur = nxt[nxt["ts"] > nxt["prev"]].groupby("user_id")["ts"].min()
+        if cur.empty:
+            return pd.DataFrame(
+                {"b": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
+            )
+        lat = (
+            cur.astype("int64") - first.loc[cur.index].astype("int64")
+        ).to_numpy(np.int64)
+        return radix_hist(lat)
+
+    h = _merge_radix_hist(
+        kd.groupby("_g").map_groups(lat_hist, batch_format="pandas")
+    )
+    return radix_interp(h, "est_us")
+
+
+def _funnel_latency_sql() -> str:
+    chain = """t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY 1),
+t4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY 1),
+c AS (
+  SELECT GREATEST(epoch_us(t4.t) - epoch_us(t1.t), 1) AS cents
+  FROM t4 JOIN t1 USING (user_id)
+)"""
+    return _radix_sql(chain, "est_us")
 
 
 # ====================================================== type inference
@@ -2891,7 +2975,11 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
-    "radix_quantiles": (q_radix_quantiles, _radix_quantiles_sql()),
+    "radix_quantiles": (
+        q_radix_quantiles,
+        _radix_sql(_RADIX_CENTS_CTE, "est_cents"),
+    ),
+    "funnel_latency": (q_funnel_latency, _funnel_latency_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
