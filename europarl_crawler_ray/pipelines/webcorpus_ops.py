@@ -2663,6 +2663,122 @@ c AS (
     return _radix_sql(chain, "est_us")
 
 
+# ====================================================== minhash error
+#
+# Sketch-accuracy evaluation: for every surviving MinHash candidate
+# pair, the signature-agreement ESTIMATE of Jaccard (n_agree/128) next
+# to the EXACT distinct-shingle Jaccard, both in integer basis points —
+# the measurement that justifies (or indicts) the sketch parameters
+# before a 100 TB dedup run trusts them. Composes the two existing
+# operators; the pair sets are identical by construction (same
+# min_agree gate), joined through one coarse exchange.
+
+
+def q_minhash_error(sf_dir: str):
+    """(doc_a, doc_b, est_bp, exact_bp, err_bp) per candidate pair;
+    err_bp = est - exact (signed).
+
+    Scale shape: both inputs are the already-distributed operators; the
+    reconciliation is a tagged union + ONE coarse exchange on doc_a
+    (each pair appears once per side, merged in-task). Running the
+    candidate machinery twice is the documented price of composing at
+    the operator boundary — an integrated variant would thread n_agree
+    through dedup_verify's bucket joins."""
+    from ..functions.dedup import N_PERM
+    from .ml_queries import q_dedup_minhash, q_dedup_verify
+
+    agree = q_dedup_minhash(sf_dir)  # doc_a doc_b n_agree n_capped
+    exact = q_dedup_verify(sf_dir)  # doc_a doc_b n_inter n_union
+
+    def tag_agree(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "n_agree": df["n_agree"].to_numpy(np.int64),
+                "n_inter": np.full(len(df), -1, dtype=np.int64),
+                "n_union": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_exact(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "n_agree": np.full(len(df), -1, dtype=np.int64),
+                "n_inter": df["n_inter"].to_numpy(np.int64),
+                "n_union": df["n_union"].to_numpy(np.int64),
+            }
+        )
+
+    both = agree.map_batches(tag_agree, batch_format="pandas").union(
+        exact.map_batches(tag_exact, batch_format="pandas")
+    )
+    kd = _with_coarse_group(both, "doc_a")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["doc_a", "doc_b"], as_index=False)[
+            ["n_agree", "n_inter", "n_union"]
+        ].max()  # each side contributes its -1 defaults; max picks the real value
+        na = m["n_agree"].to_numpy(np.int64)
+        ni = m["n_inter"].to_numpy(np.int64)
+        nu = m["n_union"].to_numpy(np.int64)
+        est = 10000 * na // N_PERM
+        ex = np.where(nu > 0, 10000 * ni // np.maximum(nu, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_a"].to_numpy(np.int64),
+                "doc_b": m["doc_b"].to_numpy(np.int64),
+                "est_bp": est,
+                "exact_bp": ex,
+                "err_bp": est - ex,
+            }
+        )
+
+    return kd.groupby("_g").map_groups(merge, batch_format="pandas")
+
+
+def _minhash_error_sql(min_agree: int = 26) -> str:
+    from ..functions.dedup import N_PERM
+    from .ml_queries import _dedup_minhash_sql
+
+    base = _dedup_minhash_sql(min_agree)
+    head, _, _tail = base.rpartition(
+        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    )
+    return (
+        head
+        + f""", surv AS (
+  SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= {min_agree}
+),
+hd AS (SELECT DISTINCT doc_id, h FROM hh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM surv s
+  JOIN hd a ON a.doc_id = s.doc_a
+  JOIN hd b ON b.doc_id = s.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+), f AS (
+  SELECT s.doc_a, s.doc_b,
+    CAST(10000 * s.n_agree // {N_PERM} AS BIGINT) AS est_bp,
+    CAST(CASE WHEN za.n + zb.n - COALESCE(ov.n_inter, 0) > 0
+         THEN 10000 * COALESCE(ov.n_inter, 0)
+              // (za.n + zb.n - COALESCE(ov.n_inter, 0))
+         ELSE 0 END AS BIGINT) AS exact_bp
+  FROM surv s
+  LEFT JOIN ov ON ov.doc_a = s.doc_a AND ov.doc_b = s.doc_b
+  JOIN sz za ON za.doc_id = s.doc_a
+  JOIN sz zb ON zb.doc_id = s.doc_b
+)
+SELECT doc_a, doc_b, est_bp, exact_bp,
+       CAST(est_bp - exact_bp AS BIGINT) AS err_bp
+FROM f
+"""
+    )
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -2980,6 +3096,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
         _radix_sql(_RADIX_CENTS_CTE, "est_cents"),
     ),
     "funnel_latency": (q_funnel_latency, _funnel_latency_sql()),
+    "minhash_error": (q_minhash_error, _minhash_error_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
