@@ -2779,6 +2779,102 @@ FROM f
     )
 
 
+# ================================================= join-size estimation
+#
+# Sampling-based cardinality estimation (the query-planner primitive):
+# |orders ⋈ lineitem| = Σ_k a_k·b_k; hashing the join key into a 1/16
+# deterministic sample and scaling by 16 gives the estimate a planner
+# would use to choose broadcast vs shuffle — emitted NEXT TO the exact
+# size so the error is measurable (the minhash_error philosophy applied
+# to join planning).
+
+JS_MOD = 16
+
+
+def q_join_size_estimate(sf_dir: str):
+    """One row: (est_rows, exact_rows, err_bp) for orders ⋈ lineitem on
+    orderkey; err_bp = 10000*|est-exact|//exact.
+
+    Scale shape: per-batch per-key count combiners on BOTH sides -> ONE
+    coarse exchange on the key -> in-task Σ a_k·b_k partials (sampled
+    and full) -> bounded 2-scalar reduce. The payload never moves — only
+    (key, count) pairs do."""
+    o = _read(sf_dir, "orders", columns=["o_orderkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def side_counts(col: str, side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(col, as_index=False).size()
+            out.columns = ["key", "n"]
+            out["side"] = np.int8(side)
+            return out.astype({"key": np.int64, "n": np.int64})
+
+        return fn
+
+    both = o.map_batches(side_counts("o_orderkey", 0), batch_format="pandas").union(
+        li.map_batches(side_counts("l_orderkey", 1), batch_format="pandas")
+    )
+    kd = _with_coarse_group(both, "key")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["key", "side"], as_index=False)["n"].sum()
+        p = m.pivot_table(index="key", columns="side", values="n", fill_value=0)
+        a = p[0].to_numpy(np.int64) if 0 in p.columns else np.zeros(len(p), np.int64)
+        b = p[1].to_numpy(np.int64) if 1 in p.columns else np.zeros(len(p), np.int64)
+        keys = p.index.to_numpy(np.int64)
+        prod = a * b
+        sampled = np.array(
+            [
+                int(hashlib.md5(f"js|{int(k)}".encode("utf-8")).hexdigest()[:16], 16)
+                % JS_MOD
+                == 0
+                for k in keys
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "exact_part": pd.Series([int(prod.sum())], dtype=np.int64),
+                "sample_part": pd.Series(
+                    [int(prod[sampled].sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    parts = kd.groupby("_g").map_groups(partial, batch_format="pandas")
+    tot = parts.sum(["exact_part", "sample_part"])  # bounded 2-scalar reduce
+    exact = int(tot["sum(exact_part)"] or 0)
+    est = JS_MOD * int(tot["sum(sample_part)"] or 0)
+    err = 10000 * abs(est - exact) // exact if exact else 0
+    return pd.DataFrame(
+        {
+            "est_rows": pd.Series([est], dtype=np.int64),
+            "exact_rows": pd.Series([exact], dtype=np.int64),
+            "err_bp": pd.Series([err], dtype=np.int64),
+        }
+    )
+
+
+JOIN_SIZE_ESTIMATE_SQL = f"""
+WITH a AS (SELECT o_orderkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+b AS (SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+j AS (
+  SELECT a.key, a.n * b.n AS prod,
+    CASE WHEN CAST(concat('0x', substr(md5('js|' || CAST(a.key AS VARCHAR)), 1, 16)) AS UBIGINT)
+         % {JS_MOD} = 0 THEN 1 ELSE 0 END AS sampled
+  FROM a JOIN b USING (key)
+), s AS (
+  SELECT CAST(SUM(prod) AS BIGINT) AS exact_rows,
+         CAST({JS_MOD} * SUM(prod * sampled) AS BIGINT) AS est_rows
+  FROM j
+)
+SELECT est_rows, exact_rows,
+  CAST(CASE WHEN exact_rows > 0
+       THEN 10000 * abs(est_rows - exact_rows) // exact_rows
+       ELSE 0 END AS BIGINT) AS err_bp
+FROM s
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3097,6 +3193,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     ),
     "funnel_latency": (q_funnel_latency, _funnel_latency_sql()),
     "minhash_error": (q_minhash_error, _minhash_error_sql()),
+    "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
