@@ -2875,6 +2875,267 @@ FROM s
 """
 
 
+# ============================================== degree assortativity
+#
+# Degree-mixing coefficient of the link graph, integer-exact: Pearson r
+# over (deg_src, deg_dst) across all directed edges of the symmetrized
+# graph, emitted as the exact rational pieces (num, den_x, den_y) plus
+# r² in milli-bp — hub-to-hub vs hub-to-leaf mixing, the structural
+# signal separating link farms (assortative) from organic webs
+# (disassortative). No square root ever computed.
+
+
+def q_degree_assortativity(sf_dir: str):
+    """One row: (n_edges, num, den_x, den_y, sign, r2_mbp) with
+    num = n·Sxy − Sx·Sy etc. and r2_mbp = 10^6·num² // (den_x·den_y)
+    (int64 is ample at this scale; a 10^10-edge run promotes the six
+    sums to object dtype — they stay exact Python ints).
+
+    Scale shape: edges bucket-resident by src (both directions stored,
+    so degree is bucket-LOCAL); each bucket emits (node, deg) plus
+    (dst-bucketed) half-edges carrying deg_src; ONE second exchange on
+    the dst bucket attaches deg_dst from the co-resident degree rows;
+    per-task six-sum partials -> bounded reduce."""
+    import pyarrow.parquet as _pq
+
+    from .queries import iter_internal_edges
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    empty = pd.DataFrame(
+        {
+            "n_edges": pd.Series([0], dtype=np.int64),
+            "num": pd.Series([0], dtype=np.int64),
+            "den_x": pd.Series([0], dtype=np.int64),
+            "den_y": pd.Series([0], dtype=np.int64),
+            "sign": pd.Series([0], dtype=np.int64),
+            "r2_mbp": pd.Series([0], dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = [], []
+        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
+            if s != d_:
+                src.append(s)
+                dst.append(d_)
+        e = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+        ).drop_duplicates()
+        e["b"] = e["src"] % _KCORE_NB
+        return e
+
+    def stage_a(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        deg = g.groupby("src")["dst"].size()
+        # half-edges routed to the dst bucket, carrying deg_src
+        he = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": g["dst"].to_numpy(np.int64),
+                "other": g["src"].to_numpy(np.int64),
+                "deg": g["src"].map(deg).to_numpy(np.int64),
+                "b2": g["dst"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        dd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": deg.index.to_numpy(np.int64),
+                "other": np.int64(-1),
+                "deg": deg.to_numpy(np.int64),
+                "b2": deg.index.to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        return pd.concat([he, dd], ignore_index=True)
+
+    def stage_b(g: pd.DataFrame) -> pd.DataFrame:
+        degs = dict(
+            zip(g.loc[g["kind"] == 1, "node"], g.loc[g["kind"] == 1, "deg"])
+        )
+        he = g[g["kind"] == 0]
+        dx = he["deg"].to_numpy(np.int64)
+        dy = he["node"].map(degs).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(he)], dtype=np.int64),
+                "sx": pd.Series([int(dx.sum())], dtype=np.int64),
+                "sy": pd.Series([int(dy.sum())], dtype=np.int64),
+                "sxx": pd.Series([int((dx * dx).sum())], dtype=np.int64),
+                "syy": pd.Series([int((dy * dy).sum())], dtype=np.int64),
+                "sxy": pd.Series([int((dx * dy).sum())], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        d.map_batches(edges, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stage_a, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(stage_b, batch_format="pandas")
+    )
+    tot = parts.sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = int(tot["sum(n)"] or 0)
+    if n == 0:
+        return empty
+    sx, sy = int(tot["sum(sx)"]), int(tot["sum(sy)"])
+    sxx, syy, sxy = int(tot["sum(sxx)"]), int(tot["sum(syy)"]), int(tot["sum(sxy)"])
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    r2 = 1_000_000 * num * num // (den_x * den_y) if den_x and den_y else 0
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n], dtype=np.int64),
+            "num": pd.Series([num], dtype=np.int64),
+            "den_x": pd.Series([den_x], dtype=np.int64),
+            "den_y": pd.Series([den_y], dtype=np.int64),
+            "sign": pd.Series([int(np.sign(num))], dtype=np.int64),
+            "r2_mbp": pd.Series([r2], dtype=np.int64),
+        }
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH n0 AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n0
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+x AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(da.d) AS HUGEINT) AS sx, CAST(SUM(db.d) AS HUGEINT) AS sy,
+         CAST(SUM(da.d * da.d) AS HUGEINT) AS sxx,
+         CAST(SUM(db.d * db.d) AS HUGEINT) AS syy,
+         CAST(SUM(da.d * db.d) AS HUGEINT) AS sxy
+  FROM e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
+  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+       THEN 1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+       ELSE 0 END AS BIGINT) AS r2_mbp
+FROM x
+"""
+
+
+# ============================================ content-defined chunking
+#
+# CDC (rsync/borg/restic-style, public technique): chunk boundaries
+# fall where a rolling window's hash hits a divisor condition, so an
+# insertion early in a document only re-chunks ONE chunk — the property
+# that makes storage-level dedup of near-identical crawls cheap. Window
+# hash = md5 of the last CDC_W chars (the md5 hash family standing in
+# for a gear/Rabin hash; boundary semantics identical).
+
+CDC_W = 8
+CDC_DIV = 64  # expected chunk size ~ CDC_DIV chars
+
+
+def cdc_boundaries(text: str) -> list[int]:
+    """0-based positions i (i >= CDC_W-1) where the window
+    text[i-CDC_W+1 : i+1] hashes to 0 mod CDC_DIV — each is the
+    INCLUSIVE end of a chunk."""
+    out = []
+    for i in range(CDC_W - 1, len(text)):
+        w = text[i - CDC_W + 1 : i + 1]
+        h = int(hashlib.md5(("cdc|" + w).encode("utf-8")).hexdigest()[:16], 16)
+        if h % CDC_DIV == 0:
+            out.append(i)
+    return out
+
+
+def q_cdc_chunks(sf_dir: str):
+    """(doc_id, n_chunks, max_chunk, bounds_md5): chunk count, largest
+    chunk length, and md5 of the comma-joined boundary list (pins every
+    boundary position exactly).
+
+    Scale shape: pure per-batch map — chunking is embarrassingly
+    parallel; the downstream chunk-hash dedup is the dedup_exact
+    exchange already demonstrated."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        nc, mx, bm = [], [], []
+        for t in df["text"].tolist():
+            bs = cdc_boundaries(t)
+            ends = bs + ([len(t) - 1] if (not bs or bs[-1] != len(t) - 1) else [])
+            lens = [ends[0] + 1] + [
+                ends[i] - ends[i - 1] for i in range(1, len(ends))
+            ]
+            nc.append(len(ends) if len(t) else 0)
+            mx.append(max(lens) if len(t) else 0)
+            bm.append(
+                hashlib.md5(",".join(str(b) for b in bs).encode("utf-8")).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chunks": pd.Series(nc, dtype=np.int64),
+                "max_chunk": pd.Series(mx, dtype=np.int64),
+                "bounds_md5": pd.Series(bm, dtype=object),
+            }
+        )
+
+    return d.map_batches(chunk, batch_format="pandas")
+
+
+CDC_CHUNKS_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, strlen(text) AS n, i
+  FROM documents, unnest(range({CDC_W - 1}, strlen(text))) t(i)
+  WHERE CAST(concat('0x', substr(md5('cdc|' ||
+          substr(text, CAST(i AS INTEGER) - {CDC_W - 2}, {CDC_W})), 1, 16))
+        AS UBIGINT) % {CDC_DIV} = 0
+), b AS (
+  SELECT doc_id, ANY_VALUE(n) AS n,
+         list_sort(list(i)) AS bs,
+         md5(string_agg(CAST(i AS VARCHAR), ',' ORDER BY i)) AS bounds_md5
+  FROM pos GROUP BY doc_id
+), withend AS (
+  SELECT doc_id, n, bounds_md5,
+    CASE WHEN len(bs) = 0 OR bs[-1] <> n - 1
+         THEN list_append(bs, n - 1) ELSE bs END AS ends
+  FROM b
+), lens AS (
+  SELECT doc_id, n, bounds_md5, ends,
+    list_transform(range(1, len(ends) + 1),
+      j -> CASE WHEN j = 1 THEN ends[1] + 1
+                ELSE ends[j] - ends[j - 1] END) AS chunk_lens
+  FROM withend
+)
+SELECT d.doc_id AS doc_id,
+  CAST(COALESCE(len(l.ends),
+       CASE WHEN strlen(d.text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks,
+  CAST(COALESCE(list_max(l.chunk_lens),
+       strlen(d.text)) AS BIGINT) AS max_chunk,
+  COALESCE(l.bounds_md5, md5('')) AS bounds_md5
+FROM documents d LEFT JOIN lens l USING (doc_id)
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3194,6 +3455,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "funnel_latency": (q_funnel_latency, _funnel_latency_sql()),
     "minhash_error": (q_minhash_error, _minhash_error_sql()),
     "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
+    "degree_assortativity": (q_degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
+    "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

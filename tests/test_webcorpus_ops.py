@@ -955,6 +955,71 @@ class TestCocitation:
         assert got == want and len(want) > 0
 
 
+class TestCdcChunks:
+    def test_boundary_stability_under_prefix_edit(self):
+        """The CDC property: inserting text at the front shifts early
+        boundaries but every boundary far enough past the edit is the
+        SAME split point in content coordinates."""
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            CDC_W,
+            cdc_boundaries,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 30
+        edited = "INSERTED PREFIX " + base
+        b1 = set(cdc_boundaries(base))
+        b2 = set(cdc_boundaries(edited))
+        shift = len("INSERTED PREFIX ")
+        # every original boundary at position >= W-1 reappears shifted
+        stable = {b + shift for b in b1 if b >= CDC_W - 1}
+        assert stable <= b2
+        assert len(b1) > 2  # the corpus-style text actually chunks
+
+    def test_last_char_boundary_not_duplicated(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            cdc_boundaries,
+        )
+
+        # brute construction: find a string whose final window IS a
+        # boundary and check n_chunks logic counts it once
+        s = "the quick brown fox jumps over the lazy dog " * 30
+        bs = cdc_boundaries(s)
+        ends = bs + ([len(s) - 1] if (not bs or bs[-1] != len(s) - 1) else [])
+        assert len(ends) == len(set(ends))
+
+
+class TestDegreeAssortativity:
+    def test_matches_bruteforce(self, ray_session):
+        import hashlib as h
+
+        import pyarrow.parquet as pq_
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            q_degree_assortativity,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        n = pq_.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        de = set()
+        for d in range(n):
+            k = 1 + int(h.md5(f"lnkk:42:{d}".encode()).hexdigest()[:16], 16) % 4
+            for j in range(1, k + 1):
+                t = (d * 37 + j * 101) % n
+                if t != d:
+                    de.add((d, t))
+                    de.add((t, d))
+        from collections import Counter
+
+        deg = Counter(s for s, _ in de)
+        xs = [deg[s] for s, _ in de]
+        ys = [deg[t] for _, t in de]
+        N = len(de)
+        num = N * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        df = q_degree_assortativity(sf)
+        assert int(df["n_edges"].iloc[0]) == N
+        assert int(df["num"].iloc[0]) == num
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
