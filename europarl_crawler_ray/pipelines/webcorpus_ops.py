@@ -3136,6 +3136,88 @@ FROM documents d LEFT JOIN lens l USING (doc_id)
 """
 
 
+# ===================================================== LRU hit rate
+#
+# Cache / working-set analysis via the stack-distance equivalence: an
+# LRU cache of capacity C hits an access iff FEWER than C distinct
+# items were touched since that item's previous access — so per-key
+# cache simulation distributes perfectly (each user's stream folds
+# independently) and the SQL oracle needs no mutable cache state, only
+# a distinct-count between consecutive accesses. The measurement a
+# crawl re-fetch cache (or a politeness DNS cache) is sized from.
+
+LRU_CAPACITY = 4
+
+
+def lru_hits(items: list) -> int:
+    """Exact LRU(C) hit count over one access stream (MRU-list sim)."""
+    cache: list = []
+    hits = 0
+    for x in items:
+        if x in cache:
+            hits += 1
+            cache.remove(x)
+        elif len(cache) == LRU_CAPACITY:
+            cache.pop()  # evict LRU (list is MRU-first)
+        cache.insert(0, x)
+    return hits
+
+
+def q_lru_hit_rate(sf_dir: str):
+    """(user_id, n_accesses, n_hits, hit_bp): LRU(4) hit statistics of
+    each user's event_type access stream ordered by (ts, event_id).
+
+    Scale shape: ONE coarse exchange on user_id; the fold is per-user
+    local. The stack-distance identity keeps the oracle declarative."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    kd = _with_coarse_group(ev, "user_id")
+
+    def sim(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_n, out_h = [], [], []
+        for uid, rows in g.groupby("user_id"):
+            rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+            h = lru_hits(rows["event_type"].tolist())
+            out_u.append(uid)
+            out_n.append(len(rows))
+            out_h.append(h)
+        n = np.array(out_n, dtype=np.int64)
+        h = np.array(out_h, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_u, dtype=np.int64),
+                "n_accesses": n,
+                "n_hits": h,
+                "hit_bp": 10000 * h // np.maximum(n, 1),
+            }
+        )
+
+    return kd.groupby("_g").map_groups(sim, batch_format="pandas")
+
+
+LRU_HIT_RATE_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, event_type, rn,
+         LAG(rn) OVER (PARTITION BY user_id, event_type ORDER BY rn) AS prev
+  FROM s
+), h AS (
+  SELECT user_id, rn,
+    CASE WHEN prev IS NOT NULL AND (
+      SELECT COUNT(DISTINCT s2.event_type) FROM s s2
+      WHERE s2.user_id = p.user_id AND s2.rn > p.prev AND s2.rn < p.rn
+    ) < {LRU_CAPACITY} THEN 1 ELSE 0 END AS hit
+  FROM p
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_accesses,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(10000 * SUM(hit) // GREATEST(COUNT(*), 1) AS BIGINT) AS hit_bp
+FROM h GROUP BY user_id
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3457,6 +3539,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "join_size_estimate": (q_join_size_estimate, JOIN_SIZE_ESTIMATE_SQL),
     "degree_assortativity": (q_degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
     "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
+    "lru_hit_rate": (q_lru_hit_rate, LRU_HIT_RATE_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

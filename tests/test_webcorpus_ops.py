@@ -1020,6 +1020,40 @@ class TestDegreeAssortativity:
         assert int(df["num"].iloc[0]) == num
 
 
+class TestLruHitRate:
+    def test_eviction_and_promotion(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import lru_hits
+
+        # capacity 4: a,b,c,d fill; e evicts a; a misses; b was promoted
+        assert lru_hits(["a", "b", "c", "d", "e", "a"]) == 0
+        assert lru_hits(["a", "b", "c", "d", "b", "e", "a"]) == 1  # b hit
+        assert lru_hits(["a", "a", "a"]) == 2
+        # promotion keeps hot item alive past capacity churn
+        assert lru_hits(["a", "b", "a", "c", "a", "d", "a", "e", "a"]) == 4
+
+    def test_stack_distance_identity_fuzz(self):
+        """The SQL oracle's rule (hit iff distinct-between < C) must
+        equal the mutable-cache simulation on random streams."""
+        import random
+
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            LRU_CAPACITY,
+            lru_hits,
+        )
+
+        rng = random.Random(3)
+        for _ in range(200):
+            stream = [rng.choice("abcdef") for _ in range(rng.randint(0, 40))]
+            sim = lru_hits(stream)
+            sd = 0
+            last = {}
+            for i, x in enumerate(stream):
+                if x in last and len(set(stream[last[x] + 1 : i])) < LRU_CAPACITY:
+                    sd += 1
+                last[x] = i
+            assert sim == sd, stream
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
