@@ -3218,6 +3218,149 @@ FROM h GROUP BY user_id
 """
 
 
+# ========================================================= BM25 ranking
+#
+# BM25-lite top-k for a fixed query, integer-exact: the log in IDF is
+# replaced by its odds ratio (N - df + ½)/(df + ½) — order-preserving
+# for ranking — and k1=6/5, b=3/4 as exact fractions, so every doc's
+# score is a RATIONAL whose milli-bp floor both engines compute
+# identically. Completes the IR family (tf-idf top terms, inverted
+# index) with query-time ranking.
+
+BM25_QUERY = ["merge", "window"]
+BM25_TOPK = 10
+# k1 = 6/5, b = 3/4; doubled-to-integer forms below avoid any fraction
+
+
+def q_bm25_rank(sf_dir: str):
+    """(rank, doc_id, score_mbp): top-10 docs for the fixed two-term
+    query; score_mbp = floor(10^6 * Σ_t idf_t · tf_t·(k1+1) /
+    (tf_t + k1·(1 − b + b·len/avglen))) computed in exact integer
+    arithmetic (see the common-denominator expansion in the SQL).
+
+    Scale shape: per-batch (doc, tf_t, len) combiner for the two query
+    terms only (projection pushdown at the tokenizer); corpus constants
+    (N, df_t, Σlen) are a bounded reduce broadcast into the scoring
+    map; final top-k is sort+limit on the scored narrow table."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        toks = [t.split(" ") if t else [] for t in df["text"].tolist()]
+        lens = np.array([len(ts) for ts in toks], dtype=np.int64)
+        tfs = {
+            q: np.array([ts.count(q) for ts in toks], dtype=np.int64)
+            for q in BM25_QUERY
+        }
+        out = {"doc_id": ids, "dl": lens}
+        for i, q in enumerate(BM25_QUERY):
+            out[f"tf{i}"] = tfs[q]
+        return pd.DataFrame(out)
+
+    scored_input = d.map_batches(stats, batch_format="pandas").materialize()
+    # corpus constants: one bounded reduce (3 scalars + |query| dfs)
+    tot = scored_input.sum(["dl"] + [f"tf{i}" for i in range(len(BM25_QUERY))])
+    n_docs_total = scored_input.count()
+    sum_dl = int(tot["sum(dl)"] or 0)
+    dfs = []
+    for i in range(len(BM25_QUERY)):
+        dfs.append(
+            scored_input.filter(
+                lambda r, i=i: r[f"tf{i}"] > 0
+            ).count()
+        )
+    const_ref = ray.put((n_docs_total, sum_dl, dfs))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n_total, sdl, dfs_ = ray.get(const_ref)
+        if n_total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score_mbp": pd.Series([], dtype=np.int64),
+                }
+            )
+        dl = df["dl"].to_numpy(np.int64)
+        # exact rational sum per doc: idf = (2N-2df+1)/(2df+1) (halves
+        # doubled away); tf term with k1=6/5, b=3/4 over the common
+        # denominator 20·sdl: num = 44·tf·sdl,
+        # den = 20·tf·sdl + 6·sdl + 18·dl·N
+        from fractions import Fraction
+
+        fr = [Fraction(0) for _ in range(len(df))]
+        for i in range(len(BM25_QUERY)):
+            tf = df[f"tf{i}"].to_numpy(np.int64)
+            idf = Fraction(2 * n_total - 2 * dfs_[i] + 1, 2 * dfs_[i] + 1)
+            for j in range(len(df)):
+                num = 44 * int(tf[j]) * sdl
+                den = 20 * int(tf[j]) * sdl + 6 * sdl + 18 * int(dl[j]) * n_total
+                fr[j] += idf * Fraction(num, den)
+        mbp = np.array(
+            [int(f * 1_000_000) for f in fr], dtype=np.int64
+        )  # Fraction.__mul__ then int() floors toward zero; scores >= 0
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "score_mbp": mbp}
+        )
+
+    scored = scored_input.map_batches(score, batch_format="pandas")
+    top = (
+        scored.sort(["score_mbp", "doc_id"], descending=[True, False])
+        .limit(BM25_TOPK)
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top
+
+
+def _bm25_sql() -> str:
+    # per-term exact fraction: idf_num/idf_den * num/den, summed over
+    # the two terms with the common denominator, floored at 10^6
+    terms = []
+    for i, q in enumerate(BM25_QUERY):
+        terms.append(
+            f"""
+t{i} AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w = '{q}')) AS HUGEINT) AS tf
+  FROM documents
+), df{i} AS (SELECT CAST(COUNT(*) AS HUGEINT) AS df FROM t{i} WHERE tf > 0)"""
+        )
+    return f"""
+WITH consts AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(len(string_split(text, ' '))) AS HUGEINT) AS sdl
+  FROM documents
+),{",".join(terms)},
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS HUGEINT) AS dl
+  FROM documents
+),
+scored AS (
+  SELECT dl.doc_id,
+    -- exact rational sum floored at 10^6: (a1/b1 + a2/b2) -> (a1·b2 + a2·b1)/(b1·b2)
+    CAST(1000000 * (
+        (2*c.n - 2*f0.df + 1) * (44 * t0.tf * c.sdl)
+          * ((2*f1.df + 1) * (20 * t1.tf * c.sdl + 6 * c.sdl + 18 * dl.dl * c.n))
+      + (2*c.n - 2*f1.df + 1) * (44 * t1.tf * c.sdl)
+          * ((2*f0.df + 1) * (20 * t0.tf * c.sdl + 6 * c.sdl + 18 * dl.dl * c.n))
+    ) // (
+        ((2*f0.df + 1) * (20 * t0.tf * c.sdl + 6 * c.sdl + 18 * dl.dl * c.n))
+      * ((2*f1.df + 1) * (20 * t1.tf * c.sdl + 6 * c.sdl + 18 * dl.dl * c.n))
+    ) AS BIGINT) AS score_mbp
+  FROM dl
+  JOIN t0 ON t0.doc_id = dl.doc_id
+  JOIN t1 ON t1.doc_id = dl.doc_id,
+  consts c, df0 f0, df1 f1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_mbp DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, score_mbp
+FROM scored
+ORDER BY score_mbp DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3540,6 +3683,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "degree_assortativity": (q_degree_assortativity, DEGREE_ASSORTATIVITY_SQL),
     "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
     "lru_hit_rate": (q_lru_hit_rate, LRU_HIT_RATE_SQL),
+    "bm25_rank": (q_bm25_rank, _bm25_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
