@@ -3361,6 +3361,95 @@ LIMIT {BM25_TOPK}
 """
 
 
+# ====================================================== late-data audit
+#
+# Event-time vs processing-time accounting (the Flink/Beam windowing
+# concept): each event's ARRIVAL is its event time plus a deterministic
+# network delay; a 10-minute tumbling event-time window with 5 minutes
+# of allowed lateness DROPS (marks late) every event arriving after
+# window_end + 5min — the number that sizes a streaming pipeline's
+# lateness allowance before data loss.
+
+LATE_WIN_US = 10 * 60 * 1_000_000
+LATE_ALLOW_US = 5 * 60 * 1_000_000
+LATE_MAX_DELAY_US = 10 * 60 * 1_000_000
+
+
+def q_late_data(sf_dir: str):
+    """(win, n_events, n_late, late_bp): per event-time window, events
+    whose simulated arrival misses the watermark allowance.
+
+    Scale shape: pure per-batch classification + (win) combiner -> one
+    bounded-by-time-range groupby (windows, not events, are the key
+    domain)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy(np.int64)
+        delay = np.array(
+            [
+                int(hashlib.md5(f"lat|{int(i)}".encode("utf-8")).hexdigest()[:16], 16)
+                % LATE_MAX_DELAY_US
+                for i in eid
+            ],
+            dtype=np.int64,
+        )
+        win = t // LATE_WIN_US
+        win_end = (win + 1) * LATE_WIN_US
+        late = (t + delay > win_end + LATE_ALLOW_US).astype(np.int64)
+        out = pd.DataFrame({"win": win, "n": np.int64(1), "late": late})
+        g = out.groupby("win", as_index=False).sum()
+        return g.astype(np.int64)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("win", as_index=False)[["n", "late"]].sum()
+        n = m["n"].to_numpy(np.int64)
+        late = m["late"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "win": m["win"].to_numpy(np.int64),
+                "n_events": n,
+                "n_late": late,
+                "late_bp": 10000 * late // np.maximum(n, 1),
+            }
+        )
+
+    # one Ray group per day of windows keeps group count bounded
+    kd = ev.map_batches(classify, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wb"] = df["win"] % 16
+        return df
+
+    return (
+        kd.map_batches(bucket, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(lambda g: merge(g.drop(columns=["wb"])), batch_format="pandas")
+    )
+
+
+LATE_DATA_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS t,
+    CAST(concat('0x', substr(md5('lat|' || CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+      % {LATE_MAX_DELAY_US} AS delay
+  FROM events
+), c AS (
+  SELECT t // {LATE_WIN_US} AS win,
+    CASE WHEN t + delay > (t // {LATE_WIN_US} + 1) * {LATE_WIN_US}
+              + {LATE_ALLOW_US} THEN 1 ELSE 0 END AS late
+  FROM e
+)
+SELECT CAST(win AS BIGINT) AS win,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(late) AS BIGINT) AS n_late,
+  CAST(10000 * SUM(late) // GREATEST(COUNT(*), 1) AS BIGINT) AS late_bp
+FROM c GROUP BY win
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3684,6 +3773,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "cdc_chunks": (q_cdc_chunks, CDC_CHUNKS_SQL),
     "lru_hit_rate": (q_lru_hit_rate, LRU_HIT_RATE_SQL),
     "bm25_rank": (q_bm25_rank, _bm25_sql()),
+    "late_data": (q_late_data, LATE_DATA_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
