@@ -268,6 +268,7 @@ def q_dedup_verify(
     min_agree: int = 26,
     n_buckets: int = 64,
     materialize_sets: bool = False,
+    return_agree: bool = False,
 ):
     """Exact n-gram Jaccard verification of the MinHash candidates,
     FULLY DISTRIBUTED (VERDICT r2 #2 — the old version collected every
@@ -306,6 +307,7 @@ def q_dedup_verify(
             {
                 "doc_a": pa.array(np.full(len(ids), -1, dtype=np.int64)),
                 "doc_b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "agree": pa.array(np.full(len(ids), -1, dtype=np.int64)),
                 "hs": t.column("hs"),
                 "side": pa.array(np.zeros(len(ids), dtype=np.int8)),
                 "key": pa.array(ids, pa.int64()),
@@ -319,6 +321,7 @@ def q_dedup_verify(
             {
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": t.column("doc_b"),
+                "agree": t.column("n_agree"),
                 "hs": pa.nulls(len(a), pa.binary()),
                 "side": pa.array(np.ones(len(a), dtype=np.int8)),
                 "key": pa.array(a, pa.int64()),
@@ -326,13 +329,14 @@ def q_dedup_verify(
             }
         )
 
-    def _join_table(doc_a, doc_b, hs, side_val, key, bucket) -> pa.Table:
+    def _join_table(doc_a, doc_b, agree, hs, side_val, key, bucket) -> pa.Table:
         # one explicit Arrow schema for every stage-A/B input block, so
         # the union never mixes block schemas
         return pa.table(
             {
                 "doc_a": pa.array(doc_a, pa.int64()),
                 "doc_b": pa.array(doc_b, pa.int64()),
+                "agree": pa.array(agree, pa.int64()),
                 "hs": pa.array(hs, pa.binary()),
                 "side": pa.array(np.full(len(doc_a), side_val, dtype=np.int8)),
                 "key": pa.array(key, pa.int64()),
@@ -343,13 +347,14 @@ def q_dedup_verify(
     def attach_a(g: pd.DataFrame) -> pa.Table:
         p = g[g["side"] == 1].drop_duplicates(["doc_a", "doc_b"])
         if p.empty:
-            return _join_table([], [], [], 1, [], [])
+            return _join_table([], [], [], [], 1, [], [])
         s = g.loc[g["side"] == 0, ["key", "hs"]].rename(columns={"hs": "hs_a"})
         m = p.drop(columns=["hs"]).merge(s, on="key", how="inner")
         b = m["doc_b"].to_numpy().astype(np.int64)
         return _join_table(
             m["doc_a"].to_numpy().astype(np.int64),
             b,
+            m["agree"].to_numpy().astype(np.int64),
             m["hs_a"].tolist(),
             1,
             b,
@@ -359,7 +364,10 @@ def q_dedup_verify(
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["side"] == 1]
         empty = pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64) for c in ["doc_a", "doc_b", "n_inter", "n_union"]}
+            {
+                c: pd.Series([], dtype=np.int64)
+                for c in ["doc_a", "doc_b", "n_agree", "n_inter", "n_union"]
+            }
         )
         if p.empty:
             return empty
@@ -384,6 +392,7 @@ def q_dedup_verify(
             {
                 "doc_a": m["doc_a"].astype(np.int64),
                 "doc_b": m["doc_b"].astype(np.int64),
+                "n_agree": m["agree"].astype(np.int64),
                 "n_inter": n_inter,
                 "n_union": n_a + n_b - n_inter,
             }
@@ -395,11 +404,16 @@ def q_dedup_verify(
         .groupby("bucket")
         .map_groups(attach_a, batch_format="pandas")
     )
-    return (
+    full = (
         sets.map_batches(set_prep, batch_format="pyarrow")
         .union(stage_a)
         .groupby("bucket")
         .map_groups(verify_bucket, batch_format="pandas")
+    )
+    if return_agree:
+        return full
+    return full.map_batches(
+        lambda t: t.drop_columns(["n_agree"]), batch_format="pyarrow"
     )
 
 

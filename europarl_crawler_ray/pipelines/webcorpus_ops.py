@@ -2678,65 +2678,33 @@ def q_minhash_error(sf_dir: str):
     """(doc_a, doc_b, est_bp, exact_bp, err_bp) per candidate pair;
     err_bp = est - exact (signed).
 
-    Scale shape: both inputs are the already-distributed operators; the
-    reconciliation is a tagged union + ONE coarse exchange on doc_a
-    (each pair appears once per side, merged in-task). Running the
-    candidate machinery twice is the documented price of composing at
-    the operator boundary — an integrated variant would thread n_agree
-    through dedup_verify's bucket joins."""
+    Scale shape: q_dedup_verify threads n_agree through its two bucket
+    joins (return_agree=True), so the whole evaluation costs exactly ONE
+    dedup_verify run plus a stateless map — no second candidate pass,
+    no reconciliation exchange (first version ran the machinery twice:
+    22 s -> ~10 s at sf0.1)."""
     from ..functions.dedup import N_PERM
-    from .ml_queries import q_dedup_minhash, q_dedup_verify
+    from .ml_queries import q_dedup_verify
 
-    agree = q_dedup_minhash(sf_dir)  # doc_a doc_b n_agree n_capped
-    exact = q_dedup_verify(sf_dir)  # doc_a doc_b n_inter n_union
+    full = q_dedup_verify(sf_dir, return_agree=True)
 
-    def tag_agree(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_a": df["doc_a"].to_numpy(np.int64),
-                "doc_b": df["doc_b"].to_numpy(np.int64),
-                "n_agree": df["n_agree"].to_numpy(np.int64),
-                "n_inter": np.full(len(df), -1, dtype=np.int64),
-                "n_union": np.full(len(df), -1, dtype=np.int64),
-            }
-        )
-
-    def tag_exact(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_a": df["doc_a"].to_numpy(np.int64),
-                "doc_b": df["doc_b"].to_numpy(np.int64),
-                "n_agree": np.full(len(df), -1, dtype=np.int64),
-                "n_inter": df["n_inter"].to_numpy(np.int64),
-                "n_union": df["n_union"].to_numpy(np.int64),
-            }
-        )
-
-    both = agree.map_batches(tag_agree, batch_format="pandas").union(
-        exact.map_batches(tag_exact, batch_format="pandas")
-    )
-    kd = _with_coarse_group(both, "doc_a")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["doc_a", "doc_b"], as_index=False)[
-            ["n_agree", "n_inter", "n_union"]
-        ].max()  # each side contributes its -1 defaults; max picks the real value
-        na = m["n_agree"].to_numpy(np.int64)
-        ni = m["n_inter"].to_numpy(np.int64)
-        nu = m["n_union"].to_numpy(np.int64)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["n_agree"].to_numpy(np.int64)
+        ni = df["n_inter"].to_numpy(np.int64)
+        nu = df["n_union"].to_numpy(np.int64)
         est = 10000 * na // N_PERM
         ex = np.where(nu > 0, 10000 * ni // np.maximum(nu, 1), 0)
         return pd.DataFrame(
             {
-                "doc_a": m["doc_a"].to_numpy(np.int64),
-                "doc_b": m["doc_b"].to_numpy(np.int64),
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
                 "est_bp": est,
                 "exact_bp": ex,
                 "err_bp": est - ex,
             }
         )
 
-    return kd.groupby("_g").map_groups(merge, batch_format="pandas")
+    return full.map_batches(finish, batch_format="pandas")
 
 
 def _minhash_error_sql(min_agree: int = 26) -> str:
