@@ -124,6 +124,165 @@ class BloomSet:
         return obj
 
 
+class CuckooSet:
+    """Single-shard cuckoo filter (Fan et al., CoNEXT 2014 — public
+    algorithm): ``m`` buckets × 4 slots of non-zero 16-bit fingerprints;
+    a key lives in bucket ``i1 = h2 & (m-1)`` or its partner
+    ``i2 = i1 XOR H(fp)`` (partial-key cuckooing — the alternate bucket
+    is derivable from any slot, which is what makes eviction kicks and
+    DELETION possible, the two things a Bloom filter cannot do). Same
+    (h1, h2) batch API as :class:`BloomSet`; insertion is per-key (the
+    kick chain is inherently sequential), so Bloom remains the
+    vectorized hot path and this backend is the delete-capable
+    alternative the north star names. Kick-chain overflow falls back to
+    an exact spill set (never a silent drop), counted in stats."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, m_buckets: int = 1 << 16, exact: bool = False):
+        assert m_buckets & (m_buckets - 1) == 0
+        self.m = m_buckets
+        self.table = np.zeros((m_buckets, self.SLOTS), dtype=np.uint16)
+        self.exact = exact  # API parity with BloomSet; filter is approximate
+        self.n_added = 0
+        self.n_checked = 0
+        self.n_spilled = 0
+        self._spill: set[int] = set()
+
+    def _fp(self, h1: np.ndarray) -> np.ndarray:
+        return (h1 % np.uint64(65535) + np.uint64(1)).astype(np.uint64)
+
+    def _alt(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partner bucket: XOR with a fingerprint hash, m power of two
+        return (i ^ (fp * np.uint64(0x5BD1E995))) & np.uint64(self.m - 1)
+
+    def _spill_key(self, i1: int, i2: int, fp: int) -> int:
+        return (min(i1, i2) << 16) | fp
+
+    def _present(self, i1: int, i2: int, fp: int) -> bool:
+        row1, row2 = self.table[i1], self.table[i2]
+        return (
+            bool((row1 == fp).any())
+            or bool((row2 == fp).any())
+            or self._spill_key(i1, i2, fp) in self._spill
+        )
+
+    def _insert(self, i1: int, i2: int, fp: int) -> None:
+        for i in (i1, i2):
+            row = self.table[i]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = fp
+                return
+        # deterministic kick chain: victim slot rotates with kick count
+        cur_i, cur_f = i1, fp
+        for kick in range(self.MAX_KICKS):
+            slot = kick % self.SLOTS
+            cur_f, self.table[cur_i, slot] = int(self.table[cur_i, slot]), cur_f
+            cur_i = int(
+                (np.uint64(cur_i) ^ (np.uint64(cur_f) * np.uint64(0x5BD1E995)))
+                & np.uint64(self.m - 1)
+            )
+            row = self.table[cur_i]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = cur_f
+                return
+        # table effectively full along this chain: exact spill, no loss
+        alt = int(self._alt(np.uint64(cur_i), np.uint64(cur_f)))
+        self._spill.add(self._spill_key(cur_i, alt, cur_f))
+        self.n_spilled += 1
+
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        n = len(h1)
+        self.n_checked += n
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        fps = self._fp(h1)
+        i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
+        i2s = self._alt(i1s, fps)
+        seen = np.zeros(n, dtype=bool)
+        for j in range(n):
+            i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
+            if self._present(i1, i2, fp):
+                seen[j] = True
+            else:
+                self._insert(i1, i2, fp)
+                self.n_added += 1
+        return seen
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        fps = self._fp(h1)
+        i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
+        i2s = self._alt(i1s, fps)
+        return np.fromiter(
+            (
+                self._present(int(i1), int(i2), int(fp))
+                for i1, i2, fp in zip(i1s, i2s, fps)
+            ),
+            dtype=bool,
+            count=len(h1),
+        )
+
+    def remove(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Delete keys (the cuckoo capability Bloom lacks): clears one
+        matching fingerprint slot per key; True where something was
+        removed."""
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        fps = self._fp(h1)
+        i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
+        i2s = self._alt(i1s, fps)
+        out = np.zeros(len(h1), dtype=bool)
+        for j in range(len(h1)):
+            i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
+            sk = self._spill_key(i1, i2, fp)
+            if sk in self._spill:
+                self._spill.discard(sk)
+                out[j] = True
+                continue
+            for i in (i1, i2):
+                hit = np.nonzero(self.table[i] == fp)[0]
+                if len(hit):
+                    self.table[i, hit[0]] = 0
+                    out[j] = True
+                    break
+        self.n_added -= int(out.sum())
+        return out
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        spill = np.fromiter(self._spill, dtype=np.int64, count=len(self._spill))
+        # tmp + rename, as in BloomSet.save: never corrupt a checkpoint
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(
+            tmp,
+            table=self.table,
+            spill=spill,
+            meta=np.array(
+                [self.m, int(self.exact), self.n_added, self.n_checked, self.n_spilled],
+                dtype=np.int64,
+            ),
+            backend=np.array([1], dtype=np.int8),  # 1 = cuckoo
+        )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "CuckooSet":
+        z = np.load(path)
+        m, exact, n_added, n_checked, n_spilled = (int(x) for x in z["meta"])
+        obj = cls(m_buckets=m, exact=bool(exact))
+        obj.table = z["table"].copy()
+        obj._spill = set(int(x) for x in z["spill"])
+        obj.n_added, obj.n_checked, obj.n_spilled = n_added, n_checked, n_spilled
+        return obj
+
+
 @ray.remote
 class SeenShard:
     """One seen-set shard as a Ray actor (single-threaded → atomic batches).
@@ -135,14 +294,28 @@ class SeenShard:
     forgotten → re-admitted once (bounded at-least-once, same contract as
     the crawl's partition resume)."""
 
-    def __init__(self, m_bits: int, k: int, exact: bool, ckpt_path: str | None = None):
+    def __init__(
+        self,
+        m_bits: int,
+        k: int,
+        exact: bool,
+        ckpt_path: str | None = None,
+        backend: str = "bloom",
+    ):
         self._ckpt_path = ckpt_path
+        self._backend = backend
+        cls = CuckooSet if backend == "cuckoo" else BloomSet
         # only a RESTARTED actor reloads (a fresh run over a dir with a
         # stale checkpoint must start empty — explicit resume goes through
         # SeenSet.restore())
         restarted = ray.get_runtime_context().was_current_actor_reconstructed
         if ckpt_path and restarted and os.path.exists(ckpt_path):
-            self.bloom = BloomSet.load(ckpt_path)
+            self.bloom = cls.load(ckpt_path)
+        elif backend == "cuckoo":
+            # same bit budget as the bloom sizing: m buckets x 4 slots x
+            # 16-bit fingerprints = 64·m bits
+            m_buckets = 1 << max(10, (m_bits // 64).bit_length() - 1)
+            self.bloom = CuckooSet(m_buckets=m_buckets, exact=exact)
         else:
             self.bloom = BloomSet(m_bits=m_bits, k=k, exact=exact)
 
@@ -154,6 +327,17 @@ class SeenShard:
 
     def stats(self) -> dict:
         b = self.bloom
+        if self._backend == "cuckoo":
+            fill = float((b.table != 0).mean())
+            return {
+                "n_added": b.n_added,
+                "n_checked": b.n_checked,
+                "fill_ratio": round(fill, 6),
+                # 2 buckets x 4 slots x P(fp match) = 8 / 2^16 per filled slot
+                "est_fpr": round(8.0 * fill / 65535.0, 9),
+                "n_spilled": b.n_spilled,
+                "exact": b.exact,
+            }
         # surfaced FPR (SURVEY §7.3 item 4): fill ratio p → FPR ≈ p^k
         fill = float(np.unpackbits(b.bits[:: max(1, len(b.bits) // 65536)]).mean())
         return {
@@ -169,7 +353,8 @@ class SeenShard:
         return path
 
     def restore(self, path: str) -> int:
-        self.bloom = BloomSet.load(path)
+        cls = CuckooSet if self._backend == "cuckoo" else BloomSet
+        self.bloom = cls.load(path)
         return self.bloom.n_added
 
 
@@ -189,10 +374,12 @@ class SeenSet:
         k: int = 8,
         exact: bool = True,
         checkpoint_dir: str | None = None,
+        backend: str = "bloom",
     ):
         self.num_shards = num_shards
         self.exact = exact
         self.checkpoint_dir = checkpoint_dir
+        self.backend = backend
         # num_cpus=0: control-plane actors must never reserve data-plane
         # CPUs — a shard pool that holds real CPU slots can starve the
         # repartition/extract tasks into a scheduling deadlock. Shard work
@@ -214,6 +401,7 @@ class SeenSet:
                 os.path.join(checkpoint_dir, f"seen_shard_{i:05d}.npz")
                 if checkpoint_dir is not None
                 else None,
+                backend,
             )
             for i in range(num_shards)
         ]
