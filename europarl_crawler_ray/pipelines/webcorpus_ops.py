@@ -3418,6 +3418,105 @@ FROM c GROUP BY win
 """
 
 
+# =================================================== product quantization
+#
+# PQ codes (Jégou et al., TPAMI 2011 — public; the IVF-PQ memory story):
+# the 64-dim embedding splits into 8 subspaces of 8 dims; each subspace
+# quantizes to one of 16 codewords, so a vector compresses 64 floats ->
+# 8 nibbles (64x). Codewords are the subvectors of the 16 md5-smallest
+# vec_ids (the deterministic-sample trick that made ann_ivf oracle-able);
+# assignment is argmin squared L2 with index tie-break (float ties are
+# measure-zero, as acknowledged for the other ANN oracles).
+
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CODEWORDS = 16
+
+
+def q_product_quantize(sf_dir: str):
+    """(vec_id, code): the 8-nibble PQ code as 'c0-c1-...-c7'.
+
+    Scale shape: codebook selection is the shuffle-free per-batch md5
+    prune + bounded driver reduce (16 rows); the codebook broadcasts
+    once; encoding is one vectorized (batch x 16 x 8) distance pass per
+    subspace."""
+    import hashlib as _hl
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = np.array(
+            [_hl.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:PQ_CODEWORDS]
+        return df.iloc[np.sort(keep)][["vec_id", "embedding"]]
+
+    cands = emb.map_batches(cand, batch_format="pandas").to_pandas()
+    if cands.empty:  # Ray's empty to_pandas() carries no columns
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype=np.int64),
+                "code": pd.Series([], dtype=object),
+            }
+        )
+    md5s = np.array(
+        [_hl.md5(str(int(v)).encode()).hexdigest() for v in cands["vec_id"]]
+    )
+    order = np.argsort(md5s)[:PQ_CODEWORDS]
+    codebook = np.stack(
+        cands.iloc[order]["embedding"].to_numpy()
+    ).astype(np.float64)  # (16, 64), row index IS the codeword id
+    cb_ref = ray.put(codebook)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cb = ray.get(cb_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = []
+        for s in range(PQ_SUBSPACES):
+            sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+            d2 = ((mat[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+            codes.append(np.argmin(d2, axis=1))  # first min = smallest idx
+        code_str = ["-".join(str(int(c[j])) for c in codes) for j in range(len(df))]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "code": pd.Series(code_str, dtype=object),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pandas")
+
+
+PRODUCT_QUANTIZE_SQL = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+  FROM d ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_CODEWORDS}
+),
+sub AS (SELECT unnest(range({PQ_SUBSPACES})) AS s),
+assign AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT d.vec_id, sub.s, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id, sub.s ORDER BY
+        list_inner_product(
+          d.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)],
+          d.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)])
+        - 2 * list_inner_product(
+          d.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)],
+          c.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)])
+        + list_inner_product(
+          c.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)],
+          c.e[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)])
+        ASC, c.cid ASC) AS rn
+    FROM d CROSS JOIN sub CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS code
+FROM assign GROUP BY vec_id
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3742,6 +3841,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "lru_hit_rate": (q_lru_hit_rate, LRU_HIT_RATE_SQL),
     "bm25_rank": (q_bm25_rank, _bm25_sql()),
     "late_data": (q_late_data, LATE_DATA_SQL),
+    "product_quantize": (q_product_quantize, PRODUCT_QUANTIZE_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
