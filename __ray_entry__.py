@@ -61,6 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CURATION_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in WEBCORPUS_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
+
+    from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
+
+    # rows-only: DuckDB has no zlib to recompute the compressed size
+    out["compression_ratio"] = q_compression_ratio
     return out
 
 

@@ -3517,6 +3517,44 @@ FROM assign GROUP BY vec_id
 """
 
 
+# =================================================== compression ratio
+#
+# The Gopher/FineWeb compression-quality signal: highly repetitive or
+# templated text compresses far below the corpus norm; zlib level 6 is
+# deterministic for a given input, so the per-doc ratio is a stable
+# filter feature. ROWS-ONLY gate entry: DuckDB has no zlib, so the
+# oracle cannot recompute the compressed byte count (the driver checks
+# rows + schema; the semantics are pinned by the unit test instead).
+
+
+def q_compression_ratio(sf_dir: str):
+    """(doc_id, raw_len, zlib_len, ratio_bp): deflate-compressed size in
+    basis points of the raw UTF-8 size (lower = more repetitive).
+
+    Scale shape: pure per-batch map; zlib state never leaves the task."""
+    import zlib as _zlib
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        raw = [t.encode("utf-8") for t in df["text"].tolist()]
+        zl = np.array(
+            [len(_zlib.compress(b, 6)) for b in raw], dtype=np.int64
+        )
+        rl = np.array([len(b) for b in raw], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "raw_len": rl,
+                "zlib_len": zl,
+                "ratio_bp": 10000 * zl // np.maximum(rl, 1),
+            }
+        )
+
+    return d.map_batches(comp, batch_format="pandas")
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest

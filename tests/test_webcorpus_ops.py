@@ -1054,6 +1054,44 @@ class TestLruHitRate:
             assert sim == sd, stream
 
 
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_more(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import (
+            q_compression_ratio,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        rand_text = "".join(rng.choice("abcdefgh ") for _ in range(400))
+        _write_docs(
+            tmp_path,
+            [(0, "en", 400), (1, "en", 400)],
+        )
+        # overwrite with controlled texts
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["spam " * 80, rand_text]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["s", "s"]),
+                "n_chars": pa.array([400, 400], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        df = (
+            q_compression_ratio(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert df.loc[0, "ratio_bp"] < df.loc[1, "ratio_bp"]
+        assert df.loc[0, "raw_len"] == 400
+        # determinism: zlib level 6 is stable across runs
+        df2 = q_compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert df2.loc[0, "zlib_len"] == df.loc[0, "zlib_len"]
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
