@@ -232,7 +232,11 @@ class CuckooSet:
     def remove(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Delete keys (the cuckoo capability Bloom lacks): clears one
         matching fingerprint slot per key; True where something was
-        removed."""
+        removed. Standard cuckoo-filter caveat (Fan et al. §3.3):
+        deletion is safe only for keys actually inserted — if a DIFFERENT
+        key shares (bucket, fingerprint), one shared slot serves both and
+        deleting one hides the other (probability ~ inserts/2^16 per
+        bucket pair; the Bloom backend simply cannot delete at all)."""
         h1 = np.asarray(h1, dtype=np.uint64)
         h2 = np.asarray(h2, dtype=np.uint64)
         fps = self._fp(h1)

@@ -62,6 +62,35 @@ class TestCuckooSet:
         assert back.n_added == cs.n_added and back.n_spilled == cs.n_spilled
 
 
+class TestCuckooProperties:
+    def test_random_ops_never_false_negative(self):
+        """Against a reference exact set over random add/remove streams:
+        every key the reference holds must be contains()-True (false
+        positives allowed, false negatives never)."""
+        import random
+
+        rng = random.Random(11)
+        cs = CuckooSet(m_buckets=1 << 8)
+        ref: dict[int, tuple] = {}
+        pool = [
+            (np.uint64(rng.getrandbits(60)), np.uint64(rng.getrandbits(60)))
+            for _ in range(300)
+        ]
+        for step in range(1500):
+            k = rng.randrange(len(pool))
+            h1, h2 = pool[k]
+            if k in ref and rng.random() < 0.3:
+                cs.remove(np.array([h1]), np.array([h2]))
+                del ref[k]
+            elif k not in ref:
+                cs.check_and_add(np.array([h1]), np.array([h2]))
+                ref[k] = (h1, h2)
+            if step % 100 == 0 and ref:
+                hh1 = np.array([v[0] for v in ref.values()], dtype=np.uint64)
+                hh2 = np.array([v[1] for v in ref.values()], dtype=np.uint64)
+                assert cs.contains(hh1, hh2).all(), step
+
+
 class TestSeenSetCuckooBackend:
     def test_filter_new_matches_first_occurrence(self, ray_session):
         seen = SeenSet(num_shards=2, m_bits_per_shard=1 << 18, backend="cuckoo")
