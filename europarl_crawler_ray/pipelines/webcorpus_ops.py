@@ -3555,6 +3555,82 @@ def q_compression_ratio(sf_dir: str):
     return d.map_batches(comp, batch_format="pandas")
 
 
+# ======================================================== KMV error
+#
+# Sketch-accuracy evaluation #2 (the minhash_error philosophy applied
+# to distinct counting): the KMV estimator (K−1)·2^64 / h_K next to the
+# exact distinct count per language, in exact integer arithmetic on both
+# engines — measures the sketch before a 100 TB run trusts it for
+# capacity planning.
+
+KMV_K = 64
+_KMV_2_64 = 1 << 64
+
+
+def q_kmv_error(sf_dir: str):
+    """(lang, n_exact, est, err_bp): integer KMV estimate (exact count
+    when the sketch is unsaturated, n < K) vs the exact distinct-token
+    count.
+
+    Scale shape: entirely the existing distinct_tokens_kmv operator (its
+    exchange moves hashes, never tokens) plus a 5-row map."""
+    from .queries import q_distinct_tokens_kmv
+
+    base = q_distinct_tokens_kmv(sf_dir, k=KMV_K)
+    df = base.to_pandas() if hasattr(base, "to_pandas") and not isinstance(
+        base, pd.DataFrame
+    ) else base
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "n_exact": pd.Series([], dtype=np.int64),
+                "est": pd.Series([], dtype=np.int64),
+                "err_bp": pd.Series([], dtype=np.int64),
+            }
+        )
+    n = df["n_distinct_exact"].to_numpy(np.int64)
+    ests = []
+    for nx, hk in zip(n, df["kmv_hk"].to_numpy(np.int64)):
+        if nx < KMV_K:
+            ests.append(int(nx))
+        else:
+            h_u = int(hk) + (_KMV_2_64 if hk < 0 else 0)
+            ests.append((KMV_K - 1) * _KMV_2_64 // h_u)
+    est = np.array(ests, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "lang": df["lang"].to_numpy(),
+            "n_exact": n,
+            "est": est,
+            "err_bp": 10000 * np.abs(est - n) // np.maximum(n, 1),
+        }
+    )
+
+
+def _kmv_error_sql() -> str:
+    from .queries import DISTINCT_TOKENS_KMV_SQL
+
+    return f"""
+WITH base AS ({DISTINCT_TOKENS_KMV_SQL}),
+u AS (
+  SELECT lang, n_distinct_exact AS n_exact,
+    CAST(kmv_hk AS HUGEINT)
+      + CASE WHEN kmv_hk < 0 THEN CAST({_KMV_2_64} AS HUGEINT) ELSE 0 END AS h_u
+  FROM base
+), e AS (
+  SELECT lang, n_exact,
+    CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+         ELSE ({KMV_K - 1} * CAST({_KMV_2_64} AS HUGEINT)) // h_u
+         END AS BIGINT) AS est
+  FROM u
+)
+SELECT lang, n_exact, est,
+  CAST(10000 * abs(est - n_exact) // GREATEST(n_exact, 1) AS BIGINT) AS err_bp
+FROM e
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3880,6 +3956,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "bm25_rank": (q_bm25_rank, _bm25_sql()),
     "late_data": (q_late_data, LATE_DATA_SQL),
     "product_quantize": (q_product_quantize, PRODUCT_QUANTIZE_SQL),
+    "kmv_error": (q_kmv_error, _kmv_error_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
