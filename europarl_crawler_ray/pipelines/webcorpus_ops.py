@@ -3631,6 +3631,76 @@ FROM e
 """
 
 
+# ====================================================== fairness index
+#
+# Jain's fairness index over per-entity load, integer-exact: J =
+# (Σx)² / (n·Σx²) ∈ (0, 1], 1 = perfectly even — the standard scheduler
+# fairness number (here: how evenly the event load spreads across
+# users; in production, how evenly a politeness scheduler spreads
+# fetches across hosts). Complements count_gini (inequality) with the
+# fairness formulation, no sort and no histogram needed — just three
+# integer sums.
+
+
+def q_fairness_index(sf_dir: str):
+    """One row: (n_users, sum_x, sum_x2, fairness_bp) with fairness_bp =
+    10000·(Σx)² // (n·Σx²).
+
+    Scale shape: per-batch (user, count) combiner -> ONE coarse exchange
+    on user_id -> per-task (n, Σx, Σx²) partials -> 3-scalar reduce."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size()
+        out.columns = ["user_id", "n"]
+        return out.astype(np.int64)
+
+    kd = _with_coarse_group(
+        ev.map_batches(partial, batch_format="pandas"), "user_id"
+    )
+
+    def sums(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby("user_id")["n"].sum().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_users": pd.Series([len(x)], dtype=np.int64),
+                "sum_x": pd.Series([int(x.sum())], dtype=np.int64),
+                "sum_x2": pd.Series([int((x * x).sum())], dtype=np.int64),
+            }
+        )
+
+    parts = kd.groupby("_g").map_groups(sums, batch_format="pandas")
+    tot = parts.sum(["n_users", "sum_x", "sum_x2"])
+    n = int(tot["sum(n_users)"] or 0)
+    sx = int(tot["sum(sum_x)"] or 0)
+    sx2 = int(tot["sum(sum_x2)"] or 0)
+    fb = 10000 * sx * sx // (n * sx2) if n and sx2 else 0
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n], dtype=np.int64),
+            "sum_x": pd.Series([sx], dtype=np.int64),
+            "sum_x2": pd.Series([sx2], dtype=np.int64),
+            "fairness_bp": pd.Series([fb], dtype=np.int64),
+        }
+    )
+
+
+FAIRNESS_INDEX_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(x * x) AS BIGINT) AS sum_x2
+  FROM c
+)
+SELECT n_users, sum_x, sum_x2,
+  CAST(CASE WHEN n_users > 0 AND sum_x2 > 0
+       THEN 10000 * sum_x * sum_x // (n_users * sum_x2)
+       ELSE 0 END AS BIGINT) AS fairness_bp
+FROM s
+"""
+
+
 # ====================================================== type inference
 #
 # Schema inference over untyped string data (the CSV/scrape ingest
@@ -3957,6 +4027,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "late_data": (q_late_data, LATE_DATA_SQL),
     "product_quantize": (q_product_quantize, PRODUCT_QUANTIZE_SQL),
     "kmv_error": (q_kmv_error, _kmv_error_sql()),
+    "fairness_index": (q_fairness_index, FAIRNESS_INDEX_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
