@@ -3631,6 +3631,167 @@ FROM e
 """
 
 
+# ========================================================== PQ recall
+#
+# The measurement that justifies PQ compression: asymmetric-distance
+# (ADC) top-k — query subvectors against the 8-nibble codes — versus the
+# exact L2 top-k, reported as recall@10 per query. Float distance ties
+# are measure-zero (the standing ANN-oracle caveat); every rank is
+# tie-broken by vec_id on both engines.
+
+PQ_RECALL_K = 10
+PQ_RECALL_QUERIES = 5
+
+
+def q_pq_recall(sf_dir: str):
+    """(query_id, n_match, recall_bp): |ADC top-10 ∩ exact top-10| per
+    query (query vectors are vec_id < 5; self excluded on both sides).
+
+    Scale shape: codebook + the 5 query vectors broadcast once;
+    per-batch ADC and exact distances -> per-batch top-k candidates ->
+    bounded (queries x k x blocks) final reduce."""
+    import hashlib as _hl
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        md5s = np.array(
+            [_hl.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:PQ_CODEWORDS]
+        return df.iloc[np.sort(keep)][["vec_id", "embedding"]]
+
+    cands = emb.map_batches(cand, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "n_match": pd.Series([], dtype=np.int64),
+            "recall_bp": pd.Series([], dtype=np.int64),
+        }
+    )
+    if cands.empty:
+        return empty
+    md5s = np.array(
+        [_hl.md5(str(int(v)).encode()).hexdigest() for v in cands["vec_id"]]
+    )
+    order = np.argsort(md5s)[:PQ_CODEWORDS]
+    codebook = np.stack(cands.iloc[order]["embedding"].to_numpy()).astype(np.float64)
+    qdf = (
+        emb.filter(lambda r: r["vec_id"] < PQ_RECALL_QUERIES)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if qdf.empty:
+        return empty
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    bc = ray.put((codebook, qmat, qids))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cb, qm, qi = ray.get(bc)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vids = df["vec_id"].to_numpy(np.int64)
+        # codes + ADC lookup tables
+        rows = []
+        # exact squared L2: (nq, nb)
+        ex = ((qm[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        # ADC: reconstruct each vector from its codeword per subspace
+        recon = np.empty_like(mat)
+        for s in range(PQ_SUBSPACES):
+            sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+            d2 = ((mat[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+            recon[:, sl] = cb[np.argmin(d2, axis=1)][:, sl]
+        adc = ((qm[:, None, :] - recon[None, :, :]) ** 2).sum(axis=2)
+        for qx in range(len(qi)):
+            mask = vids != qi[qx]  # self excluded
+            for kind, dist in (("exact", ex[qx]), ("adc", adc[qx])):
+                d = dist[mask]
+                v = vids[mask]
+                o = np.lexsort((v, d))[: PQ_RECALL_K]
+                for j in o:
+                    rows.append((int(qi[qx]), kind, float(d[j]), int(v[j])))
+        return pd.DataFrame(rows, columns=["query_id", "kind", "dist", "vec_id"])
+
+    parts = emb.map_batches(local_topk, batch_format="pandas").to_pandas()
+    # bounded: queries x 2 x k x n_blocks rows
+    out_q, out_m = [], []
+    for qid in sorted(parts["query_id"].unique()):
+        sub = parts[parts["query_id"] == qid]
+        tops = {}
+        for kind in ("exact", "adc"):
+            s = sub[sub["kind"] == kind].sort_values(
+                ["dist", "vec_id"], kind="mergesort"
+            )
+            tops[kind] = set(s["vec_id"].head(PQ_RECALL_K))
+        out_q.append(int(qid))
+        out_m.append(len(tops["exact"] & tops["adc"]))
+    m = np.array(out_m, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype=np.int64),
+            "n_match": m,
+            "recall_bp": 10000 * m // PQ_RECALL_K,
+        }
+    )
+
+
+def _pq_recall_sql() -> str:
+    sub_expr = (
+        lambda col: f"{col}[CAST(sub.s*{PQ_SUBDIM}+1 AS INTEGER):CAST((sub.s+1)*{PQ_SUBDIM} AS INTEGER)]"
+    )
+    d_e, c_e, q_e = sub_expr("d.e"), sub_expr("c.e"), sub_expr("q.e")
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid, e
+  FROM d ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_CODEWORDS}
+),
+sub AS (SELECT unnest(range({PQ_SUBSPACES})) AS s),
+assign AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT d.vec_id, sub.s, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id, sub.s ORDER BY
+        list_inner_product({d_e}, {d_e})
+        - 2 * list_inner_product({d_e}, {c_e})
+        + list_inner_product({c_e}, {c_e}) ASC, c.cid ASC) AS rn
+    FROM d CROSS JOIN sub CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < {PQ_RECALL_QUERIES}),
+adc AS (
+  SELECT q.query_id, a.vec_id, SUM(
+      list_inner_product({q_e}, {q_e})
+      - 2 * list_inner_product({q_e}, {c_e})
+      + list_inner_product({c_e}, {c_e})) AS dist
+  FROM q CROSS JOIN sub
+  JOIN assign a ON a.s = sub.s
+  JOIN cent c ON c.cid = a.cid
+  WHERE a.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+adc_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {PQ_RECALL_K}
+),
+exact_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, d.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.e, q.e) - 2 * list_inner_product(q.e, d.e)
+        + list_inner_product(d.e, d.e) ASC, d.vec_id ASC) AS rn
+    FROM q JOIN d ON d.vec_id <> q.query_id) WHERE rn <= {PQ_RECALL_K}
+)
+SELECT e.query_id AS query_id,
+  CAST(COUNT(a.vec_id) AS BIGINT) AS n_match,
+  CAST(10000 * COUNT(a.vec_id) // {PQ_RECALL_K} AS BIGINT) AS recall_bp
+FROM exact_top e
+LEFT JOIN adc_top a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
 # ====================================================== fairness index
 #
 # Jain's fairness index over per-entity load, integer-exact: J =
@@ -4028,6 +4189,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "product_quantize": (q_product_quantize, PRODUCT_QUANTIZE_SQL),
     "kmv_error": (q_kmv_error, _kmv_error_sql()),
     "fairness_index": (q_fairness_index, FAIRNESS_INDEX_SQL),
+    "pq_recall": (q_pq_recall, _pq_recall_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
