@@ -2712,9 +2712,13 @@ def _minhash_error_sql(min_agree: int = 26) -> str:
     from .ml_queries import _dedup_minhash_sql
 
     base = _dedup_minhash_sql(min_agree)
-    head, _, _tail = base.rpartition(
-        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    needle = "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    assert needle in base, (
+        "_dedup_minhash_sql's final SELECT was reformatted — update the "
+        "splice needle in _minhash_error_sql (review finding: a silent "
+        "empty-head rpartition produces an unparseable oracle)"
     )
+    head, _, _tail = base.rpartition(needle)
     return (
         head
         + f""", surv AS (
@@ -3072,8 +3076,9 @@ def q_cdc_chunks(sf_dir: str):
 
 CDC_CHUNKS_SQL = f"""
 WITH pos AS (
-  SELECT doc_id, strlen(text) AS n, i
-  FROM documents, unnest(range({CDC_W - 1}, strlen(text))) t(i)
+  -- length() = characters (matches Python indexing); strlen is BYTES
+  SELECT doc_id, length(text) AS n, i
+  FROM documents, unnest(range({CDC_W - 1}, length(text))) t(i)
   WHERE CAST(concat('0x', substr(md5('cdc|' ||
           substr(text, CAST(i AS INTEGER) - {CDC_W - 2}, {CDC_W})), 1, 16))
         AS UBIGINT) % {CDC_DIV} = 0
@@ -3096,9 +3101,9 @@ WITH pos AS (
 )
 SELECT d.doc_id AS doc_id,
   CAST(COALESCE(len(l.ends),
-       CASE WHEN strlen(d.text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks,
+       CASE WHEN length(d.text) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks,
   CAST(COALESCE(list_max(l.chunk_lens),
-       strlen(d.text)) AS BIGINT) AS max_chunk,
+       length(d.text)) AS BIGINT) AS max_chunk,
   COALESCE(l.bounds_md5, md5('')) AS bounds_md5
 FROM documents d LEFT JOIN lens l USING (doc_id)
 """
@@ -3216,27 +3221,26 @@ def q_bm25_rank(sf_dir: str):
         ids = df["doc_id"].to_numpy(np.int64)
         toks = [t.split(" ") if t else [] for t in df["text"].tolist()]
         lens = np.array([len(ts) for ts in toks], dtype=np.int64)
-        tfs = {
-            q: np.array([ts.count(q) for ts in toks], dtype=np.int64)
-            for q in BM25_QUERY
-        }
-        out = {"doc_id": ids, "dl": lens}
+        out = {"doc_id": ids, "dl": lens, "one": np.ones(len(ids), np.int64)}
         for i, q in enumerate(BM25_QUERY):
-            out[f"tf{i}"] = tfs[q]
+            tf = np.array([ts.count(q) for ts in toks], dtype=np.int64)
+            out[f"tf{i}"] = tf
+            out[f"gt{i}"] = (tf > 0).astype(np.int64)
         return pd.DataFrame(out)
 
     scored_input = d.map_batches(stats, batch_format="pandas").materialize()
-    # corpus constants: one bounded reduce (3 scalars + |query| dfs)
-    tot = scored_input.sum(["dl"] + [f"tf{i}" for i in range(len(BM25_QUERY))])
-    n_docs_total = scored_input.count()
+    # ALL corpus constants (N, Σdl, per-term dfs) from ONE reduce pass —
+    # indicator columns ride the combiner (review finding: the old
+    # per-term filter().count() cost two extra full scans)
+    cols = (
+        ["dl", "one"]
+        + [f"tf{i}" for i in range(len(BM25_QUERY))]
+        + [f"gt{i}" for i in range(len(BM25_QUERY))]
+    )
+    tot = scored_input.sum(cols)
+    n_docs_total = int(tot["sum(one)"] or 0)
     sum_dl = int(tot["sum(dl)"] or 0)
-    dfs = []
-    for i in range(len(BM25_QUERY)):
-        dfs.append(
-            scored_input.filter(
-                lambda r, i=i: r[f"tf{i}"] > 0
-            ).count()
-        )
+    dfs = [int(tot[f"sum(gt{i})"] or 0) for i in range(len(BM25_QUERY))]
     const_ref = ray.put((n_docs_total, sum_dl, dfs))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -3433,16 +3437,13 @@ PQ_SUBDIM = 8
 PQ_CODEWORDS = 16
 
 
-def q_product_quantize(sf_dir: str):
-    """(vec_id, code): the 8-nibble PQ code as 'c0-c1-...-c7'.
-
-    Scale shape: codebook selection is the shuffle-free per-batch md5
-    prune + bounded driver reduce (16 rows); the codebook broadcasts
-    once; encoding is one vectorized (batch x 16 x 8) distance pass per
-    subspace."""
+def _pq_codebook(emb: ray.data.Dataset) -> np.ndarray | None:
+    """(16, 64) codebook: the subvector source rows are the PQ_CODEWORDS
+    vectors with the smallest md5(vec_id) — shuffle-free per-batch prune
+    plus a bounded driver reduce; None on an empty table. The ONE
+    codebook rule shared by product_quantize and pq_recall (review
+    finding: the selection block was duplicated)."""
     import hashlib as _hl
-
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def cand(df: pd.DataFrame) -> pd.DataFrame:
         md5s = np.array(
@@ -3453,19 +3454,31 @@ def q_product_quantize(sf_dir: str):
 
     cands = emb.map_batches(cand, batch_format="pandas").to_pandas()
     if cands.empty:  # Ray's empty to_pandas() carries no columns
+        return None
+    md5s = np.array(
+        [_hl.md5(str(int(v)).encode()).hexdigest() for v in cands["vec_id"]]
+    )
+    order = np.argsort(md5s)[:PQ_CODEWORDS]
+    # row index IS the codeword id (= md5 rank, as in the SQL ROW_NUMBER)
+    return np.stack(cands.iloc[order]["embedding"].to_numpy()).astype(np.float64)
+
+
+def q_product_quantize(sf_dir: str):
+    """(vec_id, code): the 8-nibble PQ code as 'c0-c1-...-c7'.
+
+    Scale shape: codebook selection is the shuffle-free per-batch md5
+    prune + bounded driver reduce (16 rows); the codebook broadcasts
+    once; encoding is one vectorized (batch x 16 x 8) distance pass per
+    subspace."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codebook = _pq_codebook(emb)
+    if codebook is None:
         return pd.DataFrame(
             {
                 "vec_id": pd.Series([], dtype=np.int64),
                 "code": pd.Series([], dtype=object),
             }
         )
-    md5s = np.array(
-        [_hl.md5(str(int(v)).encode()).hexdigest() for v in cands["vec_id"]]
-    )
-    order = np.argsort(md5s)[:PQ_CODEWORDS]
-    codebook = np.stack(
-        cands.iloc[order]["embedding"].to_numpy()
-    ).astype(np.float64)  # (16, 64), row index IS the codeword id
     cb_ref = ray.put(codebook)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -3650,18 +3663,7 @@ def q_pq_recall(sf_dir: str):
     Scale shape: codebook + the 5 query vectors broadcast once;
     per-batch ADC and exact distances -> per-batch top-k candidates ->
     bounded (queries x k x blocks) final reduce."""
-    import hashlib as _hl
-
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def cand(df: pd.DataFrame) -> pd.DataFrame:
-        md5s = np.array(
-            [_hl.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]]
-        )
-        keep = np.argsort(md5s)[:PQ_CODEWORDS]
-        return df.iloc[np.sort(keep)][["vec_id", "embedding"]]
-
-    cands = emb.map_batches(cand, batch_format="pandas").to_pandas()
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype=np.int64),
@@ -3669,13 +3671,9 @@ def q_pq_recall(sf_dir: str):
             "recall_bp": pd.Series([], dtype=np.int64),
         }
     )
-    if cands.empty:
+    codebook = _pq_codebook(emb)
+    if codebook is None:
         return empty
-    md5s = np.array(
-        [_hl.md5(str(int(v)).encode()).hexdigest() for v in cands["vec_id"]]
-    )
-    order = np.argsort(md5s)[:PQ_CODEWORDS]
-    codebook = np.stack(cands.iloc[order]["embedding"].to_numpy()).astype(np.float64)
     qdf = (
         emb.filter(lambda r: r["vec_id"] < PQ_RECALL_QUERIES)
         .to_pandas()
@@ -3855,8 +3853,10 @@ s AS (
   FROM c
 )
 SELECT n_users, sum_x, sum_x2,
+  -- HUGEINT: 10^4 · (Σx)² overflows BIGINT past ~3e7 events (review)
   CAST(CASE WHEN n_users > 0 AND sum_x2 > 0
-       THEN 10000 * sum_x * sum_x // (n_users * sum_x2)
+       THEN (10000 * CAST(sum_x AS HUGEINT) * CAST(sum_x AS HUGEINT))
+            // (CAST(n_users AS HUGEINT) * CAST(sum_x2 AS HUGEINT))
        ELSE 0 END AS BIGINT) AS fairness_bp
 FROM s
 """
@@ -4039,10 +4039,10 @@ def q_interval_union(sf_dir: str):
             new_island[1:] = s[1:] > run_end[:-1]
             isl = np.cumsum(new_island) - 1
             starts = s[new_island]
-            ends = np.array(
-                [run_end[isl == i].max() for i in range(isl[-1] + 1)],
-                dtype=np.int64,
-            )
+            # island end = run_end at the island's LAST event: run_end is
+            # monotone and resets past an island boundary by construction
+            # (review finding: the per-island rescan was O(islands·events))
+            ends = run_end[np.flatnonzero(np.append(new_island[1:], True))]
             out_u.append(uid)
             out_n.append(len(s))
             out_i.append(int(isl[-1] + 1))

@@ -115,6 +115,12 @@ class BloomSet:
     @classmethod
     def load(cls, path: str) -> "BloomSet":
         z = np.load(path)
+        if "backend" in z.files:  # cuckoo checkpoints carry a marker
+            raise ValueError(
+                f"checkpoint {path!r} was written by the cuckoo backend — "
+                "the shard's configured backend does not match the stored "
+                "state"
+            )
         m_bits, k, exact, n_added = (int(x) for x in z["meta"])
         obj = cls(m_bits=m_bits, k=k, exact=bool(exact))
         obj.bits = z["bits"]
@@ -144,7 +150,11 @@ class CuckooSet:
         assert m_buckets & (m_buckets - 1) == 0
         self.m = m_buckets
         self.table = np.zeros((m_buckets, self.SLOTS), dtype=np.uint16)
-        self.exact = exact  # API parity with BloomSet; filter is approximate
+        # exact=True is HONORED, as in BloomSet (review finding: silently
+        # downgrading an exactness run to approximate membership would
+        # drop never-seen urls on fingerprint collisions)
+        self.exact = exact
+        self._exact_keys: set[int] | None = set() if exact else None
         self.n_added = 0
         self.n_checked = 0
         self.n_spilled = 0
@@ -205,9 +215,22 @@ class CuckooSet:
         i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
         i2s = self._alt(i1s, fps)
         seen = np.zeros(n, dtype=bool)
+        keys = (
+            BloomSet._keys(h1, h2) if self._exact_keys is not None else None
+        )
         for j in range(n):
             i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
-            if self._present(i1, i2, fp):
+            if self._exact_keys is not None:
+                # exact membership decides; the filter stays maintained
+                k = int(keys[j])
+                if k in self._exact_keys:
+                    seen[j] = True
+                else:
+                    self._exact_keys.add(k)
+                    if not self._present(i1, i2, fp):
+                        self._insert(i1, i2, fp)
+                    self.n_added += 1
+            elif self._present(i1, i2, fp):
                 seen[j] = True
             else:
                 self._insert(i1, i2, fp)
@@ -217,6 +240,12 @@ class CuckooSet:
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         h1 = np.asarray(h1, dtype=np.uint64)
         h2 = np.asarray(h2, dtype=np.uint64)
+        if self._exact_keys is not None:
+            keys = BloomSet._keys(h1, h2)
+            ek = self._exact_keys
+            return np.fromiter(
+                (int(k) in ek for k in keys), dtype=bool, count=len(keys)
+            )
         fps = self._fp(h1)
         i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
         i2s = self._alt(i1s, fps)
@@ -243,7 +272,12 @@ class CuckooSet:
         i1s = (h2 & np.uint64(self.m - 1)).astype(np.uint64)
         i2s = self._alt(i1s, fps)
         out = np.zeros(len(h1), dtype=bool)
+        keys = (
+            BloomSet._keys(h1, h2) if self._exact_keys is not None else None
+        )
         for j in range(len(h1)):
+            if self._exact_keys is not None:
+                self._exact_keys.discard(int(keys[j]))
             i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
             sk = self._spill_key(i1, i2, fp)
             if sk in self._spill:
@@ -262,27 +296,41 @@ class CuckooSet:
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         spill = np.fromiter(self._spill, dtype=np.int64, count=len(self._spill))
+        exact_arr = (
+            np.fromiter(self._exact_keys, dtype=np.uint64, count=len(self._exact_keys))
+            if self._exact_keys is not None
+            else np.zeros(0, dtype=np.uint64)
+        )
         # tmp + rename, as in BloomSet.save: never corrupt a checkpoint
         tmp = path + ".tmp.npz"
         np.savez_compressed(
             tmp,
             table=self.table,
             spill=spill,
+            exact=exact_arr,
             meta=np.array(
                 [self.m, int(self.exact), self.n_added, self.n_checked, self.n_spilled],
                 dtype=np.int64,
             ),
-            backend=np.array([1], dtype=np.int8),  # 1 = cuckoo
+            backend=np.array([1], dtype=np.int8),  # 1 = cuckoo (checked on load)
         )
         os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "CuckooSet":
         z = np.load(path)
+        if "backend" not in z.files or int(z["backend"][0]) != 1:
+            raise ValueError(
+                f"checkpoint {path!r} is not a cuckoo checkpoint — the "
+                "shard's configured backend does not match the stored "
+                "state (review finding: a clear error beats a crash-loop)"
+            )
         m, exact, n_added, n_checked, n_spilled = (int(x) for x in z["meta"])
         obj = cls(m_buckets=m, exact=bool(exact))
         obj.table = z["table"].copy()
         obj._spill = set(int(x) for x in z["spill"])
+        if obj._exact_keys is not None:
+            obj._exact_keys = set(int(x) for x in z["exact"])
         obj.n_added, obj.n_checked, obj.n_spilled = n_added, n_checked, n_spilled
         return obj
 

@@ -62,6 +62,50 @@ class TestCuckooSet:
         assert back.n_added == cs.n_added and back.n_spilled == cs.n_spilled
 
 
+class TestCuckooExactMode:
+    def test_exact_true_is_honored(self):
+        """exact=True must behave like BloomSet's exact store: no false
+        positives even on engineered fingerprint collisions."""
+        cs = CuckooSet(m_buckets=1 << 4, exact=True)  # tiny → collisions
+        h1, h2 = _hashes(500, seed=7)
+        cs.check_and_add(h1, h2)
+        p1, p2 = _hashes(500, seed=8)
+        assert not cs.contains(p1, p2).any()  # exact: zero FPs
+        assert cs.contains(h1, h2).all()
+
+    def test_exact_survives_checkpoint_and_remove(self, tmp_path):
+        cs = CuckooSet(m_buckets=1 << 6, exact=True)
+        h1, h2 = _hashes(100, seed=9)
+        cs.check_and_add(h1, h2)
+        cs.remove(h1[:5], h2[:5])
+        p = str(tmp_path / "c.npz")
+        cs.save(p)
+        back = CuckooSet.load(p)
+        assert not back.contains(h1[:5], h2[:5]).any()
+        assert back.contains(h1[5:], h2[5:]).all()
+
+
+class TestBackendMismatch:
+    def test_loading_wrong_backend_raises_clearly(self, tmp_path):
+        import pytest
+
+        from europarl_crawler_ray.state.seen import BloomSet
+
+        b = BloomSet(m_bits=1 << 13)
+        h1, h2 = _hashes(10, seed=10)
+        b.check_and_add(h1, h2)
+        pb = str(tmp_path / "bloom.npz")
+        b.save(pb)
+        with pytest.raises(ValueError, match="not a cuckoo checkpoint"):
+            CuckooSet.load(pb)
+        c = CuckooSet(m_buckets=1 << 8)
+        c.check_and_add(h1, h2)
+        pc = str(tmp_path / "cuckoo.npz")
+        c.save(pc)
+        with pytest.raises(ValueError, match="cuckoo backend"):
+            BloomSet.load(pc)
+
+
 class TestCuckooProperties:
     def test_random_ops_never_false_negative(self):
         """Against a reference exact set over random add/remove streams:
