@@ -3790,6 +3790,74 @@ GROUP BY 1
 """
 
 
+# ====================================================== path templates
+#
+# URL template mining: generalize paths by collapsing digit runs (and
+# 32-hex tokens) to placeholders and count pages per template — the
+# taxonomy a crawl scheduler budgets by ("/product/{N} is 80% of the
+# site"). The Ray side PARSES and generalizes real URLs; the oracle
+# derives the expected template per generation family, so a templating
+# slip (digit run missed, hex not collapsed, query not stripped) breaks
+# the gate.
+
+
+def url_template(url: str) -> str:
+    import re as _re
+
+    rest = url.split("://", 1)[1]
+    path = rest.partition("?")[0].partition("/")[2]
+    t = "/" + path
+    t = _re.sub(r"[0-9a-f]{32}", "{H}", t)
+    t = _re.sub(r"[0-9]+", "{N}", t)
+    return t
+
+
+def q_path_templates(sf_dir: str):
+    """(template, n_urls): page counts per generalized path template
+    over the crawl-trap URL corpus.
+
+    Scale shape: per-batch template map + count combiner -> bounded
+    groupby (templates are a rule-bounded domain — the whole point of
+    templating)."""
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def tpl(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        ts = [url_template(_trap_url(int(i))) for i in ids]
+        out = pd.DataFrame({"template": ts}).groupby(
+            "template", as_index=False
+        ).size()
+        out.columns = ["template", "n"]
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("template", as_index=False)["n"].sum()
+        out.columns = ["template", "n_urls"]
+        return out.astype({"n_urls": np.int64})
+
+    return (
+        d.map_batches(tpl, batch_format="pandas")
+        .groupby("template")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _path_templates_sql() -> str:
+    fam1 = "".join("/s{N}x{N}" for _ in range(12))
+    return f"""
+WITH t AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN '/a/b/c{{N}}'
+    WHEN 1 THEN '{fam1}'
+    WHEN 2 THEN '/cat/x/x/x/page{{N}}'
+    WHEN 3 THEN '/{{N}}/{{N}}/{{N}}/{{N}}/{{N}}/{{N}}/post{{N}}'
+    ELSE '/page{{N}}' END AS template
+  FROM documents
+)
+SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls FROM t GROUP BY template
+"""
+
+
 # ====================================================== fairness index
 #
 # Jain's fairness index over per-entity load, integer-exact: J =
@@ -4190,6 +4258,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "kmv_error": (q_kmv_error, _kmv_error_sql()),
     "fairness_index": (q_fairness_index, FAIRNESS_INDEX_SQL),
     "pq_recall": (q_pq_recall, _pq_recall_sql()),
+    "path_templates": (q_path_templates, _path_templates_sql()),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

@@ -1092,6 +1092,19 @@ class TestCompressionRatio:
         assert df2.loc[0, "zlib_len"] == df.loc[0, "zlib_len"]
 
 
+class TestPathTemplates:
+    def test_hex_and_digit_generalization(self):
+        from europarl_crawler_ray.pipelines.webcorpus_ops import url_template
+
+        assert url_template("https://h.com/a/b/c123?x=1") == "/a/b/c{N}"
+        assert (
+            url_template("https://h.com/sess/" + "ab12" * 8 + "/view")
+            == "/sess/{H}/view"
+        )
+        assert url_template("https://h.com/2024/01/05") == "/{N}/{N}/{N}"
+        assert url_template("https://h.com") == "/"
+
+
 class TestMimeSniff:
     def test_magic_and_whitespace_html(self):
         assert sniff_mime(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
