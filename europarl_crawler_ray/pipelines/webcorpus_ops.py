@@ -3858,6 +3858,104 @@ SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls FROM t GROUP BY template
 """
 
 
+# ==================================================== top-decile share
+#
+# Activity concentration: what share of all events comes from the top
+# 10% most active users — computed WITHOUT ranking any user. The
+# count-of-counts histogram (bounded by the activity domain) yields the
+# decile threshold T, and every tied user at T contributes exactly T
+# events, so the tie tail is (k - above)·T with no per-user selection —
+# the count_gini/waterfill trick applied to decile concentration.
+
+
+def q_top_decile_share(sf_dir: str):
+    """One row: (n_users, k, events_top, events_total, share_bp) with
+    k = ceil(n/10) top users by activity (ties resolved by count alone —
+    every tied user contributes the same T events, so no per-user
+    tie-break is ever needed).
+
+    Scale shape: per-batch (user, n) combiner -> ONE coarse exchange ->
+    per-task count-of-counts partials (bounded by the activity domain)
+    -> driver threshold solve over the small histogram."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size()
+        out.columns = ["user_id", "n"]
+        return out.astype(np.int64)
+
+    kd = _with_coarse_group(
+        ev.map_batches(partial, batch_format="pandas"), "user_id"
+    )
+
+    def coc(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby("user_id")["n"].sum()
+        out = x.value_counts().rename_axis("cnt").reset_index(name="n_users")
+        return out.astype(np.int64)
+
+    h = (
+        kd.groupby("_g")
+        .map_groups(coc, batch_format="pandas")
+        .groupby("cnt")
+        .map_groups(
+            lambda g: g.groupby("cnt", as_index=False)["n_users"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )  # bounded: one row per distinct activity level
+    if h.empty:
+        return pd.DataFrame(
+            {
+                "n_users": pd.Series([0], dtype=np.int64),
+                "k": pd.Series([0], dtype=np.int64),
+                "events_top": pd.Series([0], dtype=np.int64),
+                "events_total": pd.Series([0], dtype=np.int64),
+                "share_bp": pd.Series([0], dtype=np.int64),
+            }
+        )
+    h = h.sort_values("cnt", ascending=False)
+    cnts = h["cnt"].to_numpy(np.int64)
+    nus = h["n_users"].to_numpy(np.int64)
+    n_users = int(nus.sum())
+    total = int((cnts * nus).sum())
+    k = (n_users + 9) // 10
+    cum_users = np.cumsum(nus)
+    i = int(np.searchsorted(cum_users, k, side="left"))  # threshold level
+    above = int(cum_users[i - 1]) if i > 0 else 0
+    top = int((cnts[:i] * nus[:i]).sum()) + (k - above) * int(cnts[i])
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n_users], dtype=np.int64),
+            "k": pd.Series([k], dtype=np.int64),
+            "events_top": pd.Series([top], dtype=np.int64),
+            "events_total": pd.Series([total], dtype=np.int64),
+            "share_bp": pd.Series(
+                [10000 * top // total if total else 0], dtype=np.int64
+            ),
+        }
+    )
+
+
+TOP_DECILE_SHARE_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rn FROM c
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST((COUNT(*) + 9) // 10 AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS events_total
+  FROM c
+)
+SELECT t.n_users, t.k,
+  CAST((SELECT SUM(n) FROM r, t WHERE r.rn <= t.k) AS BIGINT) AS events_top,
+  t.events_total,
+  CAST(CASE WHEN t.events_total > 0
+       THEN 10000 * (SELECT SUM(n) FROM r, t WHERE r.rn <= t.k)
+            // t.events_total ELSE 0 END AS BIGINT) AS share_bp
+FROM t
+"""
+
+
 # ====================================================== fairness index
 #
 # Jain's fairness index over per-entity load, integer-exact: J =
@@ -4259,6 +4357,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "fairness_index": (q_fairness_index, FAIRNESS_INDEX_SQL),
     "pq_recall": (q_pq_recall, _pq_recall_sql()),
     "path_templates": (q_path_templates, _path_templates_sql()),
+    "top_decile_share": (q_top_decile_share, TOP_DECILE_SHARE_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
