@@ -50,6 +50,28 @@ def with_coarse_group(
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def global_prune(
+    ds: ray.data.Dataset,
+    prune,
+    *,
+    batch_format: str = "pandas",
+):
+    """Per-block prune → ONE distributed combine → O(k) driver rows.
+
+    ``prune`` must be an associative-idempotent selection — selecting the
+    "k best by a total order" from any concatenation of already-pruned
+    blocks yields the same global k (true for every md5-smallest sample
+    in this repo). Without the middle combine the driver would collect
+    ``k × n_blocks`` rows — bounded per block but linear in block count
+    (~10⁵–10⁶ blocks at 100 TB, gigabytes when the rows carry embedding
+    columns). The ``repartition(1)`` re-prune runs the same selection in
+    a TASK over the pruned candidates, so the driver collect is at most
+    ``k`` rows regardless of block count (VERDICT r3 #2)."""
+    pruned = ds.map_batches(prune, batch_format=batch_format)
+    combined = pruned.repartition(1).map_batches(prune, batch_format=batch_format)
+    return combined.to_pandas()
+
+
 def partitioned_anti_join(
     keep: ray.data.Dataset,
     remove: ray.data.Dataset,

@@ -76,3 +76,51 @@ def test_driver_collects_are_exactly_the_bounded_reduces(
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0
         monkeypatch.undo()
+
+
+def test_md5_sample_collects_are_block_count_independent(
+    ray_session, sf_dir, monkeypatch
+):
+    """VERDICT r3 #2: the md5-smallest deterministic samples (PQ codebook,
+    IVF centroids, contamination benchmark set) must reach the driver as
+    O(k) rows via grouping.global_prune's distributed combine — never as
+    k x n_blocks candidate rows. Pin every to_pandas collect size."""
+    import duckdb
+
+    from europarl_crawler_ray.pipelines.corpus_ops import (
+        BENCH_DOCS,
+        q_contamination_check,
+    )
+    from europarl_crawler_ray.pipelines.ml_queries import q_ann_ivf
+    from europarl_crawler_ray.pipelines.webcorpus_ops import (
+        PQ_CODEWORDS,
+        q_product_quantize,
+    )
+
+    con = duckdb.connect()
+    n_vecs = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    n_docs = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_q = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < 5"
+    ).fetchone()[0]
+    assert n_vecs > PQ_CODEWORDS and n_docs > BENCH_DOCS  # samples saturate
+
+    collected = _spy_collects(monkeypatch)
+    q_product_quantize(sf_dir)
+    assert collected == [PQ_CODEWORDS], collected
+    monkeypatch.undo()
+
+    collected = _spy_collects(monkeypatch)
+    q_ann_ivf(sf_dir)
+    # centroid sample (16) + the n_queries-bounded query frame
+    assert collected == [16, n_q], collected
+    monkeypatch.undo()
+
+    collected = _spy_collects(monkeypatch)
+    q_contamination_check(sf_dir)
+    assert collected == [BENCH_DOCS], collected
+    monkeypatch.undo()
