@@ -973,6 +973,39 @@ def iter_internal_edges(doc_ids, n_docs: int):
                 yield did, int(m.group(1))
 
 
+def internal_edges_np(
+    doc_ids, n_docs: int, *, drop_self: bool = False, return_counts: bool = False
+):
+    """Vectorized ``iter_internal_edges``: identical (src, dst) edge
+    multiset (pinned by tests/test_webcorpus.py edge-equivalence), but
+    the per-edge fan-out is numpy repeat/arange instead of a per-doc
+    render → DOM-parse walk (VERDICT r3 #4: the walk fed ≥5 graph
+    queries and dominated their timings). The per-doc md5 that sets the
+    out-degree is the string-kernel floor — everything after it is
+    vectorized. ``q_link_graph``/``q_anchor_texts`` keep the real
+    render → parse path: they ARE the extraction operators; this helper
+    serves the graph-math consumers (reciprocity, k-core,
+    assortativity, co-citation) that only need the edge list."""
+    from ..stages.multimodal import _md5_64
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0 or n_docs == 0:
+        e = np.array([], np.int64)
+        return (e, e, e.copy()) if return_counts else (e, e)
+    ks = np.fromiter(
+        (1 + _md5_64(f"lnkk:42:{int(d)}") % 4 for d in ids), np.int64, len(ids)
+    )
+    src = np.repeat(ids, ks)
+    first = np.cumsum(ks) - ks  # start offset of each doc's edge run
+    j = np.arange(int(ks.sum()), dtype=np.int64) - np.repeat(first, ks) + 1
+    dst = (src * 37 + j * 101) % n_docs
+    deg = np.repeat(ks, ks)  # per-edge out-degree of its source (pre-drop)
+    if drop_self:
+        keep = src != dst
+        src, dst, deg = src[keep], dst[keep], deg[keep]
+    return (src, dst, deg) if return_counts else (src, dst)
+
+
 def _render_link_page(doc_id: int, targets: list[int]) -> str:
     """A crawled page whose REAL anchors point at ``/doc/<id>`` — plus
     the decoys a regex extractor would wrongly pick up: an anchor inside
@@ -1246,18 +1279,13 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
         )
 
     def seed_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        src, dst, deg = [], [], []
-        for did in ids:
-            targets = _link_targets(did, n_docs)
-            src.extend([did] * len(targets))
-            dst.extend(targets)
-            deg.extend([len(targets)] * len(targets))
-        n_e, n_r = len(src), len(ids)
+        ids_np = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst, deg = internal_edges_np(ids_np, n_docs, return_counts=True)
+        n_e, n_r = len(src), len(ids_np)
         return _stream_table(
-            src + list(ids),
-            dst + [-1] * n_r,
-            deg + [0] * n_r,
+            np.concatenate([src, ids_np]),
+            np.concatenate([dst, np.full(n_r, -1, np.int64)]),
+            np.concatenate([deg, np.zeros(n_r, np.int64)]),
             np.zeros(n_e + n_r, dtype=np.int64),
             np.concatenate([np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]),
         )
@@ -1382,14 +1410,11 @@ def q_triangle_count(sf_dir: str, n_buckets: int = 64):
     d = _read(sf_dir, "documents", columns=["doc_id"])
 
     def cand_edges(t: pa.Table) -> pa.Table:
-        us, vs = [], []
-        for did in t.column("doc_id").to_pylist():
-            for tgt in _link_targets(did, n_docs):
-                if tgt != did:
-                    us.append(min(did, tgt))
-                    vs.append(max(did, tgt))
-        u = np.asarray(us, dtype=np.int64)
-        v = np.asarray(vs, dtype=np.int64)
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
         return pa.table(
             {
                 "u": pa.array(u),
@@ -2712,25 +2737,19 @@ def q_link_depth(sf_dir: str, n_buckets: int = 64, max_depth: int = LD_MAX_DEPTH
         )
 
     def seed_rows(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        src, dst = [], []
-        prop_dst = []  # wave-1 proposals: seeds reach their targets at depth 1
-        for did in ids:
-            targets = _link_targets(did, n_docs)
-            src.extend([did] * len(targets))
-            dst.extend(targets)
-            if did % LD_SEED_MOD == 0:
-                prop_dst.extend(targets)
-        ids_np = np.asarray(ids, dtype=np.int64)
+        ids_np = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst = internal_edges_np(ids_np, n_docs)  # vectorized edge walk
+        # wave-1 proposals: seeds reach their targets at depth 1
+        prop_dst = dst[src % LD_SEED_MOD == 0]
         is_seed = ids_np % LD_SEED_MOD == 0
         n_e, n_p = len(src), len(prop_dst)
         return pa.concat_tables(
             [
                 _stream(src, dst, np.full(n_e, -1), np.zeros(n_e, np.int8),
                         np.zeros(n_e, np.int8)),
-                _stream(ids_np, np.full(len(ids), -1),
+                _stream(ids_np, np.full(len(ids_np), -1),
                         np.where(is_seed, 0, -1).astype(np.int64),
-                        np.ones(len(ids), np.int8),
+                        np.ones(len(ids_np), np.int8),
                         is_seed.astype(np.int8)),
                 _stream(prop_dst, np.full(n_p, -1), np.ones(n_p, np.int64),
                         np.full(n_p, 2, np.int8), np.zeros(n_p, np.int8)),

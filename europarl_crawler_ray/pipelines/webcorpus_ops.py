@@ -1895,7 +1895,7 @@ def q_graph_reciprocity(sf_dir: str):
     to two integers per bucket -> one bounded final sum."""
     import pyarrow.parquet as _pq
 
-    from .queries import iter_internal_edges
+    from .queries import internal_edges_np
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     if n_docs == 0:
@@ -1908,11 +1908,10 @@ def q_graph_reciprocity(sf_dir: str):
         )
 
     def edges(t: pa.Table) -> pd.DataFrame:
-        src, dst = [], []
-        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
-            if s != d_:  # self-loops excluded for reciprocity
-                src.append(s)
-                dst.append(d_)
+        # self-loops excluded for reciprocity
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
         out = pd.DataFrame(
             {
                 "src": pd.Series(src, dtype=np.int64),
@@ -2264,7 +2263,7 @@ def q_kcore_peel(sf_dir: str):
     anti-join. No edge list or node set ever reaches the driver."""
     import pyarrow.parquet as _pq
 
-    from .queries import iter_internal_edges
+    from .queries import internal_edges_np
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = _read(sf_dir, "documents", columns=["doc_id"])
@@ -2285,11 +2284,10 @@ def q_kcore_peel(sf_dir: str):
     )
 
     def edges(t: pa.Table) -> pd.DataFrame:
-        src, dst = [], []
-        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
-            if s != d_:  # self-loops never contribute to a core
-                src.append(s)
-                dst.append(d_)
+        # self-loops never contribute to a core
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
         e = pd.DataFrame(
             {
                 "src": pd.Series(src, dtype=np.int64),
@@ -2870,7 +2868,7 @@ def q_degree_assortativity(sf_dir: str):
     per-task six-sum partials -> bounded reduce."""
     import pyarrow.parquet as _pq
 
-    from .queries import iter_internal_edges
+    from .queries import internal_edges_np
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = _read(sf_dir, "documents", columns=["doc_id"])
@@ -2888,11 +2886,9 @@ def q_degree_assortativity(sf_dir: str):
         return empty
 
     def edges(t: pa.Table) -> pd.DataFrame:
-        src, dst = [], []
-        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
-            if s != d_:
-                src.append(s)
-                dst.append(d_)
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
         e = pd.DataFrame(
             {
                 "src": pd.Series(src, dtype=np.int64),
@@ -4275,7 +4271,7 @@ def q_cocitation_pairs(sf_dir: str):
     -> in-task count + support filter."""
     import pyarrow.parquet as _pq
 
-    from .queries import iter_internal_edges
+    from .queries import internal_edges_np
 
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = _read(sf_dir, "documents", columns=["doc_id"])
@@ -4289,23 +4285,17 @@ def q_cocitation_pairs(sf_dir: str):
         )
 
     def pairs(t: pa.Table) -> pd.DataFrame:
-        by_src: dict[int, set] = {}
-        for s, d_ in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
-            if s != d_:
-                by_src.setdefault(s, set()).add(d_)
-        a, b = [], []
-        for dsts in by_src.values():
-            ds = sorted(dsts)
-            for i in range(len(ds)):
-                for j in range(i + 1, len(ds)):
-                    a.append(ds[i])
-                    b.append(ds[j])
-        out = pd.DataFrame(
-            {
-                "dst_a": pd.Series(a, dtype=np.int64),
-                "dst_b": pd.Series(b, dtype=np.int64),
-            }
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
         )
+        e = pd.DataFrame(
+            {"src": pd.Series(src, dtype=np.int64), "dst": pd.Series(dst, dtype=np.int64)}
+        ).drop_duplicates()
+        # per-source pair fan-out as a vectorized self-merge: the outlink
+        # cap (≤4 distinct dsts per src) bounds the blow-up at 6 pairs/src
+        m = e.merge(e, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        out = m[["dst_a", "dst_b"]].reset_index(drop=True)
         out["pair"] = out["dst_a"] * np.int64(n_docs) + out["dst_b"]
         return out
 
