@@ -672,20 +672,19 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
 
         return step
 
+    from .pregel import pregel_loop
+
     stream = edges.map_batches(seed, batch_format="pyarrow")
-    converged = False
-    for i in range(max_iters):
-        stream = (
-            stream.groupby("bucket")
-            .map_groups(make_step(i == 0), batch_format="pandas")
-            .materialize()
-        )
-        n_changed = stream.sum("changed") or 0
-        # round 0 reports every node as changed, so a zero here can only
-        # mean an empty graph — either way the fixed point is reached
-        if n_changed == 0:
-            converged = True
-            break
+    # round 0 reports every node as changed, so a zero count can only
+    # mean an empty graph — either way the fixed point is reached; the
+    # convergence scalar rides out of the exchange via the shared helper
+    # (no per-round ds.sum pass)
+    stream, converged, _ = pregel_loop(
+        stream,
+        lambda i: make_step(i == 0),
+        changed_col="changed",
+        max_iters=max_iters,
+    )
     if not converged:
         import logging
 

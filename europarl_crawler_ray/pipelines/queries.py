@@ -2795,13 +2795,14 @@ def q_link_depth(sf_dir: str, n_buckets: int = 64, max_depth: int = LD_MAX_DEPTH
         del bucket
         return out
 
+    from .pregel import pregel_loop
+
     stream = d.map_batches(seed_rows, batch_format="pyarrow")
-    for _ in range(max_depth + 1):
-        stream = (
-            stream.groupby("bucket").map_groups(step, batch_format="pandas").materialize()
-        )
-        if (stream.sum("newly") or 0) == 0:
-            break
+    # bounded by max_depth+1 rounds by construction (BFS wave = depth),
+    # so exhaustion is the normal deep-graph stop, not a failure
+    stream, _, _ = pregel_loop(
+        stream, lambda i: step, changed_col="newly", max_iters=max_depth + 1
+    )
 
     def extract(t: pa.Table) -> pa.Table:
         lab = t.filter(pc.equal(t.column("kind"), 1))

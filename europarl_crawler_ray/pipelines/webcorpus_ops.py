@@ -2325,15 +2325,15 @@ def q_kcore_peel(sf_dir: str):
         out = pd.concat([keep, notif], ignore_index=True)
         return out if not out.empty else empty_state
 
+    from .pregel import pregel_loop
+
     state = d.map_batches(edges, batch_format="pyarrow")
-    n_notif = 0
-    for _ in range(KCORE_ROUNDS):
-        state = (
-            state.groupby("b").map_groups(peel_bucket, batch_format="pandas")
-        ).materialize()
-        n_notif = state.sum("kind")  # notifications carry kind=1
-        if not n_notif:
-            break
+    # notifications carry kind=1, so the output kind-sum IS the pending-
+    # removal count; the shared helper reads it from the exchange itself
+    state, _, n_notif = pregel_loop(
+        state, lambda i: peel_bucket, key="b", changed_col="kind",
+        max_iters=KCORE_ROUNDS,
+    )
     if n_notif:
         # the cap bound with removals still propagating: membership is
         # NOT the fixpoint and the (same-depth) SQL oracle may disagree
