@@ -961,7 +961,12 @@ def _trap_url(doc_id: int) -> str:
     host = f"https://site{doc_id % 7}.com"
     fam = doc_id % 5
     if fam == 0:
-        return f"{host}/a/b/c{doc_id}"
+        # content-hash path segment (CDN style): a 32-hex token in the
+        # PATH, so path_templates' {H} collapse is oracle-exercised
+        # (ADVICE r3: the only hex token used to live in the ?sid= query,
+        # which is stripped before the hex rule runs)
+        hx = hashlib.md5(f"hex|{doc_id}".encode("utf-8")).hexdigest()
+        return f"{host}/a/{hx}/c{doc_id}"
     if fam == 1:
         return host + "".join(f"/s{doc_id}x{k}" for k in range(12))
     if fam == 2:
@@ -1004,7 +1009,8 @@ def _crawl_trap_sql() -> str:
 SELECT doc_id,
   'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
   CASE doc_id % 5
-    WHEN 0 THEN '/a/b/c' || CAST(doc_id AS VARCHAR)
+    WHEN 0 THEN '/a/' || md5('hex|' || CAST(doc_id AS VARCHAR))
+                || '/c' || CAST(doc_id AS VARCHAR)
     WHEN 1 THEN {segs}
     WHEN 2 THEN '/cat/x/x/x/page' || CAST(doc_id AS VARCHAR)
     WHEN 3 THEN '/2024/01/05/2024/01/06/post' || CAST(doc_id AS VARCHAR)
@@ -3433,6 +3439,19 @@ PQ_SUBDIM = 8
 PQ_CODEWORDS = 16
 
 
+def _sq_l2_expansion(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise squared L2 as ``a·a − 2 a·b + b·b`` — the SAME
+    inner-product expansion the DuckDB oracles evaluate
+    (``list_inner_product(a,a) - 2*list_inner_product(a,b) +
+    list_inner_product(b,b)``), so near-equal distances are computed
+    from the same formula on both engines and don't rank-flip across
+    them (ADVICE r3: the direct ``sum((a-b)**2)`` form is not
+    IEEE-identical to the expansion). Returns shape (len(a), len(b))."""
+    aa = np.einsum("ij,ij->i", a, a)
+    bb = np.einsum("ij,ij->i", b, b)
+    return aa[:, None] - 2.0 * (a @ b.T) + bb[None, :]
+
+
 def _pq_codebook(emb: ray.data.Dataset) -> np.ndarray | None:
     """(16, 64) codebook: the subvector source rows are the PQ_CODEWORDS
     vectors with the smallest md5(vec_id) — shuffle-free per-batch prune,
@@ -3486,7 +3505,7 @@ def q_product_quantize(sf_dir: str):
         codes = []
         for s in range(PQ_SUBSPACES):
             sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
-            d2 = ((mat[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
+            d2 = _sq_l2_expansion(mat[:, sl], cb[:, sl])
             codes.append(np.argmin(d2, axis=1))  # first min = smallest idx
         code_str = ["-".join(str(int(c[j])) for c in codes) for j in range(len(df))]
         return pd.DataFrame(
@@ -3688,17 +3707,18 @@ def q_pq_recall(sf_dir: str):
         cb, qm, qi = ray.get(bc)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         vids = df["vec_id"].to_numpy(np.int64)
-        # codes + ADC lookup tables
         rows = []
-        # exact squared L2: (nq, nb)
-        ex = ((qm[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
-        # ADC: reconstruct each vector from its codeword per subspace
-        recon = np.empty_like(mat)
+        # exact squared L2 via the oracle's inner-product expansion
+        ex = _sq_l2_expansion(qm, mat)
+        # ADC: per subspace, assign the codeword (expansion + first-min =
+        # cid ASC tie-break) and add the query→codeword distance — the
+        # same per-subspace SUM the SQL's `adc` CTE evaluates
+        adc = np.zeros((len(qm), len(mat)))
         for s in range(PQ_SUBSPACES):
             sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
-            d2 = ((mat[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)
-            recon[:, sl] = cb[np.argmin(d2, axis=1)][:, sl]
-        adc = ((qm[:, None, :] - recon[None, :, :]) ** 2).sum(axis=2)
+            codes_s = np.argmin(_sq_l2_expansion(mat[:, sl], cb[:, sl]), axis=1)
+            qd = _sq_l2_expansion(qm[:, sl], cb[:, sl])  # (nq, 16)
+            adc += qd[:, codes_s]
         for qx in range(len(qi)):
             mask = vids != qi[qx]  # self excluded
             for kind, dist in (("exact", ex[qx]), ("adc", adc[qx])):
@@ -3846,7 +3866,7 @@ def _path_templates_sql() -> str:
     return f"""
 WITH t AS (
   SELECT CASE doc_id % 5
-    WHEN 0 THEN '/a/b/c{{N}}'
+    WHEN 0 THEN '/a/{{H}}/c{{N}}'
     WHEN 1 THEN '{fam1}'
     WHEN 2 THEN '/cat/x/x/x/page{{N}}'
     WHEN 3 THEN '/{{N}}/{{N}}/{{N}}/{{N}}/{{N}}/{{N}}/post{{N}}'

@@ -35,6 +35,59 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _rank_tie_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
+    """Tie-swap tolerance for ranked top-k outputs (ADVICE r3 low #4):
+    two members whose float scores agree to the last ulp can receive
+    swapped ranks across engines (the score itself is not in the output,
+    so value comparison can't absorb it). Accept iff (a) the frames are
+    identical once ``rank`` is dropped — membership and every other
+    column still exact — and (b) within each rank-scope group (the
+    non-rank, non-member-id columns, e.g. query_id) the rank MULTISET is
+    identical. Ordering errors beyond a permutation of ranks among the
+    same members still fail."""
+    cols = sorted(ray_df.columns)
+    if "rank" not in cols or sorted(sql_df.columns) != cols or len(ray_df) != len(sql_df):
+        return False
+    others = [c for c in cols if c != "rank"]
+
+    def key(df):
+        k = df[others].copy()
+        for c in others:
+            k[c] = k[c].astype(str)
+        return k.sort_values(others, kind="mergesort").reset_index(drop=True)
+
+    if not key(ray_df).equals(key(sql_df)):
+        return False
+    # rank-scope = columns that are constant across a tie swap: everything
+    # except rank and the member id (heuristically the highest-cardinality
+    # other column — vec_id/doc_id-like); empty scope = one global group
+    card = {c: ray_df[c].astype(str).nunique() for c in others}
+    member = max(card, key=card.get)
+    scope = [c for c in others if c != member]
+
+    def rank_sets(df):
+        if not scope:
+            return {(): sorted(df["rank"].astype(str).tolist())}
+        g = df.groupby([df[c].astype(str) for c in scope])["rank"]
+        return {k: sorted(v.astype(str).tolist()) for k, v in g}
+
+    if rank_sets(ray_df) != rank_sets(sql_df):
+        return False
+    # a tie flips a handful of assignments; a systematic ordering bug
+    # (e.g. reversed ranks — same multiset!) flips most of them. Cap the
+    # tolerated mismatch count so only genuine near-ties slip through.
+    full = others + ["rank"]
+
+    def assign(df):
+        k = df[full].copy()
+        for c in full:
+            k[c] = k[c].astype(str)
+        return set(map(tuple, k.to_numpy()))
+
+    n_mismatch = len(assign(ray_df) - assign(sql_df))
+    return n_mismatch <= 4
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(ray_df.columns) != sorted(sql_df.columns):
@@ -53,6 +106,9 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
             if not ok:
                 bad = np.nonzero(pd.Series(av).astype(str).to_numpy() != pd.Series(bv).astype(str).to_numpy())[0][:3]
                 problems.append(f"col {c} differs, e.g. rows {bad.tolist()}: ray={av[bad]} sql={bv[bad]}")
+    if problems and _rank_tie_equal(ray_df, sql_df):
+        print(f"note {name}: rank tie-swap tolerated (membership + rank multisets exact)")
+        return []
     return problems
 
 
