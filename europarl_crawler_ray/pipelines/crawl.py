@@ -66,6 +66,9 @@ class CrawlConfig:
     max_waves: int | None = None
     n_politeness_shards: int = 1  # coordinators sharded by hash(host)
     page_scale: int = 1          # synthetic page size multiplier (bench)
+    # 'mock' = synthetic web (default, the only live option in-sandbox);
+    # 'real' = requests-backed RealHttpClient with the reference envelope
+    transport: str = "mock"
     # waves below this row count fetch via plain tasks (fast start)
     # instead of a fresh actor pool; waves ≤64 rows run on the driver
     small_wave_rows: int = 8192
@@ -182,6 +185,7 @@ class CrawlDriver:
             seed=cfg.seed,
             simulated=cfg.simulated_politeness,
             page_scale=cfg.page_scale,
+            transport=cfg.transport,
         )
         if resume and os.path.exists(self._manifest_path()):
             self._resume()
@@ -240,13 +244,15 @@ class CrawlDriver:
         # no per-worker state (throttle/robots state lives in the politeness
         # coordinator actor) and task pipelines start ~10x faster than actor
         # pools — the pool is reserved for the stateful document fetch stage.
-        coords, seed, simulated, scale = (
+        coords, seed, simulated, scale, transport = (
             self.coords, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+            cfg.transport,
         )
 
         def probe_fn(batch: pa.Table) -> pa.Table:
             fetched = Fetcher(
-                coordinator=coords, seed=seed, simulated=simulated, page_scale=scale
+                coordinator=coords, seed=seed, simulated=simulated,
+                page_scale=scale, transport=transport,
             )(batch)
             return fetched.select(probe_cols)  # html dropped IN the task
 
@@ -386,13 +392,15 @@ class CrawlDriver:
             # mid-size waves: task-based fetch (no per-worker state needed —
             # throttle/robots live in the coordinator actor); task pipelines
             # start ~10x faster than actor pools
-            coords, seed, simulated, scale = (
+            coords, seed, simulated, scale, transport = (
                 self.coords, cfg.seed, cfg.simulated_politeness, cfg.page_scale,
+                cfg.transport,
             )
 
             def fetch_fn(batch: pa.Table) -> pa.Table:
                 return Fetcher(
-                    coordinator=coords, seed=seed, simulated=simulated, page_scale=scale
+                    coordinator=coords, seed=seed, simulated=simulated,
+                    page_scale=scale, transport=transport,
                 )(batch)
 
             ds = ds.map_batches(
@@ -409,6 +417,7 @@ class CrawlDriver:
                     "seed": cfg.seed,
                     "simulated": cfg.simulated_politeness,
                     "page_scale": cfg.page_scale,
+                    "transport": cfg.transport,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
@@ -632,6 +641,7 @@ class CrawlDriver:
             "seed": cfg.seed,
             "simulated": cfg.simulated_politeness,
             "page_scale": cfg.page_scale,
+            "transport": cfg.transport,
         }
 
         def fetch_fn(batch: pa.Table) -> pa.Table:
