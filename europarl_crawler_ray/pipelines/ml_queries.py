@@ -16,6 +16,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
+import shutil
 import zlib
 
 import numpy as np
@@ -82,28 +84,76 @@ def _cap_bucket(
     return g, dropped
 
 
+_SHINGLE_CACHE_VERSION = 1  # bump when the shingle/hash rule changes
+
+
+def _shingle_cache_dir(sf_dir: str) -> str | None:
+    """Scratch-cache location for ``_shingle_sets(sf_dir)``, or None when
+    caching is off (``EUROPARL_SCRATCH=0``). Keyed by source identity
+    (path + mtime + size) so a regenerated table invalidates."""
+    import hashlib as _hl
+
+    if os.environ.get("EUROPARL_SCRATCH", "1") == "0":
+        return None
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    key = _hl.md5(
+        f"shingles|v{_SHINGLE_CACHE_VERSION}|{os.path.abspath(src)}|"
+        f"{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get("EUROPARL_SCRATCH_DIR", "/tmp/europarl_scratch")
+    return os.path.join(root, "shingles", key)
+
+
 def _shingle_sets(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, hs) rows — hs is the doc's UNIQUE mod-p 3-shingle hashes
     as a uint64 blob. The ONE text-hashing pass shared by the minhash
     candidate stage (signatures derive from these hashes) and the
     dedup_verify bucket joins; docs with no shingles are absent, matching
-    the oracle's token unnest on both pipelines."""
+    the oracle's token unnest on both pipelines.
+
+    The pass is cached as partitioned parquet scratch keyed by source
+    identity (VERDICT r3 #7): dedup_minhash / dedup_verify /
+    dedup_clusters / minhash_error / leakage_safe_split each consume it,
+    so within one sweep the corpus is hashed ONCE and every later
+    consumer streams the narrow (doc_id, hs) table instead. Written
+    atomically (tmp → rename), so concurrent fills race benignly;
+    ``EUROPARL_SCRATCH=0`` disables."""
     from ..functions.dedup import md5_hash31, shingle_strings
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    def compute() -> ray.data.Dataset:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def rows(t: pa.Table) -> pa.Table:
-        out_ids, blobs = [], []
-        for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            hs = np.unique(md5_hash31(shingle_strings(txt)))
-            if hs.size:
-                out_ids.append(did)
-                blobs.append(hs.tobytes())
-        return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()), "hs": pa.array(blobs, pa.binary())}
-        )
+        def rows(t: pa.Table) -> pa.Table:
+            out_ids, blobs = [], []
+            for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                hs = np.unique(md5_hash31(shingle_strings(txt)))
+                if hs.size:
+                    out_ids.append(did)
+                    blobs.append(hs.tobytes())
+            return pa.table(
+                {"doc_id": pa.array(out_ids, pa.int64()), "hs": pa.array(blobs, pa.binary())}
+            )
 
-    return docs.map_batches(rows, batch_format="pyarrow")
+        return docs.map_batches(rows, batch_format="pyarrow")
+
+    cdir = _shingle_cache_dir(sf_dir)
+    if cdir is None:
+        return compute()
+    if os.path.isdir(cdir) and any(n.endswith(".parquet") for n in os.listdir(cdir)):
+        return ray.data.read_parquet(cdir)
+    from .._util import atomic_write_parquet
+
+    rows_written = atomic_write_parquet(compute(), cdir)
+    if rows_written == 0:
+        # zero-row cache dirs carry no files and can't round-trip through
+        # read_parquet — recompute lazily instead (trivially cheap)
+        shutil.rmtree(cdir, ignore_errors=True)
+        return compute()
+    return ray.data.read_parquet(cdir)
 
 
 def q_dedup_minhash(sf_dir: str, min_agree: int = 26, bucket_cap: int | None = None):
