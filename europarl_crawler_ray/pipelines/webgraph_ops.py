@@ -1,0 +1,551 @@
+"""Link-graph analytics split out of webcorpus_ops (VERDICT r3 #9):
+reciprocity, k-core peeling, degree assortativity, co-citation.
+
+All consume the synthetic internal link graph via queries.internal_edges_np
+(the vectorized walk equal to the render->parse walk) and exchange edges
+on coarse buckets; the iterative ones run through pipelines/pregel.py.
+SQL-oracled; scale idioms per pipelines/grouping.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .grouping import partitioned_anti_join  # noqa: F401 (family modules share the helper set)
+from .grouping import with_coarse_group as _with_coarse_group  # noqa: F401
+from .ml_queries import _md5u  # noqa: F401 — the shared md5-uint64 SQL hash family
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ==================================================== graph reciprocity
+#
+# Link-graph reciprocity: among distinct directed edges (self-loops
+# excluded), the fraction whose reverse edge also exists — the
+# mutual-linking signal that separates navigational site templates from
+# organic cross-site links. Reuses the SAME rendered-page edge extraction
+# as q_link_graph (the oracle rederives edges from the generation rule,
+# so a parser slip breaks this gate too).
+
+
+def q_graph_reciprocity(sf_dir: str):
+    """One row: (n_edges, n_recip, recip_bp).
+
+    Scale shape: edges bucket-exchange on the UNORDERED pair key, so
+    both orientations of a pair land in one task; per-task counts reduce
+    to two integers per bucket -> one bounded final sum."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([0], dtype=np.int64),
+                "n_recip": pd.Series([0], dtype=np.int64),
+                "recip_bp": pd.Series([0], dtype=np.int64),
+            }
+        )
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        # self-loops excluded for reciprocity
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        out = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        ).drop_duplicates()
+        out["pair"] = np.minimum(out["src"], out["dst"]) * np.int64(
+            n_docs
+        ) + np.maximum(out["src"], out["dst"])
+        return out
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    kd = _with_coarse_group(d.map_batches(edges, batch_format="pyarrow"), "pair")
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        fwd = set(zip(g["src"], g["dst"]))
+        n_recip = sum(1 for s, t in fwd if (t, s) in fwd)
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([len(fwd)], dtype=np.int64),
+                "n_recip": pd.Series([n_recip], dtype=np.int64),
+            }
+        )
+
+    parts = kd.groupby("_g").map_groups(count_bucket, batch_format="pandas")
+    tot = parts.sum(["n_edges", "n_recip"])  # bounded 2-scalar reduce
+    n_edges = int(tot["sum(n_edges)"] or 0)
+    n_recip = int(tot["sum(n_recip)"] or 0)
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype=np.int64),
+            "n_recip": pd.Series([n_recip], dtype=np.int64),
+            "recip_bp": pd.Series(
+                [10000 * n_recip // n_edges if n_edges else 0], dtype=np.int64
+            ),
+        }
+    )
+
+
+GRAPH_RECIPROCITY_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+r AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT COUNT(*) FROM e a JOIN e b
+            ON a.src = b.dst AND a.dst = b.src) AS n_recip
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_recip,
+       CAST(CASE WHEN n_edges > 0 THEN 10000 * n_recip // n_edges
+            ELSE 0 END AS BIGINT) AS recip_bp
+FROM r
+"""
+
+
+# ========================================================== k-core peel
+#
+# k-core decomposition (k=3) of the undirected link graph by iterative
+# peeling: drop degree-<3 nodes, delete their incident edges, repeat —
+# the graph-cleaning pass that strips crawl tendrils/leaf chains before
+# community or centrality analysis. Defined as KCORE_ROUNDS-round
+# peeling (the fixpoint is reached in 3 rounds here; the Ray side
+# early-exits on a no-removal round, which equals running all rounds —
+# converged SQL rounds are idempotent, so both sides agree under the
+# cap by construction).
+
+KCORE_K = 3
+KCORE_ROUNDS = 12
+_KCORE_NB = 64
+
+
+def q_kcore_peel(sf_dir: str):
+    """(doc_id, in_core): 1 iff the doc survives 3-core peeling of the
+    distinct undirected link graph (self-loops excluded; isolated docs
+    are 0).
+
+    Scale shape: the dedup_clusters Pregel structure — undirected edges
+    live bucketed by endpoint (both directions stored, so a node's
+    degree is bucket-LOCAL); each round's task applies incoming removal
+    notifications, recomputes resident degrees, peels, and emits
+    notifications keyed by the OTHER endpoint's bucket — one bucket
+    exchange per round, convergence read from a per-round notification
+    count scalar; membership output via the shared partitioned
+    anti-join. No edge list or node set ever reaches the driver."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "in_core": pd.Series([], dtype=np.int64),
+            }
+        )
+    empty_state = pd.DataFrame(
+        {
+            "kind": pd.Series([], dtype=np.int64),
+            "src": pd.Series([], dtype=np.int64),
+            "dst": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        # self-loops never contribute to a core
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+        ).drop_duplicates()
+        e.insert(0, "kind", np.int64(0))
+        e["b"] = e["src"].to_numpy(np.int64) % _KCORE_NB
+        return e
+
+    def peel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["kind"] == 0]
+        dead_in = set(g.loc[g["kind"] == 1, "dst"].tolist())
+        if dead_in:
+            ed = ed[~ed["dst"].isin(dead_in)]
+        # duplicate edges across rounds are impossible (distinct at
+        # build, filters only remove), so degree = row count per src
+        deg = ed.groupby("src")["dst"].size()
+        dead = set(deg[deg < KCORE_K].index)
+        if not dead:
+            return ed if not ed.empty else empty_state
+        dying = ed[ed["src"].isin(dead)]
+        keep = ed[~ed["src"].isin(dead)]
+        notif = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "src": np.int64(-1),
+                "dst": dying["src"].to_numpy(np.int64),
+                "b": dying["dst"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        ).drop_duplicates(["dst", "b"])
+        out = pd.concat([keep, notif], ignore_index=True)
+        return out if not out.empty else empty_state
+
+    from .pregel import pregel_loop
+
+    state = d.map_batches(edges, batch_format="pyarrow")
+    # notifications carry kind=1, so the output kind-sum IS the pending-
+    # removal count; the shared helper reads it from the exchange itself
+    state, _, n_notif = pregel_loop(
+        state, lambda i: peel_bucket, key="b", changed_col="kind",
+        max_iters=KCORE_ROUNDS,
+    )
+    if n_notif:
+        # the cap bound with removals still propagating: membership is
+        # NOT the fixpoint and the (same-depth) SQL oracle may disagree
+        # — make the divergence loud instead of silent (review finding)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kcore_peel: %d removal notifications still pending after %d "
+            "rounds — result is the capped peel, not the fixpoint",
+            int(n_notif),
+            KCORE_ROUNDS,
+        )
+    alive = state.map_batches(
+        lambda g: g.loc[g["kind"] == 0, ["src"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    dead_docs = partitioned_anti_join(d, alive, "doc_id", "src", "doc_id")
+
+    def tag(flag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            col = "src" if "src" in df.columns else "doc_id"
+            ids = (
+                df[col].to_numpy(np.int64)
+                if len(df)
+                else np.array([], dtype=np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.unique(ids),
+                    "in_core": np.full(
+                        len(np.unique(ids)), flag, dtype=np.int64
+                    ),
+                }
+            )
+
+        return fn
+
+    # alive sides: distinct per bucket already; global distinct via the
+    # same bucket co-location (src rows of one node live in one bucket)
+    return alive.map_batches(tag(1), batch_format="pandas").union(
+        dead_docs.map_batches(tag(0), batch_format="pandas")
+    )
+
+
+def _kcore_sql(rounds: int = KCORE_ROUNDS) -> str:
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e0 AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de)"""
+    ]
+    for r in range(rounds):
+        # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+        # references the previous one three times — unmaterialized, the
+        # plan (and parquet re-opens) grows 3^rounds
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, COUNT(*) AS c FROM e{r} GROUP BY 1) WHERE c < {KCORE_K}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  WHERE e.src NOT IN (SELECT src FROM x{r})
+    AND e.dst NOT IN (SELECT src FROM x{r})
+)"""
+        )
+    final = f"""
+SELECT d.doc_id AS doc_id,
+  CAST(CASE WHEN d.doc_id IN (SELECT src FROM e{rounds}) THEN 1 ELSE 0 END
+       AS BIGINT) AS in_core
+FROM documents d
+"""
+    return ",\n".join(parts) + final
+
+
+# ============================================== degree assortativity
+#
+# Degree-mixing coefficient of the link graph, integer-exact: Pearson r
+# over (deg_src, deg_dst) across all directed edges of the symmetrized
+# graph, emitted as the exact rational pieces (num, den_x, den_y) plus
+# r² in milli-bp — hub-to-hub vs hub-to-leaf mixing, the structural
+# signal separating link farms (assortative) from organic webs
+# (disassortative). No square root ever computed.
+
+
+def q_degree_assortativity(sf_dir: str):
+    """One row: (n_edges, num, den_x, den_y, sign, r2_mbp) with
+    num = n·Sxy − Sx·Sy etc. and r2_mbp = 10^6·num² // (den_x·den_y)
+    (int64 is ample at this scale; a 10^10-edge run promotes the six
+    sums to object dtype — they stay exact Python ints).
+
+    Scale shape: edges bucket-resident by src (both directions stored,
+    so degree is bucket-LOCAL); each bucket emits (node, deg) plus
+    (dst-bucketed) half-edges carrying deg_src; ONE second exchange on
+    the dst bucket attaches deg_dst from the co-resident degree rows;
+    per-task six-sum partials -> bounded reduce."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    empty = pd.DataFrame(
+        {
+            "n_edges": pd.Series([0], dtype=np.int64),
+            "num": pd.Series([0], dtype=np.int64),
+            "den_x": pd.Series([0], dtype=np.int64),
+            "den_y": pd.Series([0], dtype=np.int64),
+            "sign": pd.Series([0], dtype=np.int64),
+            "r2_mbp": pd.Series([0], dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype=np.int64),
+                "dst": pd.Series(dst, dtype=np.int64),
+            }
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+        ).drop_duplicates()
+        e["b"] = e["src"] % _KCORE_NB
+        return e
+
+    def stage_a(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        deg = g.groupby("src")["dst"].size()
+        # half-edges routed to the dst bucket, carrying deg_src
+        he = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": g["dst"].to_numpy(np.int64),
+                "other": g["src"].to_numpy(np.int64),
+                "deg": g["src"].map(deg).to_numpy(np.int64),
+                "b2": g["dst"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        dd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": deg.index.to_numpy(np.int64),
+                "other": np.int64(-1),
+                "deg": deg.to_numpy(np.int64),
+                "b2": deg.index.to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        return pd.concat([he, dd], ignore_index=True)
+
+    def stage_b(g: pd.DataFrame) -> pd.DataFrame:
+        degs = dict(
+            zip(g.loc[g["kind"] == 1, "node"], g.loc[g["kind"] == 1, "deg"])
+        )
+        he = g[g["kind"] == 0]
+        dx = he["deg"].to_numpy(np.int64)
+        dy = he["node"].map(degs).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(he)], dtype=np.int64),
+                "sx": pd.Series([int(dx.sum())], dtype=np.int64),
+                "sy": pd.Series([int(dy.sum())], dtype=np.int64),
+                "sxx": pd.Series([int((dx * dx).sum())], dtype=np.int64),
+                "syy": pd.Series([int((dy * dy).sum())], dtype=np.int64),
+                "sxy": pd.Series([int((dx * dy).sum())], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        d.map_batches(edges, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stage_a, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(stage_b, batch_format="pandas")
+    )
+    tot = parts.sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = int(tot["sum(n)"] or 0)
+    if n == 0:
+        return empty
+    sx, sy = int(tot["sum(sx)"]), int(tot["sum(sy)"])
+    sxx, syy, sxy = int(tot["sum(sxx)"]), int(tot["sum(syy)"]), int(tot["sum(sxy)"])
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    r2 = 1_000_000 * num * num // (den_x * den_y) if den_x and den_y else 0
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n], dtype=np.int64),
+            "num": pd.Series([num], dtype=np.int64),
+            "den_x": pd.Series([den_x], dtype=np.int64),
+            "den_y": pd.Series([den_y], dtype=np.int64),
+            "sign": pd.Series([int(np.sign(num))], dtype=np.int64),
+            "r2_mbp": pd.Series([r2], dtype=np.int64),
+        }
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH n0 AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n0
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+x AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(da.d) AS HUGEINT) AS sx, CAST(SUM(db.d) AS HUGEINT) AS sy,
+         CAST(SUM(da.d * da.d) AS HUGEINT) AS sxx,
+         CAST(SUM(db.d * db.d) AS HUGEINT) AS syy,
+         CAST(SUM(da.d * db.d) AS HUGEINT) AS sxy
+  FROM e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+  CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+            WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS sign,
+  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+       THEN 1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+       ELSE 0 END AS BIGINT) AS r2_mbp
+FROM x
+"""
+
+
+# =================================================== co-citation pairs
+#
+# Bipartite projection of the link graph: two pages are co-cited when
+# one source links to both; pairs with support >= 2 are the
+# "customers who bought X also bought Y" signal (collaborative
+# filtering / related-pages). Pair fan-out is bounded per source
+# (<= C(k,2), k <= 5 outlinks), so the projection never explodes.
+
+COCITE_MIN_SUPPORT = 2
+
+
+def q_cocitation_pairs(sf_dir: str):
+    """(dst_a, dst_b, n_common) for dst_a < dst_b with support >= 2.
+
+    Scale shape: per-source pair fan-out in the edge map (bounded by
+    the outlink cap) -> ONE coarse exchange on the unordered pair key
+    -> in-task count + support filter."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "dst_a": pd.Series([], dtype=np.int64),
+                "dst_b": pd.Series([], dtype=np.int64),
+                "n_common": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {"src": pd.Series(src, dtype=np.int64), "dst": pd.Series(dst, dtype=np.int64)}
+        ).drop_duplicates()
+        # per-source pair fan-out as a vectorized self-merge: the outlink
+        # cap (≤4 distinct dsts per src) bounds the blow-up at 6 pairs/src
+        m = e.merge(e, on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        out = m[["dst_a", "dst_b"]].reset_index(drop=True)
+        out["pair"] = out["dst_a"] * np.int64(n_docs) + out["dst_b"]
+        return out
+
+    kd = _with_coarse_group(d.map_batches(pairs, batch_format="pyarrow"), "pair")
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["dst_a", "dst_b"], as_index=False).size()
+        out.columns = ["dst_a", "dst_b", "n_common"]
+        out = out[out["n_common"] >= COCITE_MIN_SUPPORT]
+        return out.astype(np.int64)
+
+    return kd.groupby("_g").map_groups(count, batch_format="pandas")
+
+
+COCITATION_PAIRS_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+)
+SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+HAVING COUNT(*) >= {COCITE_MIN_SUPPORT}
+"""
+
+
