@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in WEBTEXT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CURATION_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in WEBCORPUS_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in SAMPLING_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -86,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -97,4 +100,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in WEBTEXT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CURATION_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in WEBCORPUS_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in SAMPLING_SQL_QUERIES.items()})
     return out

@@ -197,6 +197,7 @@ def bench_queries(sf_dir: str) -> dict:
     from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
 
     SQL_QUERIES = {
         **SQL_QUERIES,
@@ -209,6 +210,7 @@ def bench_queries(sf_dir: str) -> dict:
         **WEBTEXT_SQL_QUERIES,
         **CURATION_SQL_QUERIES,
         **WEBCORPUS_SQL_QUERIES,
+        **SAMPLING_SQL_QUERIES,
     }
 
     out = {}

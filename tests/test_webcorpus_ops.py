@@ -1133,6 +1133,10 @@ class TestLastBatchOracleParity:
         "kmv_error",
         "fairness_index",
         "product_quantize",
+        # round-4 sampling batch
+        "weighted_sample",
+        "winsorize",
+        "mad_outliers",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
