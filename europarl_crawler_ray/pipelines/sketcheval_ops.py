@@ -1446,3 +1446,229 @@ FROM c
 """
 
 
+
+
+# ======================================= matryoshka truncation recall
+
+MRL_K = 10
+MRL_QUERIES = 5
+MRL_TRUNC_DIM = 16
+
+
+def q_mrl_recall(sf_dir: str, k: int = MRL_K, n_queries: int = MRL_QUERIES,
+                 trunc: int = MRL_TRUNC_DIM):
+    """(query_id, n_match, recall_bp): recall@10 of TRUNCATED-dimension
+    exact search (first 16 of 64 dims — the Matryoshka/MRL serving
+    trade: 4x less vector memory and bandwidth) against full-dimension
+    exact search. The memory story PQ answers with codebooks, MRL
+    answers with prefix truncation; this evaluator quantifies what the
+    truncation costs on THIS corpus. Distances use the same
+    inner-product expansion as the oracle (_sq_l2_expansion).
+
+    Scale shape: queries broadcast once; per-batch top-k per
+    (query, view) -> grouping.global_prune distributed combine -> the
+    driver sees ≤ queries x 2 x k rows independent of block count."""
+    from .grouping import global_prune
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "n_match": pd.Series([], dtype=np.int64),
+            "recall_bp": pd.Series([], dtype=np.int64),
+        }
+    )
+    qdf = (
+        emb.filter(lambda r: r["vec_id"] < n_queries)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if qdf.empty:
+        return empty
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    bc = ray.put((qmat, qids))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=object),
+                    "dist": pd.Series([], dtype=np.float64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                }
+            )
+        qm, qi = ray.get(bc)
+        if "embedding" in df.columns:  # first pass: raw embedding rows
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            vids = df["vec_id"].to_numpy(np.int64)
+            full = _sq_l2_expansion(qm, mat)
+            tr = _sq_l2_expansion(qm[:, :trunc], mat[:, :trunc])
+            rows = []
+            for qx in range(len(qi)):
+                mask = vids != qi[qx]  # self excluded
+                for kind, dist in (("full", full[qx]), ("trunc", tr[qx])):
+                    d_, v = dist[mask], vids[mask]
+                    o = np.lexsort((v, d_))[:k]
+                    for j in o:
+                        rows.append((int(qi[qx]), kind, float(d_[j]), int(v[j])))
+            return pd.DataFrame(
+                rows, columns=["query_id", "kind", "dist", "vec_id"]
+            )
+        # combine pass: re-prune already-scored candidate rows per group
+        out = (
+            df.sort_values(["dist", "vec_id"], kind="mergesort")
+            .groupby(["query_id", "kind"], as_index=False, sort=False)
+            .head(k)
+        )
+        return out[["query_id", "kind", "dist", "vec_id"]]
+
+    parts = global_prune(emb, prune, batch_format="pandas")
+    if parts.empty:
+        return empty
+    out_q, out_m = [], []
+    for qid in sorted(parts["query_id"].unique()):
+        sub = parts[parts["query_id"] == qid]
+        tops = {
+            kind: set(
+                sub[sub["kind"] == kind]
+                .sort_values(["dist", "vec_id"], kind="mergesort")["vec_id"]
+                .head(k)
+            )
+            for kind in ("full", "trunc")
+        }
+        out_q.append(int(qid))
+        out_m.append(len(tops["full"] & tops["trunc"]))
+    m = np.array(out_m, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype=np.int64),
+            "n_match": m,
+            "recall_bp": 10000 * m // k,
+        }
+    )
+
+
+def _mrl_recall_sql(k: int = MRL_K, n_queries: int = MRL_QUERIES,
+                    trunc: int = MRL_TRUNC_DIM) -> str:
+    def dist(qe: str, de: str) -> str:
+        return (
+            f"list_inner_product({qe}, {qe}) - 2 * list_inner_product({qe}, {de})"
+            f" + list_inner_product({de}, {de})"
+        )
+
+    qt, dt = f"q.e[1:{trunc}]", f"d.e[1:{trunc}]"
+    return f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e FROM d WHERE vec_id < {n_queries}),
+full_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, d.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY {dist("q.e", "d.e")} ASC, d.vec_id ASC) AS rn
+    FROM q JOIN d ON d.vec_id <> q.query_id) WHERE rn <= {k}),
+tr_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, d.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY {dist(qt, dt)} ASC, d.vec_id ASC) AS rn
+    FROM q JOIN d ON d.vec_id <> q.query_id) WHERE rn <= {k})
+SELECT f.query_id,
+  CAST(COUNT(t.vec_id) AS BIGINT) AS n_match,
+  CAST(10000 * COUNT(t.vec_id) // {k} AS BIGINT) AS recall_bp
+FROM full_top f
+LEFT JOIN tr_top t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY 1
+"""
+
+
+# ============================================ vocabulary drift (df halves)
+
+VOCAB_DRIFT_MIN_DF = 5
+
+
+def q_vocab_drift(sf_dir: str, min_df: int = VOCAB_DRIFT_MIN_DF):
+    """(token, df_a, df_b, drift): document frequency of each token in
+    the even-doc_id half vs the odd half of the corpus; drift = 1 when
+    the larger side more than doubles the smaller (2*min < max, exact
+    integers) — the train/serve distribution-shift check run before
+    reusing a tokenizer or filter list on a new crawl. Only tokens with
+    df_a + df_b >= min_df (noise floor).
+
+    Scale shape: per-batch per-doc token dedup -> (token, half) partial
+    counts -> ONE coarse-hash exchange on token -> in-task sum +
+    threshold. Token cardinality never reaches the driver."""
+    from .grouping import with_coarse_group as _wcg
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    import re as _re
+
+    # the repo's canonical whitespace tokenizer — EXACTLY the oracle's
+    # regexp class (str.split also splits on \v / unicode spaces and
+    # would silently diverge)
+    tok_re = _re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks, halves = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            words = set(tok_re.findall((txt or "").lower()))
+            toks.extend(words)
+            halves.extend([int(did) % 2] * len(words))
+        if not toks:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "half": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            pd.DataFrame({"token": toks, "half": halves})
+            .groupby(["token", "half"], as_index=False)
+            .size()
+        )
+        g.columns = ["token", "half", "n"]
+        return g.astype({"half": np.int64, "n": np.int64})
+
+    def drift(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["token", "half"], as_index=False)["n"].sum()
+        p = s.pivot_table(index="token", columns="half", values="n",
+                          aggfunc="sum", fill_value=0)
+        df_a = p[0].to_numpy(np.int64) if 0 in p.columns else np.zeros(len(p), np.int64)
+        df_b = p[1].to_numpy(np.int64) if 1 in p.columns else np.zeros(len(p), np.int64)
+        keep = (df_a + df_b) >= min_df
+        lo = np.minimum(df_a, df_b)[keep]
+        hi = np.maximum(df_a, df_b)[keep]
+        return pd.DataFrame(
+            {
+                "token": p.index.to_numpy()[keep],
+                "df_a": df_a[keep],
+                "df_b": df_b[keep],
+                "drift": (2 * lo < hi).astype(np.int64),
+            }
+        )
+
+    kd = _wcg(d.map_batches(partial, batch_format="pandas"), "token")
+    return kd.groupby("_g").map_groups(
+        lambda g: drift(g.drop(columns=["_g"])), batch_format="pandas"
+    )
+
+
+def _vocab_drift_sql(min_df: int = VOCAB_DRIFT_MIN_DF) -> str:
+    return f"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS df_a,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS df_b
+  FROM t GROUP BY token)
+SELECT token, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+  CAST(CASE WHEN 2 * LEAST(df_a, df_b) < GREATEST(df_a, df_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS drift
+FROM c WHERE df_a + df_b >= {min_df}
+"""

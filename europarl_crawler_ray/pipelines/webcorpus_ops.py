@@ -53,6 +53,14 @@ from .webgraph_ops import (  # noqa: F401
 )
 
 from .sketcheval_ops import (  # noqa: F401
+    MRL_K,
+    MRL_QUERIES,
+    MRL_TRUNC_DIM,
+    VOCAB_DRIFT_MIN_DF,
+    q_mrl_recall,
+    _mrl_recall_sql,
+    q_vocab_drift,
+    _vocab_drift_sql,
     _read,
     q_quantile_map,
     QUANTILE_MAP_SQL,
@@ -1901,6 +1909,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "top_decile_share": (q_top_decile_share, TOP_DECILE_SHARE_SQL),
     "infer_types": (q_infer_types, INFER_TYPES_SQL),
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
+    "mrl_recall": (q_mrl_recall, _mrl_recall_sql()),
+    "vocab_drift": (q_vocab_drift, _vocab_drift_sql()),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),

@@ -1137,6 +1137,8 @@ class TestLastBatchOracleParity:
         "weighted_sample",
         "winsorize",
         "mad_outliers",
+        "mrl_recall",
+        "vocab_drift",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):

@@ -161,3 +161,29 @@ def test_sampling_ops_collects_are_bounded(ray_session, sf_dir, monkeypatch):
     q_mad_outliers(sf_dir)
     assert collected == [n_hist_doc], collected
     monkeypatch.undo()
+
+
+def test_mrl_recall_collects_are_block_count_independent(
+    ray_session, sf_dir, monkeypatch
+):
+    """mrl_recall's candidate reduce goes through global_prune: the
+    driver sees the n_queries-bounded query frame plus <= queries x 2
+    views x k candidate rows, never k x n_blocks."""
+    import duckdb
+
+    from europarl_crawler_ray.pipelines.sketcheval_ops import (
+        MRL_K,
+        MRL_QUERIES,
+        q_mrl_recall,
+    )
+
+    con = duckdb.connect()
+    n_q = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < {MRL_QUERIES}"
+    ).fetchone()[0]
+    collected = _spy_collects(monkeypatch)
+    q_mrl_recall(sf_dir)
+    assert len(collected) == 2
+    assert collected[0] == n_q
+    assert collected[1] <= n_q * 2 * MRL_K
+    monkeypatch.undo()
