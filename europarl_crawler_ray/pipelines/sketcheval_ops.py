@@ -1478,13 +1478,10 @@ def q_mrl_recall(sf_dir: str, k: int = MRL_K, n_queries: int = MRL_QUERIES,
             "recall_bp": pd.Series([], dtype=np.int64),
         }
     )
-    qdf = (
-        emb.filter(lambda r: r["vec_id"] < n_queries)
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    if qdf.empty:
+    qdf = emb.filter(lambda r: r["vec_id"] < n_queries).to_pandas()
+    if qdf.empty:  # Ray's empty to_pandas() carries no columns
         return empty
+    qdf = qdf.sort_values("vec_id")
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qids = qdf["vec_id"].to_numpy(np.int64)
     bc = ray.put((qmat, qids))

@@ -1885,6 +1885,190 @@ FROM isl GROUP BY user_id
 """
 
 
+# ===================================================== sentence stats
+#
+# Punctuation-rule sentence segmentation — the doc-shape feature the
+# quality filters (Gopher "mean words per sentence") key on. The rule is
+# the count of sentence-ending punctuation RUNS ([.!?]+), identical
+# regex class on both engines, so every output is exact int64.
+
+
+def q_sentence_stats(sf_dir: str):
+    """(doc_id, n_sent, n_tokens, toks_per_sent): sentence count =
+    number of [.!?]+ runs, token count = whitespace tokens,
+    toks_per_sent = integer division with a zero guard (0 when a doc has
+    no sentence-ending punctuation).
+
+    Scale shape: pure per-batch vectorized map (pandas str.count on
+    compiled regexes) — no shuffle, no state."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        n_sent = txt.str.count(r"[.!?]+").to_numpy(np.int64)
+        n_tok = txt.str.count(r"[^ \t\n\r\f]+").to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_sent": n_sent,
+                "n_tokens": n_tok,
+                "toks_per_sent": np.where(n_sent > 0, n_tok // np.maximum(n_sent, 1), 0),
+            }
+        )
+
+    return d.map_batches(stats, batch_format="pandas")
+
+
+SENTENCE_STATS_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent,
+  CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN len(regexp_extract_all(text, '[.!?]+')) > 0
+       THEN len(regexp_extract_all(text, '[^ \t\n\r\f]+'))
+            // len(regexp_extract_all(text, '[.!?]+'))
+       ELSE 0 END AS BIGINT) AS toks_per_sent
+FROM documents
+"""
+
+
+# ================================================ cross-language links
+#
+# Language mismatch across the internal link graph — the signal a
+# multilingual crawler uses to find translation hubs (and a worked
+# example of attaching a NODE attribute to BOTH endpoints of a
+# data-scaled edge set: two bucket exchanges, no broadcast of anything
+# data-scaled, the partitioned-join shape applied to graph edges).
+
+_XLANG_NB = 64
+
+
+def q_crosslang_links(sf_dir: str):
+    """(lang_src, lang_dst, n_edges): distinct-edge counts per language
+    pair over the internal link graph (self-loops excluded).
+
+    Scale shape: edges + (doc_id, lang) rows bucket-exchange on the DST
+    id to attach lang_dst in-task; the half-edges re-key by SRC id and a
+    second exchange attaches lang_src the same way; the final groupby is
+    bounded by |langs|² — never a data-scaled driver collect or
+    broadcast."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pd.DataFrame(
+        {
+            "lang_src": pd.Series([], dtype=object),
+            "lang_dst": pd.Series([], dtype=object),
+            "n_edges": pd.Series([], dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    mask = _XLANG_NB - 1
+
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(len(e), np.int8),
+                "src": e["src"].to_numpy(np.int64),
+                "dst": e["dst"].to_numpy(np.int64),
+                "lang": pd.Series([""] * len(e), dtype=object),
+                "b": (e["dst"].to_numpy(np.int64) & mask).astype(np.int32),
+            }
+        )
+
+    def lang_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "kind": np.ones(len(ids), np.int8),
+                "src": np.full(len(ids), -1, np.int64),
+                "dst": ids,
+                "lang": pd.Series(t.column("lang").to_pylist(), dtype=object),
+                "b": (ids & mask).astype(np.int32),
+            }
+        )
+
+    def attach_dst(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        langs = g.loc[g["kind"] == 1, ["dst", "lang"]].rename(
+            columns={"dst": "node", "lang": "lang_dst"}
+        )
+        m = e.merge(langs, left_on="dst", right_on="node", how="inner")
+        # re-key the half-edges by SRC for the second attach; lang rows
+        # re-emit keyed by their own id so every bucket keeps its roster
+        out_e = pd.DataFrame(
+            {
+                "kind": np.zeros(len(m), np.int8),
+                "src": m["src"].to_numpy(np.int64),
+                "dst": m["dst"].to_numpy(np.int64),
+                "lang": m["lang_dst"].astype(object),
+                "b": (m["src"].to_numpy(np.int64) & mask).astype(np.int32),
+            }
+        )
+        roster = g[g["kind"] == 1]
+        return pd.concat([out_e, roster], ignore_index=True)
+
+    def attach_src(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        langs = g.loc[g["kind"] == 1, ["dst", "lang"]].rename(
+            columns={"dst": "node", "lang": "lang_src"}
+        )
+        m = e.merge(langs, left_on="src", right_on="node", how="inner")
+        out = m.groupby([m["lang_src"], m["lang"]], as_index=False).size()
+        out.columns = ["lang_src", "lang_dst", "n"]
+        return out
+
+    stream = d.map_batches(edge_rows, batch_format="pyarrow").union(
+        d.map_batches(lang_rows, batch_format="pyarrow")
+    )
+    parts = (
+        stream.groupby("b")
+        .map_groups(attach_dst, batch_format="pandas")
+        .groupby("b")
+        .map_groups(attach_src, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang_src", "lang_dst"], as_index=False)["n"].sum()
+        out.columns = ["lang_src", "lang_dst", "n_edges"]
+        return out.astype({"n_edges": np.int64})
+
+    # final reduce bounded by |langs|^2 — one coarse group
+    return (
+        parts.map_batches(
+            lambda df: df.assign(_g=np.int64(0)), batch_format="pandas"
+        )
+        .groupby("_g")
+        .map_groups(lambda g: merge(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+
+
+CROSSLANG_LINKS_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id)
+SELECT a.lang AS lang_src, b.lang AS lang_dst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e
+JOIN documents a ON a.doc_id = e.src
+JOIN documents b ON b.doc_id = e.dst
+GROUP BY 1, 2
+"""
+
+
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
@@ -1911,6 +2095,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "mrl_recall": (q_mrl_recall, _mrl_recall_sql()),
     "vocab_drift": (q_vocab_drift, _vocab_drift_sql()),
+    "sentence_stats": (q_sentence_stats, SENTENCE_STATS_SQL),
+    "crosslang_links": (q_crosslang_links, CROSSLANG_LINKS_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),

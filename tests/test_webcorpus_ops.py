@@ -1139,6 +1139,8 @@ class TestLastBatchOracleParity:
         "mad_outliers",
         "mrl_recall",
         "vocab_drift",
+        "sentence_stats",
+        "crosslang_links",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
