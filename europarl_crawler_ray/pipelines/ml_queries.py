@@ -638,101 +638,92 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
     cap_max = int(edges.max("n_capped") or 0)
 
-    # ---- Pregel-style single-exchange rounds (same restructure that made
-    # pagerank 2.6x faster): a node's label lives in the SAME bucket as
-    # its out-edges (bucket = u & mask), so one groupby per round both
-    # applies incoming min-proposals and emits next-round messages keyed
-    # by the neighbour's bucket. Delta propagation: only nodes whose
-    # label CHANGED this round re-send (a stable label was already
-    # delivered in an earlier round), so message volume decays with
-    # convergence. The naive two-exchange round (label+edge join, then
-    # re-key proposals by dst) was measured ~1.9x slower at bench scale.
+    # ---- Actor-resident Pregel rounds: a node's label lives in the SAME
+    # actor as its out-edges (bucket = u & mask → actor = bucket %
+    # n_actors), the edge set loads ONCE and never re-shuffles, and per
+    # round only min-label proposals cross the wire. Delta propagation:
+    # only nodes whose label CHANGED this round re-send (a stable label
+    # was already delivered in an earlier round), so message volume
+    # decays with convergence. Replaces the Dataset groupby round that
+    # re-exchanged edges+labels every round (~1-2 s/round fixed cost).
     mask = n_buckets - 1
 
-    def _stream(n1, n2, label, kind, changed, bucket=None) -> pa.Table:
-        n1 = np.asarray(n1, dtype=np.int64)
-        return pa.table(
+    def seed(t: pa.Table) -> pd.DataFrame:
+        u = t.column("u").to_numpy().astype(np.int64)
+        v = t.column("v").to_numpy().astype(np.int64)
+        return pd.DataFrame(
             {
-                "n1": pa.array(n1),
-                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
-                "label": pa.array(np.asarray(label, dtype=np.int64)),
-                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
-                "changed": pa.array(np.asarray(changed, dtype=np.int8)),
-                "bucket": pa.array(
-                    (n1 & mask if bucket is None else np.asarray(bucket)).astype(
-                        np.int32
-                    )
-                ),
+                "kind": np.zeros(u.size, np.int8),  # 0 = edge
+                "n1": u,
+                "n2": v,
+                "label": np.full(u.size, -1, np.int64),
+                "b": (u & mask).astype(np.int64),
             }
         )
 
-    def seed(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy().astype(np.int64)
-        v = t.column("v").to_numpy().astype(np.int64)
-        return _stream(u, v, np.full(u.size, -1), np.zeros(u.size, np.int8),
-                       np.zeros(u.size, np.int8))
-
-    def make_step(first: bool):
-        def step(g: pd.DataFrame) -> pa.Table:
-            e = g.loc[g["kind"] == 0, ["n1", "n2"]]
-            if first:
-                nodes = np.unique(e["n1"].to_numpy().astype(np.int64))
-                new = pd.DataFrame({"node": nodes, "label": nodes})
-                changed = np.ones(len(new), dtype=np.int8)
-                senders = new
-            else:
-                old = g.loc[g["kind"] == 1, ["n1", "label"]].rename(
-                    columns={"n1": "node"}
-                )
-                props = g.loc[g["kind"] == 2, ["n1", "label"]].rename(
-                    columns={"n1": "node"}
-                )
-                new = (
-                    pd.concat([old, props])
-                    .groupby("node", as_index=False)["label"]
-                    .min()
-                )
-                m = new.merge(
-                    old.rename(columns={"label": "old"}), on="node", how="left"
-                )
-                changed = (m["label"] != m["old"]).to_numpy().astype(np.int8)
-                senders = m.loc[changed == 1, ["node", "label"]]
-            sm = e.merge(
-                senders.rename(columns={"node": "n1"}), on="n1", how="inner"
+    def cluster_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        e = state.loc[state["kind"] == 0, ["n1", "n2", "b"]]
+        if round_i == 0:
+            nodes = np.unique(e["n1"].to_numpy())
+            new = pd.DataFrame({"node": nodes, "label": nodes})
+            senders = new
+            n_changed = len(new)  # every node newly labelled
+        else:
+            old = state.loc[state["kind"] == 1, ["n1", "label"]].rename(
+                columns={"n1": "node"}
             )
-            node = new["node"].to_numpy().astype(np.int64)
-            dst = sm["n2"].to_numpy().astype(np.int64)
-            parts = [
-                _stream(  # edges stay resident in their home bucket
-                    e["n1"].to_numpy(), e["n2"].to_numpy(),
-                    np.full(len(e), -1), np.zeros(len(e), np.int8),
-                    np.zeros(len(e), np.int8),
-                ),
-                _stream(  # labels (the per-round state) + changed flag
-                    node, np.full(node.size, -1),
-                    new["label"].to_numpy(), np.ones(node.size, np.int8), changed,
-                ),
-                _stream(  # min-label proposals to neighbours
-                    dst, np.full(dst.size, -1),
-                    sm["label"].to_numpy(), np.full(dst.size, 2, np.int8),
-                    np.zeros(dst.size, np.int8),
-                ),
-            ]
-            return pa.concat_tables(parts)
+            props = (
+                msgs[["node", "label"]]
+                if msgs is not None and len(msgs)
+                else pd.DataFrame({"node": [], "label": []})
+            )
+            new = (
+                pd.concat([old, props])
+                .groupby("node", as_index=False)["label"]
+                .min()
+            )
+            m = new.merge(
+                old.rename(columns={"label": "old"}), on="node", how="left"
+            )
+            changed = (m["label"] != m["old"]).to_numpy()
+            senders = m.loc[changed, ["node", "label"]]
+            n_changed = int(changed.sum())
+        sm = e.merge(
+            senders.rename(columns={"node": "n1"}), on="n1", how="inner"
+        )
+        out_msgs = (
+            pd.DataFrame(
+                {
+                    "b": (sm["n2"].to_numpy(np.int64) & mask),
+                    "node": sm["n2"].to_numpy(np.int64),
+                    "label": sm["label"].to_numpy(np.int64),
+                }
+            )
+            if len(sm)
+            else None
+        )
+        labels = pd.DataFrame(
+            {
+                "kind": np.ones(len(new), np.int8),
+                "n1": new["node"].to_numpy(np.int64),
+                "n2": np.full(len(new), -1, np.int64),
+                "label": new["label"].to_numpy(np.int64),
+                "b": (new["node"].to_numpy(np.int64) & mask),
+            }
+        )
+        e_rows = state.loc[state["kind"] == 0]
+        return pd.concat([e_rows, labels], ignore_index=True), out_msgs, n_changed
 
-        return step
+    from .pregel import pregel_actor_loop
 
-    from .pregel import pregel_loop
-
-    stream = edges.map_batches(seed, batch_format="pyarrow")
     # round 0 reports every node as changed, so a zero count can only
-    # mean an empty graph — either way the fixed point is reached; the
-    # convergence scalar rides out of the exchange via the shared helper
-    # (no per-round ds.sum pass)
-    stream, converged, _ = pregel_loop(
-        stream,
-        lambda i: make_step(i == 0),
-        changed_col="changed",
+    # mean an empty graph — either way the fixed point is reached
+    state_ds, converged, _ = pregel_actor_loop(
+        edges.map_batches(seed, batch_format="pyarrow"),
+        cluster_step,
+        key="b",
         max_iters=max_iters,
     )
     if not converged:
@@ -749,18 +740,28 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
         )
 
     def extract(t: pa.Table) -> pa.Table:
-        lab = t.filter(pc.equal(t.column("kind"), 1))
+        lab = t.filter(pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8())))
         return pa.table(
             {
-                "doc_id": lab.column("n1"),
-                "cluster_id": lab.column("label"),
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "cluster_id": pc.cast(lab.column("label"), pa.int64()),
                 "n_capped": pa.array(
                     np.full(lab.num_rows, cap_max, dtype=np.int64)
                 ),
             }
         )
 
-    return stream.map_batches(extract, batch_format="pyarrow")
+    if state_ds is None:  # no candidate pairs at all
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "n_capped": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return state_ds.map_batches(extract, batch_format="pyarrow")
 
 def _dedup_clusters_sql(min_agree: int = 26) -> str:
     """Recursive-CTE reachability oracle over the same candidate pairs."""

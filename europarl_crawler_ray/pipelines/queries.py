@@ -2719,96 +2719,114 @@ def q_link_depth(sf_dir: str, n_buckets: int = 64, max_depth: int = LD_MAX_DEPTH
         )
     d = _read(sf_dir, "documents", columns=["doc_id"])
 
-    # unified stream schema: kind 0 = edge (n1=src, n2=dst), kind 1 =
-    # node state (n1=node, depth=-1 unsettled), kind 2 = depth proposal
-    # (n1=target node). newly marks this-wave settlements (the
-    # convergence scalar); bucket keys the exchange.
-    def _stream(n1, n2, depth, kind, newly) -> pa.Table:
-        n1 = np.asarray(n1, dtype=np.int64)
-        return pa.table(
-            {
-                "n1": pa.array(n1),
-                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
-                "depth": pa.array(np.asarray(depth, dtype=np.int64)),
-                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
-                "newly": pa.array(np.asarray(newly, dtype=np.int8)),
-                "bucket": pa.array((n1 & mask).astype(np.int32)),
-            }
-        )
-
-    def seed_rows(t: pa.Table) -> pa.Table:
+    # actor-resident schema: kind 0 = edge (n1=src, n2=dst), kind 1 =
+    # node state (n1=node, depth=-1 unsettled, seeds start at 0); both
+    # live in the actor owning n1's bucket, so a wave's settle + fan-out
+    # is local and only depth proposals (b, node, depth) cross the wire.
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
         ids_np = t.column("doc_id").to_numpy().astype(np.int64)
         src, dst = internal_edges_np(ids_np, n_docs)  # vectorized edge walk
-        # wave-1 proposals: seeds reach their targets at depth 1
-        prop_dst = dst[src % LD_SEED_MOD == 0]
         is_seed = ids_np % LD_SEED_MOD == 0
-        n_e, n_p = len(src), len(prop_dst)
-        return pa.concat_tables(
-            [
-                _stream(src, dst, np.full(n_e, -1), np.zeros(n_e, np.int8),
-                        np.zeros(n_e, np.int8)),
-                _stream(ids_np, np.full(len(ids_np), -1),
-                        np.where(is_seed, 0, -1).astype(np.int64),
-                        np.ones(len(ids_np), np.int8),
-                        is_seed.astype(np.int8)),
-                _stream(prop_dst, np.full(n_p, -1), np.ones(n_p, np.int64),
-                        np.full(n_p, 2, np.int8), np.zeros(n_p, np.int8)),
-            ]
+        e = pd.DataFrame(
+            {
+                "kind": np.zeros(len(src), np.int8),
+                "n1": src,
+                "n2": dst,
+                "depth": np.full(len(src), -1, np.int64),
+                "b": (src & mask),
+            }
         )
+        st = pd.DataFrame(
+            {
+                "kind": np.ones(len(ids_np), np.int8),
+                "n1": ids_np,
+                "n2": np.full(len(ids_np), -1, np.int64),
+                "depth": np.where(is_seed, 0, -1).astype(np.int64),
+                "b": (ids_np & mask),
+            }
+        )
+        return pd.concat([e, st], ignore_index=True)
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = g["bucket"].to_numpy()
-        e = g[g["kind"] == 0]
-        st = g[g["kind"] == 1]
-        props = g[g["kind"] == 2]
-        # settle: unsettled nodes that received >=1 proposal take the MIN
-        best = (
-            props.groupby("n1")["depth"].min().rename("prop")
-            if len(props)
-            else pd.Series(dtype=np.int64, name="prop")
-        )
-        st2 = st.merge(best, left_on="n1", right_index=True, how="left")
-        unsettled = st2["depth"].to_numpy() < 0
-        has_prop = st2["prop"].notna().to_numpy()
-        settle = unsettled & has_prop
-        depth = st2["depth"].to_numpy().copy()
-        depth[settle] = st2["prop"].to_numpy()[settle]
-        newly = settle.astype(np.int8)
-        # emit: resident edges, updated states, and depth+1 proposals
-        # from newly settled nodes (pruned at max_depth)
+    def depth_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        e = state[state["kind"] == 0]
+        st = state[state["kind"] == 1]
+        if round_i == 0:
+            # wave 0: seeds are already settled at depth 0 — fan out
+            depth = st["depth"].to_numpy().copy()
+            settle = depth == 0
+            n_changed = int(settle.sum())
+            st2 = st
+        else:
+            best = (
+                msgs.groupby("node")["depth"].min().rename("prop")
+                if msgs is not None and len(msgs)
+                else pd.Series(dtype=np.int64, name="prop")
+            )
+            st2 = st.merge(best, left_on="n1", right_index=True, how="left")
+            unsettled = st2["depth"].to_numpy() < 0
+            has_prop = st2["prop"].notna().to_numpy()
+            settle = unsettled & has_prop
+            depth = st2["depth"].to_numpy().copy()
+            depth[settle] = st2["prop"].to_numpy()[settle]
+            n_changed = int(settle.sum())
         senders = st2.loc[settle & (depth <= max_depth - 1), ["n1"]].assign(
             d=depth[settle & (depth <= max_depth - 1)]
         )
         sm = e.merge(senders.rename(columns={"n1": "src"}), left_on="n1",
                      right_on="src", how="inner")
-        parts = [
-            _stream(e["n1"].to_numpy(), e["n2"].to_numpy(),
-                    np.full(len(e), -1), np.zeros(len(e), np.int8),
-                    np.zeros(len(e), np.int8)),
-            _stream(st2["n1"].to_numpy(), np.full(len(st2), -1), depth,
-                    np.ones(len(st2), np.int8), newly),
-            _stream(sm["n2"].to_numpy(), np.full(len(sm), -1),
-                    sm["d"].to_numpy() + 1, np.full(len(sm), 2, np.int8),
-                    np.zeros(len(sm), np.int8)),
-        ]
-        out = pa.concat_tables(parts).to_pandas()
-        del bucket
-        return out
+        out_msgs = (
+            pd.DataFrame(
+                {
+                    "b": (sm["n2"].to_numpy(np.int64) & mask),
+                    "node": sm["n2"].to_numpy(np.int64),
+                    "depth": sm["d"].to_numpy(np.int64) + 1,
+                }
+            )
+            if len(sm)
+            else None
+        )
+        new_st = pd.DataFrame(
+            {
+                "kind": np.ones(len(st2), np.int8),
+                "n1": st2["n1"].to_numpy(np.int64),
+                "n2": np.full(len(st2), -1, np.int64),
+                "depth": depth,
+                "b": st2["b"].to_numpy(np.int64),
+            }
+        )
+        return pd.concat([e, new_st], ignore_index=True), out_msgs, n_changed
 
-    from .pregel import pregel_loop
+    from .pregel import pregel_actor_loop
 
-    stream = d.map_batches(seed_rows, batch_format="pyarrow")
-    # bounded by max_depth+1 rounds by construction (BFS wave = depth),
-    # so exhaustion is the normal deep-graph stop, not a failure
-    stream, _, _ = pregel_loop(
-        stream, lambda i: step, changed_col="newly", max_iters=max_depth + 1
+    # bounded by max_depth+1 waves by construction (wave m consumes the
+    # depth-m proposals), so exhaustion is the normal deep-graph stop
+    state_ds, _, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        depth_step,
+        key="b",
+        max_iters=max_depth + 1,
     )
 
     def extract(t: pa.Table) -> pa.Table:
-        lab = t.filter(pc.equal(t.column("kind"), 1))
-        return pa.table({"doc_id": lab.column("n1"), "depth": lab.column("depth")})
+        lab = t.filter(
+            pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8()))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "depth": pc.cast(lab.column("depth"), pa.int64()),
+            }
+        )
 
-    return stream.map_batches(extract, batch_format="pyarrow")
+    if state_ds is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
+            )
+        )
+    return state_ds.map_batches(extract, batch_format="pyarrow")
 
 
 def _link_depth_sql() -> str:

@@ -168,15 +168,6 @@ def q_kcore_peel(sf_dir: str):
                 "in_core": pd.Series([], dtype=np.int64),
             }
         )
-    empty_state = pd.DataFrame(
-        {
-            "kind": pd.Series([], dtype=np.int64),
-            "src": pd.Series([], dtype=np.int64),
-            "dst": pd.Series([], dtype=np.int64),
-            "b": pd.Series([], dtype=np.int64),
-        }
-    )
-
     def edges(t: pa.Table) -> pd.DataFrame:
         # self-loops never contribute to a core
         src, dst = internal_edges_np(
@@ -191,42 +182,43 @@ def q_kcore_peel(sf_dir: str):
         e = pd.concat(
             [e, e.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
         ).drop_duplicates()
-        e.insert(0, "kind", np.int64(0))
         e["b"] = e["src"].to_numpy(np.int64) % _KCORE_NB
         return e
 
-    def peel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ed = g[g["kind"] == 0]
-        dead_in = set(g.loc[g["kind"] == 1, "dst"].tolist())
-        if dead_in:
-            ed = ed[~ed["dst"].isin(dead_in)]
+    def kcore_step(actor_id, n_actors, state, msgs, round_i):
+        """Actor-resident peel round: apply incoming removal
+        notifications (columns b=target bucket, node=dead id), recompute
+        resident degrees, peel, notify the other endpoints' buckets.
+        Edges stay put — only notifications cross the wire."""
+        if state is None or not len(state):
+            return state, None, 0
+        ed = state
+        if msgs is not None and len(msgs):
+            ed = ed[~ed["dst"].isin(set(msgs["node"].tolist()))]
         # duplicate edges across rounds are impossible (distinct at
         # build, filters only remove), so degree = row count per src
         deg = ed.groupby("src")["dst"].size()
         dead = set(deg[deg < KCORE_K].index)
         if not dead:
-            return ed if not ed.empty else empty_state
+            return ed, None, 0
         dying = ed[ed["src"].isin(dead)]
         keep = ed[~ed["src"].isin(dead)]
         notif = pd.DataFrame(
             {
-                "kind": np.int64(1),
-                "src": np.int64(-1),
-                "dst": dying["src"].to_numpy(np.int64),
                 "b": dying["dst"].to_numpy(np.int64) % _KCORE_NB,
+                "node": dying["src"].to_numpy(np.int64),
             }
-        ).drop_duplicates(["dst", "b"])
-        out = pd.concat([keep, notif], ignore_index=True)
-        return out if not out.empty else empty_state
+        ).drop_duplicates()
+        return keep, notif, len(notif)
 
-    from .pregel import pregel_loop
+    from .pregel import pregel_actor_loop
 
-    state = d.map_batches(edges, batch_format="pyarrow")
-    # notifications carry kind=1, so the output kind-sum IS the pending-
-    # removal count; the shared helper reads it from the exchange itself
-    state, _, n_notif = pregel_loop(
-        state, lambda i: peel_bucket, key="b", changed_col="kind",
-        max_iters=KCORE_ROUNDS,
+    seed = d.map_batches(edges, batch_format="pyarrow")
+    # actor-resident rounds: the edge set loads once and never
+    # re-shuffles; each round exchanges only the removal notifications
+    # and the convergence scalar is the per-round notification count
+    state_ds, _, n_notif = pregel_actor_loop(
+        seed, kcore_step, key="b", max_iters=KCORE_ROUNDS
     )
     if n_notif:
         # the cap bound with removals still propagating: membership is
@@ -240,10 +232,14 @@ def q_kcore_peel(sf_dir: str):
             int(n_notif),
             KCORE_ROUNDS,
         )
-    alive = state.map_batches(
-        lambda g: g.loc[g["kind"] == 0, ["src"]].drop_duplicates(),
-        batch_format="pandas",
-    )
+    if state_ds is None:  # every edge peeled away (or none existed)
+        alive = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64())})
+        )
+    else:
+        alive = state_ds.map_batches(
+            lambda g: g[["src"]].drop_duplicates(), batch_format="pandas"
+        )
     dead_docs = partitioned_anti_join(d, alive, "doc_id", "src", "doc_id")
 
     def tag(flag: int):

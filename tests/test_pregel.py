@@ -68,3 +68,59 @@ def test_dedup_clusters_warns_when_rounds_exhausted(ray_session, sf_dir, caplog)
         n = res.count() if hasattr(res, "count") else len(res)
     assert n >= 0
     assert any("did NOT converge" in r.message for r in caplog.records)
+
+
+def test_pregel_actor_loop_counts_down_and_routes(ray_session):
+    """Actor-resident engine: state loads once, messages route by
+    key % n_actors, counts drive convergence, and the final state comes
+    back as a Dataset without touching the driver."""
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.pregel import pregel_actor_loop
+
+    seed = ray.data.from_pandas(
+        pd.DataFrame({"b": [0, 1, 2, 3], "x": [3, 1, 0, 2]})
+    )
+
+    def step(actor_id, n_actors, state, msgs, i):
+        if state is None or not len(state):
+            return state, None, 0
+        s = state.copy()
+        n_in = 0 if msgs is None else len(msgs)
+        s["x"] = np.maximum(s["x"].to_numpy() - 1, 0)
+        s["seen_msgs"] = s.get("seen_msgs", 0) + n_in
+        active = s[s["x"] > 0]
+        out = (
+            pd.DataFrame({"b": (active["b"].to_numpy() + 1) % 4})
+            if len(active)
+            else None
+        )
+        return s, out, int((s["x"] > 0).sum())
+
+    ds, converged, last = pregel_actor_loop(
+        seed, step, key="b", max_iters=10, n_actors=2
+    )
+    assert converged and last == 0
+    out = ds.to_pandas().sort_values("b").reset_index(drop=True)
+    assert out["x"].tolist() == [0, 0, 0, 0]
+    # messages were delivered across actors (actor of b=0 messaged b=1 etc.)
+    assert out["seen_msgs"].sum() > 0
+
+
+def test_pregel_actor_loop_exhausts_max_iters(ray_session):
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.pregel import pregel_actor_loop
+
+    seed = ray.data.from_pandas(pd.DataFrame({"b": [0, 1], "x": [1, 1]}))
+
+    def step(actor_id, n_actors, state, msgs, i):
+        if state is None:
+            return state, None, 0
+        return state, None, 1  # never converges
+
+    ds, converged, last = pregel_actor_loop(
+        seed, step, key="b", max_iters=3, n_actors=2
+    )
+    assert not converged and last == 2
+    assert len(ds.to_pandas()) == 2
