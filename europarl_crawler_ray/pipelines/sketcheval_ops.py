@@ -1669,3 +1669,121 @@ SELECT token, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
             THEN 1 ELSE 0 END AS BIGINT) AS drift
 FROM c WHERE df_a + df_b >= {min_df}
 """
+
+
+# ========================================== postings-list compression
+
+POSTINGS_MIN_DF = 5
+
+
+def q_postings_roundtrip(sf_dir: str, min_df: int = POSTINGS_MIN_DF):
+    """(token, n_docs, n_bytes, ok): delta + LEB128-varint compression of
+    each token's postings list (tokens with df >= min_df), with ok = 1
+    proving decode(encode(gaps)) reproduces the sorted doc ids — the
+    inverted-index storage step (Zobel & Moffat 2006). The oracle
+    recomputes n_bytes arithmetically (varint length = 7-bit group count
+    of each gap), so a single wrong byte anywhere breaks the gate.
+
+    Scale shape: per-batch per-doc token dedup -> ONE coarse-hash
+    exchange on token -> per-task fully-vectorized gap/encode/decode
+    over every posting of the task at once (np.add.reduceat over run
+    boundaries). Vocabulary never reaches the driver."""
+    import re as _re
+
+    from ..functions.varint import decode_varints, encode_varints, varint_lengths
+    from .grouping import with_coarse_group as _wcg
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = _re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks, docs = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            words = set(tok_re.findall((txt or "").lower()))
+            toks.extend(words)
+            docs.extend([int(did)] * len(words))
+        return pd.DataFrame(
+            {
+                "token": pd.Series(toks, dtype=object),
+                "doc_id": pd.Series(docs, dtype=np.int64),
+            }
+        )
+
+    def compress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        toks = g["token"].to_numpy()
+        docs = g["doc_id"].to_numpy(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(toks[1:] != toks[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(toks)]]))
+        keep_run = counts >= min_df
+        if not keep_run.any():
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_bytes": pd.Series([], dtype=np.int64),
+                    "ok": pd.Series([], dtype=np.int64),
+                }
+            )
+        keep_row = np.repeat(keep_run, counts)
+        docs = docs[keep_row]
+        starts2 = np.concatenate([[0], np.cumsum(counts[keep_run])[:-1]])
+        counts2 = counts[keep_run]
+        # gaps: first posting of each run keeps its absolute id
+        gaps = np.diff(docs, prepend=0).astype(np.uint64)
+        gaps[starts2] = docs[starts2].astype(np.uint64)
+        buf = encode_varints(gaps)
+        n_bytes = np.add.reduceat(varint_lengths(gaps), starts2).astype(np.int64)
+        # decode the WHOLE task buffer and rebuild absolutes per run:
+        # global cumsum, then subtract each run's carry-in so the run's
+        # first gap acts as its absolute id
+        dec = decode_varints(buf).astype(np.int64)
+        rebuilt = np.cumsum(dec)
+        run_of = np.repeat(np.arange(len(starts2)), counts2)
+        carry_in = rebuilt[starts2] - dec[starts2]
+        rebuilt = rebuilt - carry_in[run_of]
+        ok = np.fromiter(
+            (
+                bool((rebuilt[s : s + c] == docs[s : s + c]).all())
+                for s, c in zip(starts2, counts2)
+            ),
+            dtype=bool,
+            count=len(starts2),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "token": toks[keep_row][starts2],
+                "n_docs": counts2.astype(np.int64),
+                "n_bytes": n_bytes,
+                "ok": ok,
+            }
+        )
+
+    kd = _wcg(d.map_batches(partial, batch_format="pandas"), "token")
+    return kd.groupby("_g").map_groups(
+        lambda g: compress(g.drop(columns=["_g"])), batch_format="pandas"
+    )
+
+
+def _postings_roundtrip_sql(min_df: int = POSTINGS_MIN_DF) -> str:
+    return rf"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+p AS (
+  SELECT token, doc_id,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY token ORDER BY doc_id), 0)
+           AS gap
+  FROM t),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN gap < 128 THEN 1
+                  WHEN gap < 16384 THEN 2
+                  WHEN gap < 2097152 THEN 3
+                  WHEN gap < 268435456 THEN 4
+                  ELSE 5 END) AS BIGINT) AS n_bytes
+  FROM p GROUP BY token)
+SELECT token, n_docs, n_bytes, CAST(1 AS BIGINT) AS ok
+FROM c WHERE n_docs >= {min_df}
+"""

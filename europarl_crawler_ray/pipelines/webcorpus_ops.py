@@ -53,6 +53,9 @@ from .webgraph_ops import (  # noqa: F401
 )
 
 from .sketcheval_ops import (  # noqa: F401
+    POSTINGS_MIN_DF,
+    q_postings_roundtrip,
+    _postings_roundtrip_sql,
     MRL_K,
     MRL_QUERIES,
     MRL_TRUNC_DIM,
@@ -2095,6 +2098,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "interval_union": (q_interval_union, INTERVAL_UNION_SQL),
     "mrl_recall": (q_mrl_recall, _mrl_recall_sql()),
     "vocab_drift": (q_vocab_drift, _vocab_drift_sql()),
+    "postings_roundtrip": (q_postings_roundtrip, _postings_roundtrip_sql()),
     "sentence_stats": (q_sentence_stats, SENTENCE_STATS_SQL),
     "crosslang_links": (q_crosslang_links, CROSSLANG_LINKS_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

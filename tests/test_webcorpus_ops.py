@@ -1141,6 +1141,7 @@ class TestLastBatchOracleParity:
         "vocab_drift",
         "sentence_stats",
         "crosslang_links",
+        "postings_roundtrip",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
