@@ -1240,18 +1240,16 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
     ``pr0 = 1e6``; ``pr_{t+1}(v) = 0.15e6 + Σ_{(u,v)} pr_t(u)*85 //
     (outdeg(u)*100)`` (floor division per edge — order-independent).
 
-    Scale shape — Pregel-style message passing with ONE bucket exchange
-    per round (a naive two-exchange round — join pr to edges on src,
-    then re-key contributions by dst — was measured ~1.5× slower at
-    bench scale from the extra shuffle barriers): a node's state lives
-    in the same bucket as its OUT-edges (bucket = src & mask), so each
-    round's task computes new pr from incoming messages and immediately
-    emits next-round messages keyed by dst bucket; edges and the node
-    roster ride along in their home buckets. Zero-contribution roster
-    rows keep dangling/unreferenced nodes present (they get the base
-    term). Sentinel -1 instead of Arrow nulls: a null int64 column
-    realizes as float64 in pandas and corrupts ids above 2^53. No
-    per-key Ray groupby, nothing on the driver."""
+    Scale shape — actor-resident Pregel (pipelines/pregel.py): a node's
+    roster row and its OUT-edges load ONCE into the actor owning
+    bucket = src & mask and never re-shuffle; each round the actor
+    computes new pr from incoming contribution messages and emits
+    next-round contributions keyed by dst bucket — only messages cross
+    the wire. Zero-contribution roster rows keep dangling/unreferenced
+    nodes present (they get the base term). Sentinel -1 instead of
+    Arrow nulls: a null int64 column realizes as float64 in pandas and
+    corrupts ids above 2^53. No per-key Ray groupby, nothing
+    data-scaled on the driver."""
     assert n_buckets & (n_buckets - 1) == 0
     mask = n_buckets - 1
     d = _read(sf_dir, "documents", columns=["doc_id"])
@@ -1263,86 +1261,108 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
             pa.table({"doc_id": pa.array([], pa.int64()), "pagerank": pa.array([], pa.int64())})
         )
 
-    # unified stream schema (kind 0 = edge src→dst, 1 = node roster,
-    # 2 = message carrying a contribution to node n1)
-    def _stream_table(n1, n2, outdeg, contrib, kind) -> pa.Table:
-        n1 = np.asarray(n1, dtype=np.int64)
-        return pa.table(
-            {
-                "n1": pa.array(n1),
-                "n2": pa.array(np.asarray(n2, dtype=np.int64)),
-                "outdeg": pa.array(np.asarray(outdeg, dtype=np.int64)),
-                "contrib": pa.array(np.asarray(contrib, dtype=np.int64)),
-                "kind": pa.array(np.asarray(kind, dtype=np.int8)),
-                "bucket": pa.array((n1 & mask).astype(np.int32)),
-            }
-        )
-
-    def seed_rows(t: pa.Table) -> pa.Table:
+    # state schema (kind 0 = edge src→dst with outdeg, 1 = node roster
+    # carrying the current pr); messages carry (b, node, contrib)
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
         ids_np = t.column("doc_id").to_numpy().astype(np.int64)
         src, dst, deg = internal_edges_np(ids_np, n_docs, return_counts=True)
         n_e, n_r = len(src), len(ids_np)
-        return _stream_table(
-            np.concatenate([src, ids_np]),
-            np.concatenate([dst, np.full(n_r, -1, np.int64)]),
-            np.concatenate([deg, np.zeros(n_r, np.int64)]),
-            np.zeros(n_e + n_r, dtype=np.int64),
-            np.concatenate([np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]),
-        )
-
-    def _pr_of(g: pd.DataFrame, first: bool) -> pd.DataFrame:
-        """New pr per node of this bucket: base + Σ incoming messages
-        (roster rows contribute 0 and guarantee presence)."""
-        roster = g.loc[g["kind"] == 1, ["n1"]].assign(contrib=np.int64(0))
-        if first:
-            return roster.drop_duplicates("n1").assign(pr=np.int64(PR_SCALE))[["n1", "pr"]]
-        msgs = g.loc[g["kind"] == 2, ["n1", "contrib"]]
-        s = pd.concat([roster, msgs]).groupby("n1", as_index=False)["contrib"].sum()
+        n1 = np.concatenate([src, ids_np])
         return pd.DataFrame(
             {
-                "n1": s["n1"].to_numpy().astype(np.int64),
-                "pr": (PR_SCALE * 15 // 100 + s["contrib"].to_numpy()).astype(np.int64),
+                "kind": np.concatenate(
+                    [np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]
+                ),
+                "n1": n1,
+                "n2": np.concatenate([dst, np.full(n_r, -1, np.int64)]),
+                "outdeg": np.concatenate([deg, np.zeros(n_r, np.int64)]),
+                "pr": np.zeros(n_e + n_r, np.int64),
+                "b": (n1 & mask),
             }
         )
 
-    def make_step(first: bool):
-        def step(g: pd.DataFrame) -> pa.Table:
-            pr = _pr_of(g, first)
-            e = g.loc[g["kind"] == 0, ["n1", "n2", "outdeg"]].merge(pr, on="n1", how="inner")
-            dst = e["n2"].to_numpy().astype(np.int64)
-            contrib = e["pr"].to_numpy() * PR_DAMP_NUM // (e["outdeg"].to_numpy() * 100)
-            msgs = _stream_table(
-                dst,
-                np.full(len(dst), -1, dtype=np.int64),
-                np.zeros(len(dst), dtype=np.int64),
-                contrib,
-                np.full(len(dst), 2, dtype=np.int8),
+    def pr_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        e = state[state["kind"] == 0]
+        roster = state[state["kind"] == 1]
+        if round_i == 0:
+            pr = pd.DataFrame(
+                {
+                    "n1": roster["n1"].to_numpy(np.int64),
+                    "pr": np.full(len(roster), PR_SCALE, np.int64),
+                }
             )
-            keep = g.loc[g["kind"] != 2]  # edges + roster stay resident
-            kept = _stream_table(
-                keep["n1"].to_numpy(),
-                keep["n2"].to_numpy(),
-                keep["outdeg"].to_numpy(),
-                keep["contrib"].to_numpy(),
-                keep["kind"].to_numpy(),
+        else:
+            base = pd.DataFrame(
+                {"node": roster["n1"].to_numpy(np.int64), "contrib": np.int64(0)}
             )
-            return pa.concat_tables([kept, msgs])
-
-        return step
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        pr = _pr_of(g, False)
-        return pd.DataFrame(
+            inc = (
+                msgs[["node", "contrib"]]
+                if msgs is not None and len(msgs)
+                else base.iloc[:0]
+            )
+            s = (
+                pd.concat([base, inc])
+                .groupby("node", as_index=False)["contrib"]
+                .sum()
+            )
+            pr = pd.DataFrame(
+                {
+                    "n1": s["node"].to_numpy(np.int64),
+                    "pr": (
+                        PR_SCALE * 15 // 100 + s["contrib"].to_numpy()
+                    ).astype(np.int64),
+                }
+            )
+        new_roster = roster.drop(columns=["pr"]).merge(pr, on="n1", how="left")
+        new_roster["pr"] = new_roster["pr"].fillna(0).astype(np.int64)
+        new_state = pd.concat(
+            [e, new_roster[["kind", "n1", "n2", "outdeg", "pr", "b"]]],
+            ignore_index=True,
+        )
+        if round_i >= n_iters:  # final pr computed — stop messaging
+            return new_state, None, 0
+        em = e[["n1", "n2", "outdeg"]].merge(pr, on="n1", how="inner")
+        contrib = em["pr"].to_numpy() * PR_DAMP_NUM // (
+            em["outdeg"].to_numpy() * 100
+        )
+        out_msgs = pd.DataFrame(
             {
-                "doc_id": pr["n1"].to_numpy().astype(np.int64),
-                "pagerank": pr["pr"].to_numpy().astype(np.int64),
+                "b": (em["n2"].to_numpy(np.int64) & mask),
+                "node": em["n2"].to_numpy(np.int64),
+                "contrib": contrib.astype(np.int64),
+            }
+        )
+        return new_state, out_msgs, 1
+
+    from .pregel import pregel_actor_loop
+
+    # rounds 0..n_iters-1 emit contributions; round n_iters applies the
+    # last wave and reports 0, ending the loop exactly there
+    state_ds, _, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        pr_step,
+        key="b",
+        max_iters=n_iters + 1,
+    )
+    if state_ds is None:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "pagerank": pa.array([], pa.int64())})
+        )
+
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(
+            pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8()))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "pagerank": pc.cast(lab.column("pr"), pa.int64()),
             }
         )
 
-    stream = d.map_batches(seed_rows, batch_format="pyarrow")
-    for i in range(n_iters):
-        stream = stream.groupby("bucket").map_groups(make_step(i == 0), batch_format="pandas")
-    return stream.groupby("bucket").map_groups(final, batch_format="pandas")
+    return state_ds.map_batches(extract, batch_format="pyarrow")
 
 
 def _pagerank_sql() -> str:
