@@ -479,6 +479,88 @@ FROM documents
 """
 
 
+def q_avro_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → sharded Avro Object Container Files (from-scratch
+    writer, deflate codec, spec-golden-tested in sources/avro.py) →
+    parse back with the verifying reader (magic/schema/codec/sync
+    checks) → content verified by md5. Completes the source-format
+    matrix (parquet / JSONL / WARC / hive / CSV / webdataset / Avro);
+    the oracle is the documents table itself.
+
+    Scale shape mirrors q_csv_roundtrip: the FILE is the parallelism
+    unit — one bucket exchange writes each shard in a task, the read
+    side is read_binary_files → per-file parse in map_batches."""
+    from ..sources.avro import read_ocf, sync_marker, write_ocf
+
+    shard_dir = os.path.join(
+        "/tmp",
+        "europarl_avro_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "_g",
+            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        g = g.sort_values("doc_id")
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        write_ocf(
+            tmp,
+            g["doc_id"].to_numpy(),
+            [t or "" for t in g["text"]],
+            sync=sync_marker(f"shard{b}"),
+        )
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.avro"))
+        return pd.DataFrame({"n": [len(g)]})
+
+    n_written = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    if not n_written:  # empty corpus: nothing to read back
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text_md5": pa.array([], pa.string()),
+                "n_chars_out": pa.array([], pa.int64()),
+            }
+        )
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_md5, out_len = [], [], []
+        for raw in df["bytes"]:
+            ids, texts = read_ocf(bytes(raw))
+            out_ids.extend(ids.tolist())
+            out_md5.extend(
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
+            )
+            out_len.extend(len(t) for t in texts)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype=np.int64),
+                "text_md5": pd.Series(out_md5, dtype=object),
+                "n_chars_out": pd.Series(out_len, dtype=np.int64),
+            }
+        )
+
+    return ray.data.read_binary_files(shard_dir).map_batches(
+        parse, batch_format="pandas"
+    )
+
+
+AVRO_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
+
+
 # ===================== sequence packing (concat-and-chunk, GPT-style)
 
 SEQ_LEN = 256
@@ -949,5 +1031,6 @@ TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "train_shards": (q_train_shards, TRAIN_SHARDS_SQL),
     "upsert_merge": (q_upsert_merge, UPSERT_MERGE_SQL),
     "csv_roundtrip": (q_csv_roundtrip, CSV_ROUNDTRIP_SQL),
+    "avro_roundtrip": (q_avro_roundtrip, AVRO_ROUNDTRIP_SQL),
     "sequence_pack": (q_sequence_pack, SEQUENCE_PACK_SQL),
 }
