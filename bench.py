@@ -360,6 +360,11 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         "hardware_control": control,
         "pipeline_vs_hardware": round(eff / max(control["control_efficiency"], 1e-9), 3),
         "cpu_steal_pct": _steal_pct(),
+        # same-window-control discipline (institutionalized per VERDICT r3
+        # #10): a control below the host's quiet-window band means the
+        # raw efficiency is a contention artifact — read
+        # pipeline_vs_hardware instead and re-run for a clean reading
+        "window": "loaded" if control["control_efficiency"] < 0.8 else "quiet",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:

@@ -559,7 +559,75 @@ FROM r
 """
 
 
+# ================================================= tokenizer fertility
+#
+# Per-language bytes/chars-per-token — the tokenizer-efficiency audit
+# run before fixing a vocabulary for a multilingual corpus (languages
+# with poor fertility eat the token budget). Whitespace tokens with the
+# repo's canonical regex; all-integer output (x100 ratios via floor
+# division) keeps the oracle exact.
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """(lang, n_docs, n_chars, n_bytes, n_tokens, chars_per_token_x100,
+    bytes_per_token_x100) per language.
+
+    Scale shape: per-batch per-lang integer sums (one row per lang per
+    block) -> one bounded groupby on lang -> integer ratios in-task."""
+    d = _read(sf_dir, "documents", columns=["lang", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "n_docs": np.int64(1),
+                "n_chars": txt.str.len().to_numpy(np.int64),
+                "n_bytes": np.fromiter(
+                    (len(t.encode("utf-8")) for t in txt), np.int64, len(txt)
+                ),
+                "n_tokens": txt.str.count(tok_re).to_numpy(np.int64),
+            }
+        ).groupby("lang", as_index=False).sum()
+        return g
+
+    def ratios(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("lang", as_index=False)[
+            ["n_docs", "n_chars", "n_bytes", "n_tokens"]
+        ].sum()
+        nt = np.maximum(s["n_tokens"].to_numpy(np.int64), 1)
+        s["chars_per_token_x100"] = (100 * s["n_chars"].to_numpy(np.int64)) // nt
+        s["bytes_per_token_x100"] = (100 * s["n_bytes"].to_numpy(np.int64)) // nt
+        return s.astype(
+            {c: np.int64 for c in s.columns if c != "lang"}
+        )
+
+    return (
+        d.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(ratios, batch_format="pandas")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH s AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+    CAST(SUM(len(regexp_extract_all(text, '[^ 	
+]+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_bytes, n_tokens,
+  CAST(100 * n_chars // GREATEST(n_tokens, 1) AS BIGINT) AS chars_per_token_x100,
+  CAST(100 * n_bytes // GREATEST(n_tokens, 1) AS BIGINT) AS bytes_per_token_x100
+FROM s
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "refinery": (q_refinery, REFINERY_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),

@@ -1142,6 +1142,8 @@ class TestLastBatchOracleParity:
         "sentence_stats",
         "crosslang_links",
         "postings_roundtrip",
+        "avro_roundtrip",
+        "tokenizer_fertility",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
