@@ -1056,21 +1056,26 @@ def q_link_graph(sf_dir: str):
     if n_docs == 0:
         return ray.data.from_arrow(empty)
     def edges_partial(t: pa.Table) -> pa.Table:
-        """Render → parse → per-batch degree combiner. Emits one row per
-        doc appearing in this batch's edges (as source or target)."""
-        out_n: dict[int, int] = {}
-        in_n: dict[int, int] = {}
-        for did in t.column("doc_id").to_pylist():
-            out_n.setdefault(did, 0)
-        for src, dst in iter_internal_edges(t.column("doc_id").to_pylist(), n_docs):
-            out_n[src] = out_n.get(src, 0) + 1
-            in_n[dst] = in_n.get(dst, 0) + 1
-        ids = sorted(set(out_n) | set(in_n))
+        """Render → parse → per-batch degree combiner. The edges come
+        from the REAL render → DOM-parse walk (this is the extraction
+        operator); the degree math after it is numpy (the per-edge dict
+        loop was the last Python combiner on this path)."""
+        batch_ids = t.column("doc_id").to_numpy().astype(np.int64)
+        pairs = list(iter_internal_edges(batch_ids.tolist(), n_docs))
+        src = np.fromiter((a for a, _ in pairs), np.int64, len(pairs))
+        dst = np.fromiter((b for _, b in pairs), np.int64, len(pairs))
+        ids = np.unique(np.concatenate([batch_ids, src, dst]))
+        out_n = np.zeros(len(ids), np.int64)
+        in_n = np.zeros(len(ids), np.int64)
+        si, sc = np.unique(src, return_counts=True)
+        di, dc = np.unique(dst, return_counts=True)
+        out_n[np.searchsorted(ids, si)] = sc
+        in_n[np.searchsorted(ids, di)] = dc
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "part_out": pa.array([out_n.get(i, 0) for i in ids], pa.int64()),
-                "part_in": pa.array([in_n.get(i, 0) for i in ids], pa.int64()),
+                "part_out": pa.array(out_n, pa.int64()),
+                "part_in": pa.array(in_n, pa.int64()),
             }
         )
 
