@@ -444,7 +444,85 @@ FROM r
 """
 
 
+# ============================== row-level error isolation (quarantine)
+#
+# The no-poison-pill pattern: at 100 TB a handful of malformed records
+# per billion is a certainty, and a parser exception must cost ONE ROW
+# routed to a quarantine column, never a failed block (whose retry would
+# re-hit the same record and wedge the pipeline). The strict parse runs
+# per record inside the try; everything around it stays vectorized. The
+# poison set is md5-deterministic so the DuckDB oracle reproduces the
+# exact quarantine decisions and the error taxonomy.
+
+QUARANTINE_MOD = 23
+
+
+def _doc_payload(doc_id: int, text: str) -> str:
+    """Per-doc JSON payload; a deterministic md5 subset is TRUNCATED
+    mid-structure (what a crashed upstream writer leaves behind)."""
+    import json as _json
+
+    payload = _json.dumps({"id": int(doc_id), "body": text})
+    h = int(hashlib.md5(f"poison|{int(doc_id)}".encode()).hexdigest()[:16], 16)
+    if h % QUARANTINE_MOD == 0:
+        return payload[: max(1, len(payload) // 2)]
+    return payload
+
+
+def q_quarantine_extract(sf_dir: str):
+    """(doc_id, status, err_class, body_md5): strict-parse every doc's
+    JSON payload; malformed records land in quarantine with an error
+    class instead of failing the block. status ∈ {ok, quarantined};
+    body_md5 = md5 of the parsed body for ok rows, '' otherwise.
+
+    Scale shape: pure per-batch map; the try/except wraps exactly one
+    record's parse (the string-kernel floor any real parser pays)."""
+    import json as _json
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        status, err, md5s = [], [], []
+        for did, txt in zip(ids, df["text"].fillna("")):
+            raw = _doc_payload(int(did), txt)
+            try:
+                body = _json.loads(raw)["body"]
+                status.append("ok")
+                err.append("")
+                md5s.append(hashlib.md5(body.encode("utf-8")).hexdigest())
+            except (ValueError, KeyError) as exc:  # one row, never the block
+                status.append("quarantined")
+                err.append(type(exc).__name__)
+                md5s.append("")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "status": pd.Series(status, dtype=object),
+                "err_class": pd.Series(err, dtype=object),
+                "body_md5": pd.Series(md5s, dtype=object),
+            }
+        )
+
+    return d.map_batches(parse, batch_format="pandas")
+
+
+QUARANTINE_EXTRACT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+    CAST(concat('0x', substr(md5('poison|' || CAST(doc_id AS VARCHAR)), 1, 16))
+      AS UBIGINT) % {QUARANTINE_MOD} AS r
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN r = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+  CASE WHEN r = 0 THEN 'JSONDecodeError' ELSE '' END AS err_class,
+  CASE WHEN r = 0 THEN '' ELSE md5(text) END AS body_md5
+FROM h
+"""
+
+
 CURATION_SQL_QUERIES: dict[str, tuple] = {
+    "quarantine_extract": (q_quarantine_extract, QUARANTINE_EXTRACT_SQL),
     "mix_interleave": (q_mix_interleave, MIX_INTERLEAVE_SQL),
     "scd2_history": (q_scd2_history, SCD2_HISTORY_SQL),
     "oov_rate": (q_oov_rate, OOV_RATE_SQL),

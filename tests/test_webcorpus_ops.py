@@ -1144,6 +1144,7 @@ class TestLastBatchOracleParity:
         "postings_roundtrip",
         "avro_roundtrip",
         "tokenizer_fertility",
+        "quarantine_extract",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
