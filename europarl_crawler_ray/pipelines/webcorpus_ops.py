@@ -37,6 +37,9 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 # keep every historical import path working (tests, entry, bench).
 
 from .webgraph_ops import (  # noqa: F401
+    HYPERBALL_RADIUS,
+    q_hyperball_2hop,
+    _hyperball_sql,
     _read,
     q_graph_reciprocity,
     GRAPH_RECIPROCITY_SQL,
@@ -2099,6 +2102,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "mrl_recall": (q_mrl_recall, _mrl_recall_sql()),
     "vocab_drift": (q_vocab_drift, _vocab_drift_sql()),
     "postings_roundtrip": (q_postings_roundtrip, _postings_roundtrip_sql()),
+    "hyperball_2hop": (q_hyperball_2hop, _hyperball_sql()),
     "sentence_stats": (q_sentence_stats, SENTENCE_STATS_SQL),
     "crosslang_links": (q_crosslang_links, CROSSLANG_LINKS_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

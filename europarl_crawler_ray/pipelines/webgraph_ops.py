@@ -545,3 +545,189 @@ HAVING COUNT(*) >= {COCITE_MIN_SUPPORT}
 """
 
 
+
+
+# ======================== HyperBall 2-hop neighborhood sketches
+#
+# The neighborhood function at web scale (Boldi & Vigna, "HyperBall:
+# counting at scale", 2013 — how ego-net sizes are computed when exact
+# 2-hop sets would explode): every node carries a 64-register HLL of
+# its reachable set; one Pregel round maxes each node's registers with
+# its successors'. Two rounds → N(v, 2). The oracle contract is
+# REGISTER-EXACT: the md5 of the final 64-rho vector per node, which
+# DuckDB recomputes from the exact 2-hop reach set with the same
+# hash→(register, rho) mapping as hll_distinct.
+
+HYPERBALL_RADIUS = 2
+
+
+def q_hyperball_2hop(sf_dir: str, radius: int = HYPERBALL_RADIUS,
+                     n_buckets: int = 64):
+    """(doc_id, reg_md5): md5 over the node's 64 HLL register rhos after
+    ``radius`` propagation rounds over the OUT-link graph (self always
+    included; the estimate itself is a float the registers determine —
+    the registers are the oracle contract, as in hll_distinct).
+
+    Scale shape: actor-resident Pregel — each node's register vector
+    (64 B) and its reverse edges load once; a round's messages are the
+    successors' register vectors along resident edges (E x 64 B), and
+    register merge is one vectorized np.maximum.at per actor."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.dedup import md5_hash64
+    from .pregel import pregel_actor_loop
+    from .queries import internal_edges_np
+    from .sketch_ops import hll_partial
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "reg_md5": pd.Series([], dtype=object),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    mask = n_buckets - 1
+
+    def seed(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst = internal_edges_np(ids, n_docs)
+        # registers live with the node; an edge (s, d) is resident with
+        # d (kind 0, n1=d, n2=s): d's registers flow to s each round
+        regs = np.zeros((len(ids), 64), dtype=np.int8)
+        reg, rho = hll_partial(md5_hash64([f"hb|{int(i)}" for i in ids]))
+        regs[np.arange(len(ids)), reg] = rho.astype(np.int8)
+        nodes = pd.DataFrame(
+            {
+                "kind": np.ones(len(ids), np.int8),
+                "n1": ids,
+                "n2": np.full(len(ids), -1, np.int64),
+                "regs": pd.Series([r.tobytes() for r in regs], dtype=object),
+                "b": (ids & mask),
+            }
+        )
+        edges = pd.DataFrame(
+            {
+                "kind": np.zeros(len(src), np.int8),
+                "n1": dst,
+                "n2": src,
+                "regs": pd.Series([b""] * len(src), dtype=object),
+                "b": (dst & mask),
+            }
+        )
+        return pd.concat([nodes, edges], ignore_index=True)
+
+    def hb_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        nodes = state[state["kind"] == 1].sort_values("n1")
+        ids = nodes["n1"].to_numpy(np.int64)
+        regs = np.frombuffer(
+            b"".join(nodes["regs"]), dtype=np.int8
+        ).reshape(len(ids), 64).copy()
+        if msgs is not None and len(msgs):
+            mids = msgs["node"].to_numpy(np.int64)
+            mm = np.frombuffer(b"".join(msgs["regs"]), dtype=np.int8).reshape(
+                len(mids), 64
+            )
+            idx = np.searchsorted(ids, mids)
+            np.maximum.at(regs, idx, mm)
+        e = state[state["kind"] == 0]
+        if round_i >= radius:  # merged the final wave — stop
+            out_msgs, n_changed = None, 0
+        else:
+            d_idx = np.searchsorted(ids, e["n1"].to_numpy(np.int64))
+            payload = regs[d_idx]
+            out_msgs = pd.DataFrame(
+                {
+                    "b": (e["n2"].to_numpy(np.int64) & mask),
+                    "node": e["n2"].to_numpy(np.int64),
+                    "regs": pd.Series(
+                        [r.tobytes() for r in payload], dtype=object
+                    ),
+                }
+            )
+            n_changed = 1
+        new_nodes = pd.DataFrame(
+            {
+                "kind": np.ones(len(ids), np.int8),
+                "n1": ids,
+                "n2": np.full(len(ids), -1, np.int64),
+                "regs": pd.Series([r.tobytes() for r in regs], dtype=object),
+                "b": (ids & mask),
+            }
+        )
+        return pd.concat([e, new_nodes], ignore_index=True), out_msgs, n_changed
+
+    state_ds, _, _ = pregel_actor_loop(
+        d.map_batches(seed, batch_format="pyarrow"),
+        hb_step,
+        key="b",
+        max_iters=radius + 1,
+    )
+    if state_ds is None:
+        return empty
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df[df["kind"] == 1]
+        md5s = [
+            _hl.md5(
+                ",".join(
+                    str(int(v)) for v in np.frombuffer(blob, dtype=np.int8)
+                ).encode()
+            ).hexdigest()
+            for blob in nodes["regs"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": nodes["n1"].to_numpy(np.int64),
+                "reg_md5": pd.Series(md5s, dtype=object),
+            }
+        )
+
+    return state_ds.map_batches(extract, batch_format="pandas")
+
+
+def _hyperball_sql() -> str:
+    from .sketch_ops import _HLL_REST_BITS, _HLL_REST_MASK
+
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+reach AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION SELECT src, dst FROM e
+  UNION SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst),
+h AS (
+  SELECT DISTINCT v,
+    CAST(concat('0x', substr(md5('hb|' || CAST(u AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM reach),
+r AS (
+  SELECT v, CAST(hv >> {_HLL_REST_BITS} AS BIGINT) AS reg,
+    CASE WHEN (hv & CAST({int(_HLL_REST_MASK)} AS UBIGINT)) = 0
+         THEN {_HLL_REST_BITS + 1}
+         ELSE {_HLL_REST_BITS + 1}
+              - length(bin(hv & CAST({int(_HLL_REST_MASK)} AS UBIGINT)))
+    END AS rho
+  FROM h),
+best AS (SELECT v, reg, MAX(rho) AS rho FROM r GROUP BY v, reg),
+grid AS (
+  SELECT d.doc_id AS v, CAST(g.r AS BIGINT) AS reg
+  FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS r) g),
+vec AS (
+  SELECT grid.v, grid.reg, COALESCE(best.rho, 0) AS rho
+  FROM grid LEFT JOIN best ON best.v = grid.v AND best.reg = grid.reg)
+SELECT v AS doc_id,
+       md5(string_agg(CAST(rho AS VARCHAR), ',' ORDER BY reg)) AS reg_md5
+FROM vec GROUP BY v
+"""

@@ -1145,6 +1145,7 @@ class TestLastBatchOracleParity:
         "avro_roundtrip",
         "tokenizer_fertility",
         "quarantine_extract",
+        "hyperball_2hop",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
