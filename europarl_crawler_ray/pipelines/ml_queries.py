@@ -145,14 +145,29 @@ def _shingle_sets(sf_dir: str) -> ray.data.Dataset:
         return compute()
     if os.path.isdir(cdir) and any(n.endswith(".parquet") for n in os.listdir(cdir)):
         return ray.data.read_parquet(cdir)
-    from .._util import atomic_write_parquet
+    # fill with a PER-PROCESS tmp dir: atomic_write_parquet's shared
+    # `__tmp` would let two concurrent fillers interleave their file
+    # sets and commit a cache with duplicated rows (review finding).
+    # Whoever renames first wins; the loser discards its tmp and reads
+    # the winner's commit.
+    import uuid as _uuid
 
-    rows_written = atomic_write_parquet(compute(), cdir)
-    if rows_written == 0:
+    tmp = f"{cdir}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compute().write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
+    import pyarrow.dataset as _pads
+
+    if _pads.dataset(tmp).count_rows() == 0:
         # zero-row cache dirs carry no files and can't round-trip through
         # read_parquet — recompute lazily instead (trivially cheap)
-        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         return compute()
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    try:
+        os.replace(tmp, cdir)
+    except OSError:  # another process committed first — use its cache
+        shutil.rmtree(tmp, ignore_errors=True)
     return ray.data.read_parquet(cdir)
 
 

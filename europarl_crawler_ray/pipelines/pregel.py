@@ -63,6 +63,13 @@ def pregel_loop(
     global sum is the round's convergence scalar (0 = fixed point).
     Returns ``(stream, converged, last_count)`` — callers own the
     not-converged warning (each has an operator-specific message).
+
+    STATUS: the restartable FALLBACK engine. Every shipped iterative
+    operator runs on ``pregel_actor_loop`` below (edges resident, only
+    messages move); this Dataset-round loop is kept because each of its
+    rounds is lineage-backed (a lost task replays instead of failing the
+    query) — the trade a long unattended run may prefer. Its contract is
+    pinned by tests/test_pregel.py.
     """
     counter = _RoundCounter.remote()
     converged = False
@@ -179,6 +186,27 @@ class _BucketActor:
         return pa.Table.from_pandas(self.state, preserve_index=False)
 
 
+@ray.remote
+def _route_block(block, actors, key: str, n_actors: int):
+    """Split one seed block by owner and push the parts (blocking acks —
+    when this task returns, its loads are applied)."""
+    t = (
+        block
+        if isinstance(block, pa.Table)
+        else pa.Table.from_pandas(block, preserve_index=False)
+    )
+    if t.num_rows == 0:
+        return 0
+    b = pc.cast(t.column(key), pa.int64()).to_numpy(zero_copy_only=False)
+    owner = b % n_actors
+    acks = []
+    for a_id in np.unique(owner):
+        part = t.filter(pa.array(owner == a_id))
+        acks.append(actors[a_id].load.remote(part))
+    ray.get(acks)
+    return t.num_rows
+
+
 def pregel_actor_loop(
     seed: ray.data.Dataset,
     step_fn,
@@ -199,17 +227,21 @@ def pregel_actor_loop(
         _BucketActor.remote(i, n_actors, step_fn, key) for i in range(n_actors)
     ]
 
-    def route(t: pa.Table):
-        b = pc.cast(t.column(key), pa.int64()).to_numpy(zero_copy_only=False)
-        owner = b % n_actors
-        acks = []
-        for a_id in np.unique(owner):
-            part = t.filter(pa.array(owner == a_id))
-            acks.append(actors[a_id].load.remote(part))
-        ray.get(acks)  # blocking: load complete when materialize returns
-        return pa.table({"_loaded": pa.array([t.num_rows], pa.int64())})
-
-    seed.map_batches(route, batch_format="pyarrow").materialize()
+    # Loading must be EXACTLY-once: a map-task side effect would double-
+    # load its block if Ray's at-least-once retry re-ran it (review
+    # finding — sum-style steps like pagerank silently double). So the
+    # seed materializes first (pure, retry-safe), and the loads run as
+    # max_retries=0 tasks over the materialized block refs — a lost
+    # loader fails the query loudly instead of corrupting state.
+    seed_blocks = []
+    for bundle in seed.materialize().iter_internal_ref_bundles():
+        seed_blocks.extend(bundle.block_refs)
+    ray.get(
+        [
+            _route_block.options(max_retries=0).remote(blk, actors, key, n_actors)
+            for blk in seed_blocks
+        ]
+    )
 
     converged, last = False, 0
     msg_refs: list = []

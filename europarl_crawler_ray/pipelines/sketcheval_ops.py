@@ -1782,7 +1782,11 @@ c AS (
                   WHEN gap < 16384 THEN 2
                   WHEN gap < 2097152 THEN 3
                   WHEN gap < 268435456 THEN 4
-                  ELSE 5 END) AS BIGINT) AS n_bytes
+                  WHEN gap < 34359738368 THEN 5
+                  WHEN gap < 4398046511104 THEN 6
+                  WHEN gap < 562949953421312 THEN 7
+                  WHEN gap < 72057594037927936 THEN 8
+                  ELSE 9 END) AS BIGINT) AS n_bytes
   FROM p GROUP BY token)
 SELECT token, n_docs, n_bytes, CAST(1 AS BIGINT) AS ok
 FROM c WHERE n_docs >= {min_df}

@@ -193,6 +193,15 @@ def q_kcore_peel(sf_dir: str):
         if state is None or not len(state):
             return state, None, 0
         ed = state
+        if round_i == 0:
+            # the per-batch drop_duplicates in edges() is batch-LOCAL: a
+            # reciprocal pair whose endpoints read in different batches
+            # arrives here twice (organic from one, reversed from the
+            # other) and would inflate the degree count (review finding).
+            # All copies of an edge co-locate in this actor, so one
+            # global dedup at round 0 restores the distinct-edge
+            # invariant the rounds rely on.
+            ed = ed.drop_duplicates(["src", "dst"])
         if msgs is not None and len(msgs):
             ed = ed[~ed["dst"].isin(set(msgs["node"].tolist()))]
         # duplicate edges across rounds are impossible (distinct at

@@ -124,3 +124,30 @@ def test_pregel_actor_loop_exhausts_max_iters(ray_session):
     )
     assert not converged and last == 2
     assert len(ds.to_pandas()) == 2
+
+
+def test_kcore_degree_correct_across_many_blocks(ray_session, sf_dir, monkeypatch):
+    """Review finding: the per-batch edge dedup is batch-local — a
+    reciprocal pair whose endpoints land in different read blocks used
+    to arrive at the bucket actor twice and inflate the degree. Force a
+    16-block read and require the same answer as the single-block run
+    (and the oracle)."""
+    import europarl_crawler_ray.pipelines.webgraph_ops as wg
+
+    base = wg.q_kcore_peel(sf_dir)
+    base = (base.to_pandas() if hasattr(base, "to_pandas") else base).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+    real_read = wg._read
+
+    def small_blocks(sf, table, columns=None):
+        return real_read(sf, table, columns).repartition(16)
+
+    monkeypatch.setattr(wg, "_read", small_blocks)
+    split = wg.q_kcore_peel(sf_dir)
+    split = (split.to_pandas() if hasattr(split, "to_pandas") else split).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    monkeypatch.undo()
+    assert base.equals(split)
