@@ -773,6 +773,10 @@ class CrawlDriver:
             "urls_new": n_pages,
             "partitions_done": ran,
             "partitions_skipped_on_resume": n_skipped,
+            # -1 = not tracked in streamed mode: probe confirmations
+            # happen inside partition tasks and intentionally never
+            # round-trip to driver state (the streamed pipeline's whole
+            # point); the wave driver's run() reports the real count
             "confirmed_days": -1,
             "seen_size": stats["n_added"],
         }
