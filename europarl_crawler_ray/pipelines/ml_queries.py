@@ -510,6 +510,118 @@ JOIN sz zb ON zb.doc_id = s.doc_b
 DEDUP_VERIFY_SQL = _dedup_verify_sql()
 
 
+# ---------------------- LSH threshold tuning (precision/recall sweep)
+
+PR_CURVE_FLOOR = 20
+PR_CURVE_THRESHOLDS = (20, 26, 32)
+
+
+def q_minhash_pr_curve(sf_dir: str, floor: int = PR_CURVE_FLOOR,
+                       thresholds: tuple = PR_CURVE_THRESHOLDS):
+    """(threshold, tp, fp, fn, precision_bp, recall_bp): quality of the
+    MinHash agreement filter at several thresholds against EXACT n-gram
+    Jaccard >= 0.2 (the integer rule 5*n_inter >= n_union) — the tuning
+    table that justifies the production min_agree. Candidate-restricted
+    recall: the denominator is true pairs among the banded candidates at
+    the floor threshold (pairs LSH never surfaces are invisible to any
+    threshold; minhash_error quantifies that stage separately).
+
+    Scale shape: ONE dedup_verify pass at the floor (shared shingle
+    cache + two bucket joins) -> per-batch (threshold x 3 counts)
+    partials -> a |thresholds|-bounded reduce."""
+    v = q_dedup_verify(sf_dir, min_agree=floor, return_agree=True)
+    ths = np.asarray(sorted(thresholds), dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "threshold": pd.Series([], dtype=np.int64),
+                    "tp": pd.Series([], dtype=np.int64),
+                    "fp": pd.Series([], dtype=np.int64),
+                    "fn": pd.Series([], dtype=np.int64),
+                }
+            )
+        agree = df["n_agree"].to_numpy(np.int64)
+        union = df["n_union"].to_numpy(np.int64)
+        truth = (union > 0) & (5 * df["n_inter"].to_numpy(np.int64) >= union)
+        rows = []
+        for t in ths:
+            pred = agree >= t
+            rows.append(
+                (
+                    int(t),
+                    int((pred & truth).sum()),
+                    int((pred & ~truth).sum()),
+                    int((~pred & truth).sum()),
+                )
+            )
+        return pd.DataFrame(rows, columns=["threshold", "tp", "fp", "fn"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("threshold", as_index=False)[["tp", "fp", "fn"]].sum()
+        tp = out["tp"].to_numpy(np.int64)
+        fp = out["fp"].to_numpy(np.int64)
+        fn = out["fn"].to_numpy(np.int64)
+        out["precision_bp"] = 10000 * tp // np.maximum(tp + fp, 1)
+        out["recall_bp"] = 10000 * tp // np.maximum(tp + fn, 1)
+        return out.astype(np.int64)
+
+    return (
+        v.map_batches(partial, batch_format="pandas")
+        .groupby("threshold")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def _minhash_pr_sql(floor: int = PR_CURVE_FLOOR,
+                    thresholds: tuple = PR_CURVE_THRESHOLDS) -> str:
+    base = _dedup_minhash_sql(floor)
+    head, _, _tail = base.rpartition(
+        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    )
+    sweep = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS threshold,
+  CAST(SUM(CASE WHEN n_agree >= {t} AND is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN n_agree >= {t} AND is_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN n_agree < {t} AND is_dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(10000 * SUM(CASE WHEN n_agree >= {t} AND is_dup = 1 THEN 1 ELSE 0 END)
+       // GREATEST(SUM(CASE WHEN n_agree >= {t} THEN 1 ELSE 0 END), 1) AS BIGINT)
+    AS precision_bp,
+  CAST(10000 * SUM(CASE WHEN n_agree >= {t} AND is_dup = 1 THEN 1 ELSE 0 END)
+       // GREATEST(SUM(CASE WHEN is_dup = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)
+    AS recall_bp
+FROM lab"""
+        for t in sorted(thresholds)
+    )
+    return (
+        head
+        + f""", surv AS (SELECT doc_a, doc_b, n_agree FROM agree WHERE n_agree >= {floor}),
+hd AS (SELECT DISTINCT doc_id, h FROM hh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM surv s
+  JOIN hd a ON a.doc_id = s.doc_a
+  JOIN hd b ON b.doc_id = s.doc_b AND b.h = a.h
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT s.n_agree, COALESCE(ov.n_inter, 0) AS n_inter,
+         za.n + zb.n - COALESCE(ov.n_inter, 0) AS n_union
+  FROM surv s
+  LEFT JOIN ov ON ov.doc_a = s.doc_a AND ov.doc_b = s.doc_b
+  JOIN sz za ON za.doc_id = s.doc_a
+  JOIN sz zb ON zb.doc_id = s.doc_b),
+lab AS (
+  SELECT n_agree,
+         CASE WHEN n_union > 0 AND 5 * n_inter >= n_union THEN 1 ELSE 0 END AS is_dup
+  FROM pairs)
+{sweep}
+"""
+    )
+
+
+
 # -------------------------- n-gram Jaccard with min-anchor blocking
 
 
@@ -2180,6 +2292,7 @@ ML_SQL_QUERIES: dict = {
     "multimodal_video": (q_multimodal_video, MULTIMODAL_VIDEO_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
+    "minhash_pr_curve": (q_minhash_pr_curve, _minhash_pr_sql()),
     "dedup_ngram": (q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_clusters": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -1146,6 +1146,7 @@ class TestLastBatchOracleParity:
         "tokenizer_fertility",
         "quarantine_extract",
         "hyperball_2hop",
+        "minhash_pr_curve",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
