@@ -37,6 +37,8 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 # keep every historical import path working (tests, entry, bench).
 
 from .webgraph_ops import (  # noqa: F401
+    q_clustering_coeff,
+    _clustering_coeff_sql,
     HYPERBALL_RADIUS,
     q_hyperball_2hop,
     _hyperball_sql,
@@ -2103,6 +2105,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "vocab_drift": (q_vocab_drift, _vocab_drift_sql()),
     "postings_roundtrip": (q_postings_roundtrip, _postings_roundtrip_sql()),
     "hyperball_2hop": (q_hyperball_2hop, _hyperball_sql()),
+    "clustering_coeff": (q_clustering_coeff, _clustering_coeff_sql()),
     "sentence_stats": (q_sentence_stats, SENTENCE_STATS_SQL),
     "crosslang_links": (q_crosslang_links, CROSSLANG_LINKS_SQL),
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),

@@ -740,3 +740,128 @@ SELECT v AS doc_id,
        md5(string_agg(CAST(rho AS VARCHAR), ',' ORDER BY reg)) AS reg_md5
 FROM vec GROUP BY v
 """
+
+
+# ============================================ local clustering coefficient
+#
+# Watts-Strogatz local clustering: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1))
+# over the undirected distinct link graph — the community-density signal
+# per node, exact in integer basis points (no float ratio anywhere).
+
+_CC_NB = 64
+
+
+def q_clustering_coeff(sf_dir: str):
+    """(doc_id, deg, n_tri, cc_bp) for every node with degree >= 2
+    (cc undefined below that); n_tri = triangle participations, cc_bp =
+    10000*2*n_tri // (deg*(deg-1)).
+
+    Scale shape: degrees come from the symmetrized edge stream bucketed
+    by endpoint with the IN-BUCKET global dedup (all copies of an edge
+    co-locate — the kcore cross-batch lesson); triangle counts reuse
+    q_triangle_count's three-exchange wedge join; one more bucket
+    exchange aligns the two per node."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np, q_triangle_count
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "deg": pd.Series([], dtype=np.int64),
+            "n_tri": pd.Series([], dtype=np.int64),
+            "cc_bp": pd.Series([], dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    mask = _CC_NB - 1
+
+    def deg_rows(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame({"src": src, "dst": dst})
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})],
+            ignore_index=True,
+        ).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(len(e), np.int8),
+                "doc_id": e["src"].to_numpy(np.int64),
+                "other": e["dst"].to_numpy(np.int64),
+                "n_tri": np.zeros(len(e), np.int64),
+                "b": (e["src"].to_numpy(np.int64) & mask),
+            }
+        )
+
+    def tri_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "kind": np.ones(len(ids), np.int8),
+                "doc_id": ids,
+                "other": np.full(len(ids), -1, np.int64),
+                "n_tri": df["n_tri"].to_numpy(np.int64),
+                "b": (ids & mask),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0].drop_duplicates(["doc_id", "other"])
+        if e.empty:
+            return empty
+        deg = e.groupby("doc_id", as_index=False).size()
+        deg.columns = ["doc_id", "deg"]
+        tri = g.loc[g["kind"] == 1, ["doc_id", "n_tri"]]
+        m = deg.merge(tri, on="doc_id", how="left")
+        m["n_tri"] = m["n_tri"].fillna(0).astype(np.int64)
+        m = m[m["deg"] >= 2]
+        dv = m["deg"].to_numpy(np.int64)
+        m["cc_bp"] = 10000 * 2 * m["n_tri"].to_numpy(np.int64) // (dv * (dv - 1))
+        return m.astype(np.int64)
+
+    stream = d.map_batches(deg_rows, batch_format="pyarrow").union(
+        q_triangle_count(sf_dir).map_batches(tri_rows, batch_format="pandas")
+    )
+    return stream.groupby("b").map_groups(
+        lambda g: combine(g.drop(columns=["b"])), batch_format="pandas"
+    )
+
+
+def _clustering_coeff_sql() -> str:
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS doc_id FROM e UNION ALL SELECT v FROM e) GROUP BY doc_id),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS doc_id FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t),
+tri AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corners GROUP BY doc_id)
+SELECT deg.doc_id, deg.deg,
+       CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(10000 * 2 * COALESCE(tri.n_tri, 0) // (deg.deg * (deg.deg - 1))
+            AS BIGINT) AS cc_bp
+FROM deg LEFT JOIN tri ON tri.doc_id = deg.doc_id
+WHERE deg.deg >= 2
+"""

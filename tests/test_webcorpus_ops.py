@@ -1147,6 +1147,7 @@ class TestLastBatchOracleParity:
         "quarantine_extract",
         "hyperball_2hop",
         "minhash_pr_curve",
+        "clustering_coeff",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
