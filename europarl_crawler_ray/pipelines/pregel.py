@@ -114,10 +114,12 @@ def pregel_loop(
 #
 # Partitioning assumption (same as the Dataset path, now explicit
 # memory-wise): one actor's bucket share of the state must fit its
-# heap. Fault story: actors are not restartable mid-run (state is
-# round-mutated); a lost actor fails the query and the caller re-runs —
-# the 100 TB deployment would checkpoint per-round state per bucket
-# exactly like state/seen.py shards checkpoint.
+# heap. Fault story: without a checkpoint_dir a lost actor fails the
+# query and the caller re-runs; WITH one, every round commits each
+# actor's (state, outbox) pair as parquet — the outbox is part of the
+# BSP state, a post-step snapshot without it would drop the in-flight
+# wave — behind a manifest written last (the commit record), and a
+# re-run resumes from the newest committed round instead of round 0.
 
 
 @ray.remote(num_cpus=0)
@@ -179,11 +181,47 @@ class _BucketActor:
             if out_msgs is not None and len(out_msgs)
             else None
         )
+        self.last_out = out
         return out, int(n_changed)
 
     def collect(self) -> pa.Table:
         self._consolidate()
         return pa.Table.from_pandas(self.state, preserve_index=False)
+
+    # ------------------------------------------- checkpoint / restore
+    def checkpoint(self, tmp_dir: str) -> None:
+        """Write this actor's post-round (state, outbox) into the
+        round's STAGING dir; the driver renames + writes the manifest
+        only after every actor acked, so a torn round never commits."""
+        import os
+
+        import pyarrow.parquet as _pq
+
+        self._consolidate()
+        if self.state is not None and len(self.state):
+            _pq.write_table(
+                pa.Table.from_pandas(self.state, preserve_index=False),
+                os.path.join(tmp_dir, f"actor{self.id:04d}_state.parquet"),
+            )
+        out = getattr(self, "last_out", None)
+        if out is not None and out.num_rows:
+            _pq.write_table(
+                out, os.path.join(tmp_dir, f"actor{self.id:04d}_outbox.parquet")
+            )
+
+    def restore(self, round_dir: str) -> None:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        sp = os.path.join(round_dir, f"actor{self.id:04d}_state.parquet")
+        op = os.path.join(round_dir, f"actor{self.id:04d}_outbox.parquet")
+        self.parts = []
+        self.state = _pq.read_table(sp).to_pandas() if os.path.exists(sp) else None
+        self.last_out = _pq.read_table(op) if os.path.exists(op) else None
+
+    def restored_outbox(self):
+        return getattr(self, "last_out", None)
 
 
 @ray.remote
@@ -207,6 +245,38 @@ def _route_block(block, actors, key: str, n_actors: int):
     return t.num_rows
 
 
+def _latest_pregel_checkpoint(checkpoint_dir: str | None, n_actors: int):
+    """Newest committed round in ``checkpoint_dir`` (None when absent).
+    Commit record = the round's manifest json; a staging dir without one
+    is a torn checkpoint and is ignored."""
+    import json
+    import os
+    import re
+
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        m = re.match(r"round_(\d{4})\.manifest\.json$", name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rdir = os.path.join(checkpoint_dir, f"round_{rnd:04d}")
+        if not os.path.isdir(rdir):
+            continue
+        with open(os.path.join(checkpoint_dir, name)) as f:
+            meta = json.load(f)
+        if meta.get("n_actors") != n_actors:
+            raise ValueError(
+                f"pregel checkpoint at {checkpoint_dir} was written with "
+                f"n_actors={meta.get('n_actors')}, refusing to resume with "
+                f"{n_actors} (bucket ownership would be wrong)"
+            )
+        if best is None or rnd > best:
+            best = rnd
+    return best
+
+
 def pregel_actor_loop(
     seed: ray.data.Dataset,
     step_fn,
@@ -214,6 +284,7 @@ def pregel_actor_loop(
     key: str,
     max_iters: int,
     n_actors: int = 16,
+    checkpoint_dir: str | None = None,
 ):
     """BSP rounds over actor-resident state. ``seed`` rows carry the
     bucket column ``key``; each row loads once into the actor owning
@@ -222,31 +293,76 @@ def pregel_actor_loop(
     outgoing messages carry ``key`` (any bucket id — the engine routes
     by ``% n_actors``). Returns ``(final_state_dataset, converged,
     last_count)`` with the final state re-exposed as a Dataset via
-    ``from_arrow_refs`` — it never touches the driver."""
+    ``from_arrow_refs`` — it never touches the driver.
+
+    With ``checkpoint_dir``, every completed round commits each actor's
+    (state, outbox) as parquet behind a manifest, and a re-run with the
+    same arguments resumes from the newest committed round instead of
+    round 0 (the step_fn must be the same — the engine cannot check
+    that). Older rounds are pruned after each commit."""
+    import json
+    import os
+    import shutil
+
     actors = [
         _BucketActor.remote(i, n_actors, step_fn, key) for i in range(n_actors)
     ]
 
-    # Loading must be EXACTLY-once: a map-task side effect would double-
-    # load its block if Ray's at-least-once retry re-ran it (review
-    # finding — sum-style steps like pagerank silently double). So the
-    # seed materializes first (pure, retry-safe), and the loads run as
-    # max_retries=0 tasks over the materialized block refs — a lost
-    # loader fails the query loudly instead of corrupting state.
-    seed_blocks = []
-    for bundle in seed.materialize().iter_internal_ref_bundles():
-        seed_blocks.extend(bundle.block_refs)
-    ray.get(
-        [
-            _route_block.options(max_retries=0).remote(blk, actors, key, n_actors)
-            for blk in seed_blocks
-        ]
-    )
-
+    resume_round = _latest_pregel_checkpoint(checkpoint_dir, n_actors)
     converged, last = False, 0
     msg_refs: list = []
+    if resume_round is not None:
+        rdir = os.path.join(checkpoint_dir, f"round_{resume_round:04d}")
+        ray.get([a.restore.remote(rdir) for a in actors])
+        # outbox refs flow into the next round exactly as live ones do
+        msg_refs = [a.restored_outbox.remote() for a in actors]
+        start_round = resume_round + 1
+    else:
+        # Loading must be EXACTLY-once: a map-task side effect would
+        # double-load its block if Ray's at-least-once retry re-ran it
+        # (review finding — sum-style steps like pagerank silently
+        # double). So the seed materializes first (pure, retry-safe),
+        # and the loads run as max_retries=0 tasks over the materialized
+        # block refs — a lost loader fails the query loudly instead of
+        # corrupting state.
+        seed_blocks = []
+        for bundle in seed.materialize().iter_internal_ref_bundles():
+            seed_blocks.extend(bundle.block_refs)
+        ray.get(
+            [
+                _route_block.options(max_retries=0).remote(
+                    blk, actors, key, n_actors
+                )
+                for blk in seed_blocks
+            ]
+        )
+        start_round = 0
+
+    def _commit_checkpoint(round_i: int) -> None:
+        staging = os.path.join(checkpoint_dir, f".staging_{round_i:04d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        ray.get([a.checkpoint.remote(staging) for a in actors])
+        final = os.path.join(checkpoint_dir, f"round_{round_i:04d}")
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
+        mpath = final + ".manifest.json"
+        with open(mpath + ".tmp", "w") as f:
+            json.dump({"round": round_i, "n_actors": n_actors}, f)
+        os.replace(mpath + ".tmp", mpath)
+        for name in os.listdir(checkpoint_dir):  # prune older rounds
+            for prefix in ("round_", ".staging_"):
+                if name.startswith(prefix):
+                    digits = name[len(prefix):].split(".")[0]
+                    if digits.isdigit() and int(digits) < round_i:
+                        target = os.path.join(checkpoint_dir, name)
+                        if os.path.isdir(target):
+                            shutil.rmtree(target, ignore_errors=True)
+                        else:
+                            os.remove(target)
+
     try:
-        for i in range(max_iters):
+        for i in range(start_round, max_iters):
             futs = [
                 a.step.options(num_returns=2).remote(i, msg_refs)
                 for a in actors
@@ -259,6 +375,8 @@ def pregel_actor_loop(
             if last == 0:
                 converged = True
                 break
+            if checkpoint_dir is not None:
+                _commit_checkpoint(i)
         # final state: ref-only hand-off into a Dataset — the driver
         # fetches nothing data-scaled (only the has_state booleans)
         with_state = [

@@ -151,3 +151,72 @@ def test_kcore_degree_correct_across_many_blocks(ray_session, sf_dir, monkeypatc
     ).reset_index(drop=True)
     monkeypatch.undo()
     assert base.equals(split)
+
+
+def test_pregel_actor_loop_checkpoint_resume(ray_session, tmp_path):
+    """Per-round checkpointing: a capped run commits (state, outbox)
+    behind a manifest; a re-run resumes from the newest committed round
+    — proven by a poisoned seed that would raise if resume ever
+    re-executed the load — and reaches the same fixed point as an
+    uninterrupted run."""
+    import os
+
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.pregel import pregel_actor_loop
+
+    frame = pd.DataFrame({"b": [0, 1, 2, 3], "left": [5, 3, 1, 4]})
+
+    def make_seed(poisoned=False):
+        ds = ray.data.from_pandas(frame.copy())
+        if poisoned:
+            def boom(t):
+                raise RuntimeError("resume must not re-load the seed")
+            ds = ds.map_batches(boom, batch_format="pandas")
+        return ds
+
+    def step(actor_id, n_actors, state, msgs, i):
+        if state is None or not len(state):
+            return state, None, 0
+        s = state.copy()
+        n_in = 0 if msgs is None else int(msgs["left"].sum())
+        s["seen"] = s.get("seen", 0) + n_in
+        s["left"] = np.maximum(s["left"].to_numpy() - 1, 0)
+        active = s[s["left"] > 0]
+        out = (
+            pd.DataFrame(
+                {"b": (active["b"].to_numpy() + 1) % 4, "left": active["left"]}
+            )
+            if len(active)
+            else None
+        )
+        return s, out, int((s["left"] > 0).sum())
+
+    full, conv_a, _ = pregel_actor_loop(
+        make_seed(), step, key="b", max_iters=20, n_actors=2
+    )
+    expected = full.to_pandas().sort_values("b").reset_index(drop=True)
+    assert conv_a
+
+    ck = str(tmp_path / "pregel_ck")
+    partial, conv_b, _ = pregel_actor_loop(
+        make_seed(), step, key="b", max_iters=2, n_actors=2, checkpoint_dir=ck
+    )
+    assert not conv_b
+    manifests = [n for n in os.listdir(ck) if n.endswith(".manifest.json")]
+    assert manifests == ["round_0001.manifest.json"]  # older round pruned
+
+    resumed, conv_c, _ = pregel_actor_loop(
+        make_seed(poisoned=True), step, key="b", max_iters=20, n_actors=2,
+        checkpoint_dir=ck,
+    )
+    assert conv_c
+    got = resumed.to_pandas().sort_values("b").reset_index(drop=True)
+    assert got.equals(expected)
+
+    # actor-count mismatch is refused loudly, never silently mis-bucketed
+    with pytest.raises(ValueError, match="n_actors"):
+        pregel_actor_loop(
+            make_seed(), step, key="b", max_iters=2, n_actors=4,
+            checkpoint_dir=ck,
+        )
