@@ -728,7 +728,7 @@ DEDUP_NGRAM_SQL = _dedup_ngram_sql()
 
 
 def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
-                     max_iters: int = 50):
+                     max_iters: int = 50, checkpoint_dir: str | None = None):
     """Connected components over the MinHash candidate pairs — the step a
     real dedup pipeline runs after pair generation (keep one doc per
     cluster). Distributed iterative min-label propagation: each round is
@@ -852,6 +852,7 @@ def q_dedup_clusters(sf_dir: str, min_agree: int = 26, n_buckets: int = 64,
         cluster_step,
         key="b",
         max_iters=max_iters,
+        checkpoint_dir=checkpoint_dir,
     )
     if not converged:
         import logging

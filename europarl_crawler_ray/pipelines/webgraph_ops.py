@@ -142,7 +142,7 @@ KCORE_ROUNDS = 12
 _KCORE_NB = 64
 
 
-def q_kcore_peel(sf_dir: str):
+def q_kcore_peel(sf_dir: str, checkpoint_dir: str | None = None):
     """(doc_id, in_core): 1 iff the doc survives 3-core peeling of the
     distinct undirected link graph (self-loops excluded; isolated docs
     are 0).
@@ -227,7 +227,8 @@ def q_kcore_peel(sf_dir: str):
     # re-shuffles; each round exchanges only the removal notifications
     # and the convergence scalar is the per-round notification count
     state_ds, _, n_notif = pregel_actor_loop(
-        seed, kcore_step, key="b", max_iters=KCORE_ROUNDS
+        seed, kcore_step, key="b", max_iters=KCORE_ROUNDS,
+        checkpoint_dir=checkpoint_dir,
     )
     if n_notif:
         # the cap bound with removals still propagating: membership is
