@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.mining_ops import MINING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CURATION_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in WEBCORPUS_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SAMPLING_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in MINING_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -89,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.mining_ops import MINING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -101,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CURATION_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in WEBCORPUS_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SAMPLING_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in MINING_SQL_QUERIES.items()})
     return out
