@@ -527,8 +527,340 @@ ORDER BY cnt DESC, item ASC
 """
 
 
+# ================================================= SemDeDup (cluster dedup)
+#
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space coarsely, then drop within-cluster semantic near-duplicates by
+# cosine. Deterministic variant: the cluster centroids are the IVF
+# md5-smallest sample (same scheme as ann_ivf, ml_queries.py:1366) and
+# the keep rule is canonical-min-id — a vector is dropped iff a
+# lower-id vector in its cluster has cosine >= tau with it.
+
+SEMDEDUP_TAU = 0.45
+SEMDEDUP_CELLS = 16
+
+
+def q_semdedup(sf_dir: str):
+    """(vec_id, cell, kept): cluster assignment plus the SemDeDup keep
+    verdict per embedding (zero-norm vectors excluded, as everywhere in
+    the ANN family).
+
+    Scale shape: centroid selection is the shuffle-free md5 sample
+    through global_prune (O(cells) driver rows); assignment is one
+    vectorized matmul per batch against the broadcast centroid matrix;
+    the dedup itself exchanges each vector ONCE keyed by its cell and
+    runs the pairwise cosine inside the cell task. Partitioning
+    assumption: one cell's vectors fit one task — at 100 TB raise
+    SEMDEDUP_CELLS so cells stay bounded (SemDeDup itself uses ~100k
+    clusters for exactly this reason); cost is sum of cell^2, so more
+    cells is also FASTER."""
+    import hashlib as _hl
+
+    from .grouping import global_prune
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cent_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "vec_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "md5": pd.Series([], dtype=object),
+                    "embedding": pd.Series([], dtype=object),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ok = np.linalg.norm(mat, axis=1) > 0
+        df = df[ok]
+        md5s = np.array(
+            [_hl.md5(str(int(v)).encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:SEMDEDUP_CELLS]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy()[keep],
+                "md5": md5s[keep],
+                "embedding": df["embedding"].to_numpy()[keep],
+            }
+        )
+
+    cands = global_prune(emb, cent_candidates, batch_format="pandas")
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.bool_()),
+        }
+    )
+    if cands.empty:
+        return ray.data.from_arrow(empty)
+    # ascending cid order so argmax's first-max tie-break = `c.cid ASC`
+    cent_df = (
+        cands.sort_values("md5").head(SEMDEDUP_CELLS).sort_values("vec_id")
+    )
+    cids = cent_df["vec_id"].to_numpy(np.int64)
+    cent = np.stack(cent_df["embedding"].to_numpy()).astype(np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cref = ray.put((cids, cent))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cids_, ct = ray.get(cref)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "cell": pd.Series(dtype=np.int64),
+                    "vec": pd.Series(dtype=object),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        ok = norms[:, 0] > 0
+        df, mat, norms = df[ok], mat[ok], norms[ok]
+        matn = mat / norms
+        cell = cids_[(matn @ ct.T).argmax(axis=1)]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cell": cell.astype(np.int64),
+                "vec": [v.tobytes() for v in matn],
+            }
+        )
+
+    def dedup_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        # dropped iff ANY lower-id vector in the cell is >= tau similar
+        dup = (np.triu(sims >= SEMDEDUP_TAU, k=1)).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": g["cell"].to_numpy(np.int64),
+                "kept": ~dup,
+            }
+        )
+
+    # cell cardinality is the FIXED SEMDEDUP_CELLS — direct groupby is fine
+    return (
+        emb.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(dedup_cell, batch_format="pandas")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0),
+cent AS (SELECT vec_id AS cid, e FROM d
+         ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {SEMDEDUP_CELLS}),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT d.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY list_cosine_similarity(d.e, c.e) DESC,
+                                       c.cid ASC) AS rn
+    FROM d CROSS JOIN cent c) WHERE rn = 1)
+SELECT ce.vec_id, CAST(ce.cell AS BIGINT) AS cell,
+  NOT EXISTS (
+    SELECT 1 FROM cells ce2 JOIN d d2 ON d2.vec_id = ce2.vec_id
+    WHERE ce2.cell = ce.cell AND ce2.vec_id < ce.vec_id
+      AND list_cosine_similarity(
+            (SELECT e FROM d WHERE d.vec_id = ce.vec_id), d2.e
+          ) >= {SEMDEDUP_TAU}
+  ) AS kept
+FROM cells ce
+"""
+
+
+# ============================================ skew-salted join + top-k
+#
+# The explicit hot-key showcase (SCALE.md "salt hot keys"): a fact
+# stream whose join key follows a Zipf(~2) law (the head host carries
+# ~half the rows) joined row-preserving against a per-host dimension,
+# then per-host top-k. A naive hash join / groupby would send the head
+# host's entire row set to ONE task; here the fact side is exchanged on
+# (host, salt), the dimension is replicated once per salt, and the
+# top-k is taken per salt shard first, so no task ever sees more than
+# 1/N_SALTS of the hottest key.
+
+SKEW_M = 256  # host id space; host j carries ~1/(j(j+1)) of the stream
+SKEW_SALTS = 8
+SKEW_TOPK = 5
+
+
+def _skew_hosts(event_ids: np.ndarray) -> np.ndarray:
+    h = _md5_u64("sj:", event_ids) % np.uint64(SKEW_M)
+    return (np.uint64(SKEW_M) // (h + np.uint64(1))).astype(np.int64)
+
+
+def q_skew_join(sf_dir: str):
+    """(host, rank, event_id, value_cents, host_weight): per host, the
+    top-{SKEW_TOPK} events by (cents DESC, event_id ASC) with the host's
+    dimension attribute attached.
+
+    Scale shape: the fact side never exchanges on the bare skewed key —
+    stage 1 exchanges on (host, salt) where salt = md5(event_id) %
+    {SKEW_SALTS}, with the whole dimension broadcast (it is O(SKEW_M),
+    provably small; were it data-scaled it would be REPLICATED x salts
+    through the same exchange instead) and the per-shard top-k taken
+    inside the salted task; stage 2 merges <= salts x k rows per host —
+    the head host costs 8 bounded tasks, not one giant one."""
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    # dimension: per host, the min-partkey part's size is the host weight
+    def dim_partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (df["p_partkey"].to_numpy(np.int64) % SKEW_M) + 1
+        g = pd.DataFrame(
+            {
+                "host": host,
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "host_weight": df["p_size"].to_numpy(np.int64),
+            }
+        )
+        return g.sort_values(["host", "p_partkey"]).groupby("host", as_index=False).first()
+
+    # bounded combine: per-block first-per-host rows -> one task re-first
+    dim_rows = (
+        part.map_batches(dim_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: (
+                df.sort_values(["host", "p_partkey"])
+                .groupby("host", as_index=False)
+                .first()
+                if len(df) and "host" in df.columns
+                else pd.DataFrame(
+                    {
+                        "host": pd.Series(dtype=np.int64),
+                        "p_partkey": pd.Series(dtype=np.int64),
+                        "host_weight": pd.Series(dtype=np.int64),
+                    }
+                )
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if "host" not in dim_rows.columns:
+        dim_rows = pd.DataFrame(
+            {
+                "host": pd.Series(dtype=np.int64),
+                "p_partkey": pd.Series(dtype=np.int64),
+                "host_weight": pd.Series(dtype=np.int64),
+            }
+        )
+    dim_ref = ray.put(
+        dim_rows.set_index("host")["host_weight"].to_dict()
+    )
+
+    def salted(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy().astype(np.int64)
+        host = _skew_hosts(ids)
+        salt = (_md5_u64("sjs:", ids) % np.uint64(SKEW_SALTS)).astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "host": host,
+                "salt": salt,
+                "event_id": ids,
+                "value_cents": cents,
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(dim_ref)
+        g = g.sort_values(
+            ["host", "value_cents", "event_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("host").head(SKEW_TOPK).copy()
+        out["host_weight"] = out["host"].map(lookup)
+        out = out.dropna(subset=["host_weight"])  # inner-join semantics
+        out["host_weight"] = out["host_weight"].astype(np.int64)
+        return out[["host", "event_id", "value_cents", "host_weight"]]
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["host", "value_cents", "event_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("host").head(SKEW_TOPK).copy()
+        out["rank"] = out.groupby("host").cumcount().to_numpy() + 1
+        return out[["host", "rank", "event_id", "value_cents", "host_weight"]].astype(
+            {"rank": np.int64}
+        )
+
+    salted_ds = ev.map_batches(salted, batch_format="pandas")
+    # stage 1: exchange on the SALTED key; per-shard top-k bounds what
+    # stage 2 ever sees of the hottest host to salts x k rows
+    shard = (
+        _with_coarse_group(
+            salted_ds.map_batches(
+                lambda t: t.append_column(
+                    "_hs",
+                    pa.array(
+                        t.column("host").to_numpy(zero_copy_only=False)
+                        * SKEW_SALTS
+                        + t.column("salt").to_numpy(zero_copy_only=False)
+                    ),
+                ),
+                batch_format="pyarrow",
+            ),
+            "_hs",
+            n=64,
+        )
+        .groupby("_g")
+        .map_groups(
+            lambda g: shard_topk(g.drop(columns=["_g", "_hs", "salt"])),
+            batch_format="pandas",
+        )
+    )
+    # stage 2: per-host merge of the bounded shard winners
+    return (
+        _with_coarse_group(shard, "host", n=64)
+        .groupby("_g")
+        .map_groups(
+            lambda g: final_topk(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+    )
+
+
+SKEW_JOIN_SQL = f"""
+WITH fact AS (
+  SELECT event_id,
+    CAST(CAST({SKEW_M} AS UBIGINT)
+      // (CAST(1 AS UBIGINT) + {_md5u("'sj:' || CAST(event_id AS VARCHAR)")} % {SKEW_M})
+    AS BIGINT) AS host,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+),
+dim AS (
+  SELECT host, host_weight FROM (
+    SELECT (p_partkey % {SKEW_M}) + 1 AS host,
+           CAST(p_size AS BIGINT) AS host_weight,
+           ROW_NUMBER() OVER (PARTITION BY (p_partkey % {SKEW_M}) + 1
+                              ORDER BY p_partkey ASC) AS rn
+    FROM part) WHERE rn = 1
+),
+ranked AS (
+  SELECT f.host, f.event_id, f.value_cents, d.host_weight,
+         ROW_NUMBER() OVER (PARTITION BY f.host
+                            ORDER BY f.value_cents DESC, f.event_id ASC) AS rank
+  FROM fact f JOIN dim d ON d.host = f.host
+)
+SELECT host, CAST(rank AS BIGINT) AS rank, event_id, value_cents, host_weight
+FROM ranked WHERE rank <= {SKEW_TOPK}
+"""
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
+    "semdedup": (q_semdedup, SEMDEDUP_SQL),
+    "skew_join": (q_skew_join, SKEW_JOIN_SQL),
 }
