@@ -1,0 +1,579 @@
+"""Data-validation and curation-mix operators.
+
+A crawl corpus feeding a training pipeline needs declarative quality
+gates (deequ-style constraint suites), mixture control (temperature-
+scaled language sampling, NLLB / mT5-style), OLAP rollups (CUBE),
+closed-form per-group model fits, readability scoring, link-prediction
+scores over the crawl graph, and small-file compaction planning.
+
+Reference parity: the reference's quality gates are the downloader's
+status/content checks (europarl-crawler downloader/postprocessor); the
+rest are training-data additions (temperature sampling: Arivazhagan et
+al. 2019 §3; Adamic-Adar 2003; Flesch 1948; deequ: Schelter et al.
+VLDB 2018). All oracled exactly: every score is either pure integer
+arithmetic or a single correctly-rounded division of exact integers,
+so DuckDB and numpy agree bit-for-bit (repo convention, see
+queries.q_pagerank's scaled-integer note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.dedup import md5_hash64
+from .grouping import global_prune, with_coarse_group as _with_coarse_group
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(values: np.ndarray) -> np.ndarray:
+    """floor(v*100 + 0.5) — the repo's exact-cents rule (identical IEEE
+    arithmetic in numpy and DuckDB; see corpus_ops.q_running_totals)."""
+    return np.floor(values * 100.0 + 0.5).astype(np.int64)
+
+
+# ================================================= constraint_check
+#
+# A deequ-style declarative constraint suite over the orders table:
+# completeness, uniqueness, numeric range, set membership, regex
+# pattern, and date horizon — each check reports exact violation
+# counts, so the suite doubles as a data-quality metric feed.
+
+PRICE_CAP_CENTS = 40_000_000  # 400k dollars — some orders violate
+DATE_HORIZON = np.datetime64("2001-01-01")
+PRIO_PATTERN = r"^[1-4]-"  # '5-LOW' violates
+STATUS_SET = ("F", "O")  # 'P' violates
+
+
+def q_constraint_check(sf_dir: str):
+    """Single-pass vectorized partials per block (one tiny count row per
+    check), ONE distributed combine via global_prune (sum-of-partials is
+    associative and idempotent on the combined row), plus one coarse
+    exchange of just the key column for the exact-uniqueness check —
+    the driver only ever sees O(n_checks) rows.
+
+    Scale shape: at 100 TB the scan is embarrassingly parallel and the
+    uniqueness exchange ships one int64 column; everything else is a
+    7-row reduce."""
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = _cents(df["o_totalprice"].to_numpy())
+        dates = df["o_orderdate"].to_numpy().astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "n_rows": [len(df)],
+                "v_null_custkey": [int(df["o_custkey"].isna().sum())],
+                "v_price_cap": [int((price_c > PRICE_CAP_CENTS).sum())],
+                "v_status_set": [int((~df["o_orderstatus"].isin(STATUS_SET)).sum())],
+                "v_prio_pattern": [
+                    int(
+                        (~df["o_orderpriority"].str.contains(PRIO_PATTERN, regex=True))
+                        .fillna(True)
+                        .sum()
+                    )
+                ],
+                "v_date_horizon": [int((dates >= DATE_HORIZON).sum())],
+            }
+        ).astype(np.int64)
+
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.sum(axis=0).to_frame().T.astype(np.int64)
+
+    counts = global_prune(orders.map_batches(partial, batch_format="pandas"), sum_partials)
+    n_rows = int(counts["n_rows"].iloc[0]) if len(counts) else 0
+
+    # exact uniqueness: nunique per coarse bucket of the key column sums
+    # to the global distinct count (a key lives in exactly one bucket)
+    keys = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def bucket_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_distinct": [g["o_orderkey"].nunique()]}).astype(np.int64)
+
+    nd = (
+        _with_coarse_group(keys, "o_orderkey")
+        .groupby("_g")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .sum("n_distinct")
+    )
+    v_dup = n_rows - int(nd or 0)
+
+    checks = [
+        ("completeness_custkey", int(counts["v_null_custkey"].iloc[0]) if n_rows else 0),
+        ("uniqueness_orderkey", v_dup),
+        ("range_totalprice_le_400k", int(counts["v_price_cap"].iloc[0]) if n_rows else 0),
+        ("in_set_orderstatus", int(counts["v_status_set"].iloc[0]) if n_rows else 0),
+        ("pattern_orderpriority_1to4", int(counts["v_prio_pattern"].iloc[0]) if n_rows else 0),
+        ("date_horizon_pre2001", int(counts["v_date_horizon"].iloc[0]) if n_rows else 0),
+    ]
+    return pd.DataFrame(
+        {
+            "check_name": [c for c, _ in checks],
+            "n_rows": np.full(len(checks), n_rows, np.int64),
+            "n_violations": np.array([v for _, v in checks], np.int64),
+            "status": ["pass" if v == 0 else "fail" for _, v in checks],
+        }
+    )
+
+
+CONSTRAINT_CHECK_SQL = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(o_custkey) AS v_null,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup,
+         SUM(CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       > {PRICE_CAP_CENTS} THEN 1 ELSE 0 END) AS v_price,
+         SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END) AS v_status,
+         SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-4]-')
+                  THEN 1 ELSE 0 END) AS v_prio,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS v_date
+  FROM orders)
+SELECT check_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM base, (VALUES
+  ('completeness_custkey'), ('uniqueness_orderkey'),
+  ('range_totalprice_le_400k'), ('in_set_orderstatus'),
+  ('pattern_orderpriority_1to4'), ('date_horizon_pre2001')) AS c(check_name),
+LATERAL (SELECT CASE check_name
+  WHEN 'completeness_custkey' THEN v_null
+  WHEN 'uniqueness_orderkey' THEN v_dup
+  WHEN 'range_totalprice_le_400k' THEN v_price
+  WHEN 'in_set_orderstatus' THEN v_status
+  WHEN 'pattern_orderpriority_1to4' THEN v_prio
+  ELSE v_date END AS v)
+"""
+
+
+# ================================================= temperature_mix
+#
+# Temperature-scaled language mixture (alpha = 0.5 via sqrt — sqrt is
+# IEEE-correctly-rounded everywhere, so the integer weights agree
+# bit-for-bit with the SQL oracle; a libm pow() would not). Target
+# counts by integer largest-remainder apportionment; the per-language
+# sample is the md5-smallest doc_ids (deterministic, retry-safe). A
+# language with fewer docs than its target is capped at its size — no
+# recursive redistribution (both sides agree, documented).
+
+MIX_TOTAL_CAP = 1000
+
+
+def _mix_targets(lang_counts: dict[str, int], total: int) -> dict[str, int]:
+    """Integer largest-remainder apportionment of ``total`` over
+    sqrt-scaled language weights (exact int arithmetic end to end)."""
+    langs = sorted(lang_counts)
+    import math
+
+    w = {l: int(math.floor(math.sqrt(lang_counts[l]) * 1048576.0)) for l in langs}
+    W = sum(w.values())
+    if W == 0:
+        return {l: 0 for l in langs}
+    base = {l: (total * w[l]) // W for l in langs}
+    rem = {l: (total * w[l]) % W for l in langs}
+    leftover = total - sum(base.values())
+    for l in sorted(langs, key=lambda l: (-rem[l], l))[:leftover]:
+        base[l] += 1
+    return base
+
+
+def q_temperature_mix(sf_dir: str):
+    """Per-block per-language md5-smallest prune → global_prune combine
+    → O(total) driver rows; counts come from a 5-group native groupby
+    (small fixed dim — the one case Ray-native aggregate is right).
+
+    Scale shape: the language histogram is a metadata-sized reduce; the
+    sample prune ships at most ``target`` rows per block."""
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    total = min(MIX_TOTAL_CAP, n_docs)
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "lang": pd.Series([], dtype=str)}
+        )
+    cdf = d.groupby("lang").count().to_pandas()
+    targets = _mix_targets(dict(zip(cdf["lang"], cdf["count()"].astype(int))), total)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        if "hv" not in df.columns:
+            df = df.assign(hv=md5_hash64([f"tmix:{int(i)}" for i in ids]))
+        parts = []
+        for lang, g in df.groupby("lang", sort=True):
+            k = targets.get(lang, 0)
+            if k:
+                parts.append(g.nsmallest(k, ["hv", "doc_id"]))
+        if not parts:
+            return df.iloc[:0]
+        return pd.concat(parts, ignore_index=True)
+
+    out = global_prune(d, prune)
+    out = out.drop(columns=["hv"], errors="ignore")
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+t AS (SELECT LEAST({MIX_TOTAL_CAP}, (SELECT COUNT(*) FROM documents)) AS total),
+w AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576.0) AS BIGINT) AS wl FROM c),
+tot AS (SELECT SUM(wl) AS W FROM w),
+alloc AS (
+  SELECT lang, (t.total * wl) // tot.W AS base, (t.total * wl) % tot.W AS rem
+  FROM w, tot, t),
+lo AS (SELECT (SELECT total FROM t) - SUM(base) AS leftover FROM alloc),
+tgt AS (
+  SELECT lang, base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                                <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS target
+  FROM alloc),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT),
+                    doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang) WHERE rn <= target
+"""
+
+
+# ================================================= linreg_fit
+#
+# Closed-form per-group least squares (value cents vs minutes since
+# 2024-01-01) from exact integer moment sums: slope and intercept are
+# each ONE double division of exact integers, so numpy/Python and
+# DuckDB agree bit-for-bit. int64 moment partials are safe to ~sf1
+# (n·Sxy < 2^63); the driver-side combine uses Python ints (unbounded)
+# and the SQL casts through HUGEINT.
+
+_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 in µs
+
+
+def q_linreg_fit(sf_dir: str):
+    """Per-batch integer moment partials (≤5 rows per block), ONE
+    global_prune combine, exact closed form on the driver over 5 rows.
+
+    Scale shape: no shuffle at all — moments are a sum reduce; group
+    dim is the fixed event-type vocabulary."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = (us - _EPOCH_US) // 60_000_000
+        y = _cents(df["value"].to_numpy())
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y}
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("event_type", as_index=False).sum()
+
+    m = global_prune(ev.map_batches(partial, batch_format="pandas"), combine)
+    rows = []
+    if not len(m):  # empty input: Ray's empty to_pandas has no columns
+        m = pd.DataFrame(columns=["event_type", "n", "sx", "sy", "sxx", "sxy"])
+    for r in m.sort_values("event_type").itertuples():
+        n, sx, sy, sxx, sxy = (int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy))
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        intercept = float(sy * sxx - sx * sxy) / float(den) if den else 0.0
+        rows.append((r.event_type, n, slope, intercept))
+    return pd.DataFrame(rows, columns=["event_type", "n", "slope_cents_per_min", "intercept_cents"]).astype(
+        {"n": np.int64}
+    )
+
+
+LINREG_FIT_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - {_EPOCH_US}) // 60000000 AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM pts GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_min,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS intercept_cents
+FROM m
+"""
+
+
+# ================================================= adamic_adar
+#
+# Link-prediction scores over the synthetic crawl graph: for each
+# co-cited page pair, AA = Σ_{src→both} 1/ln(outdeg(src)). The
+# out-degree cap (≤4 distinct) lets 1/ln(d) be inlined as scaled-int
+# literals (×1e6) on BOTH sides — no libm ln() in either engine, so
+# the sum is pure integer arithmetic and exact.
+
+_AA_W = {2: 1442695, 3: 910239, 4: 721348}  # round(1e6 / ln(d))
+AA_MIN_SUPPORT = 2
+
+
+def q_adamic_adar(sf_dir: str):
+    """Same shape as q_cocitation_pairs (bounded per-src pair fan-out →
+    ONE coarse exchange on the unordered pair key → in-task sum), with
+    the per-src degree weight attached before the exchange so the
+    reduce is a plain groupby-sum."""
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    empty = pd.DataFrame(
+        {
+            "dst_a": pd.Series([], dtype=np.int64),
+            "dst_b": pd.Series([], dtype=np.int64),
+            "n_common": pd.Series([], dtype=np.int64),
+            "aa_micro": pd.Series([], dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {"src": pd.Series(src, dtype=np.int64), "dst": pd.Series(dst, dtype=np.int64)}
+        ).drop_duplicates()
+        deg = e.groupby("src")["dst"].transform("size")
+        e = e.assign(w=deg.map(_AA_W).fillna(0).astype(np.int64))
+        m = e.merge(e[["src", "dst"]], on="src", suffixes=("_a", "_b"))
+        m = m[m["dst_a"] < m["dst_b"]]
+        out = m[["dst_a", "dst_b", "w"]].reset_index(drop=True)
+        out["pair"] = out["dst_a"] * np.int64(n_docs) + out["dst_b"]
+        return out
+
+    kd = _with_coarse_group(d.map_batches(pairs, batch_format="pyarrow"), "pair")
+
+    def reduce_(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["dst_a", "dst_b"], as_index=False).agg(
+            n_common=("w", "size"), aa_micro=("w", "sum")
+        )
+        out = out[out["n_common"] >= AA_MIN_SUPPORT]
+        return out.astype(np.int64)
+
+    return kd.groupby("_g").map_groups(reduce_, batch_format="pandas")
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id),
+wt AS (
+  SELECT src, CASE COUNT(*) WHEN 2 THEN {_AA_W[2]} WHEN 3 THEN {_AA_W[3]}
+                            WHEN 4 THEN {_AA_W[4]} ELSE 0 END AS w
+  FROM e GROUP BY 1)
+SELECT a.dst AS dst_a, b.dst AS dst_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(w) AS BIGINT) AS aa_micro
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+JOIN wt ON wt.src = a.src
+GROUP BY 1, 2
+HAVING COUNT(*) >= {AA_MIN_SUPPORT}
+"""
+
+
+# ================================================= readability
+#
+# Flesch reading-ease in milli-units from integer token counts: words
+# (the repo's [^ \t\n\r\f]+ class — NOT .split(), see token_stats),
+# vowel-group syllables, sentence count (min 1). Pure integer floor
+# arithmetic — exact against SQL.
+
+
+def q_readability(sf_dir: str):
+    """Pure map_batches — no shuffle, no state; counts via vectorized
+    pandas .str.count over compiled regexes."""
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        words = t.str.count(r"[^ \t\n\r\f]+").to_numpy().astype(np.int64)
+        syll = t.str.count(r"[aeiouy]+").to_numpy().astype(np.int64)
+        sents = np.maximum(t.str.count(r"\.").to_numpy().astype(np.int64), 1)
+        flesch = 206835 - (1015 * words) // sents - (84600 * syll) // np.maximum(words, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_words": words,
+                "n_syllables": syll,
+                "n_sentences": sents,
+                "flesch_milli": flesch.astype(np.int64),
+            }
+        )
+
+    return d.map_batches(score, batch_format="pandas")
+
+
+READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[^ \t\n\r\f]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         GREATEST(CAST(len(regexp_extract_all(coalesce(text, ''), '\.')) AS BIGINT), 1) AS n_sentences
+  FROM documents)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // GREATEST(n_words, 1) AS BIGINT) AS flesch_milli
+FROM c
+"""
+
+
+# ================================================= cube_stats
+#
+# GROUPING-SETS rollup (full CUBE over status × priority): the fine
+# cross dim is bounded (3×5), so per-batch partials + one combine give
+# the fine cells exactly, and every coarser grouping set is derived
+# from those cells driver-side — zero shuffles for an all-subtotals
+# OLAP cube.
+
+
+def q_cube_stats(sf_dir: str):
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "n_orders": 1,
+                "sum_price_cents": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return g.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).sum()
+
+    fine = global_prune(orders.map_batches(partial, batch_format="pandas"), combine)
+    if not len(fine):
+        return pd.DataFrame(
+            {
+                "o_orderstatus": pd.Series([], dtype=str),
+                "o_orderpriority": pd.Series([], dtype=str),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "sum_price_cents": pd.Series([], dtype=np.int64),
+            }
+        )
+    sets = []
+    for dims in ((["o_orderstatus", "o_orderpriority"]), (["o_orderstatus"]), (["o_orderpriority"]), ([])):
+        if dims:
+            s = fine.groupby(dims, as_index=False)[["n_orders", "sum_price_cents"]].sum()
+        else:
+            s = fine[["n_orders", "sum_price_cents"]].sum().to_frame().T
+        for col in ("o_orderstatus", "o_orderpriority"):
+            if col not in s.columns:
+                s[col] = "ALL"
+        sets.append(s[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price_cents"]])
+    out = pd.concat(sets, ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_price_cents"] = out["sum_price_cents"].astype(np.int64)
+    return out
+
+
+CUBE_STATS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ================================================= compaction_plan
+#
+# Small-file compaction planning per table partition (source): files
+# (docs, size = n_chars) packed size-DESC into target-size bins by a
+# running prefix sum — the standard sorted sequential packing used by
+# lakehouse OPTIMIZE jobs. Per-partition plans, so the exchange is one
+# coarse group on source and the packing runs vectorized in-task.
+
+COMPACT_TARGET_BYTES = 4096
+
+
+def q_compaction_plan(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        sizes = g["n_chars"].to_numpy().astype(np.int64)
+        cum = g.assign(_s=sizes).groupby("source")["_s"].cumsum().to_numpy()
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "size_bytes": sizes,
+                "bin": ((cum - sizes) // COMPACT_TARGET_BYTES).astype(np.int64),
+            }
+        )
+
+    return (
+        _with_coarse_group(d, "source")
+        .groupby("_g")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS size_bytes,
+       CAST((SUM(n_chars) OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) - n_chars)
+            // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
+FROM documents
+"""
+
+
+VALIDATION_SQL_QUERIES: dict[str, tuple] = {
+    "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
+    "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
+    "linreg_fit": (q_linreg_fit, LINREG_FIT_SQL),
+    "adamic_adar": (q_adamic_adar, ADAMIC_ADAR_SQL),
+    "readability": (q_readability, READABILITY_SQL),
+    "cube_stats": (q_cube_stats, CUBE_STATS_SQL),
+    "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
+}
