@@ -1148,6 +1148,10 @@ class TestLastBatchOracleParity:
         "hyperball_2hop",
         "minhash_pr_curve",
         "clustering_coeff",
+        # round-4 linkrank batch
+        "hits_scores",
+        "random_walks",
+        "scc_pivot",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
