@@ -561,6 +561,137 @@ def q_avro_roundtrip(sf_dir: str, n_shards: int = 8):
 AVRO_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
 
 
+def _roundtrip_shards(sf_dir: str, fmt: str, n_shards: int, write_one):
+    """Shared write side of the columnar round trips: documents →
+    bucket exchange → one file per bucket via ``write_one(table, path)``.
+    Returns (shard_dir, n_written)."""
+    shard_dir = os.path.join(
+        "/tmp",
+        f"europarl_{fmt}_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.append_column(
+            "_g",
+            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["_g"].iloc[0])
+        t = pa.Table.from_pandas(
+            g.sort_values("doc_id")[["doc_id", "text"]], preserve_index=False
+        ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+        write_one(t, tmp)
+        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.{fmt}"))
+        return pd.DataFrame({"n": [len(g)]})
+
+    n_written = (
+        docs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(write_shard, batch_format="pandas")
+        .sum("n")
+    )
+    return shard_dir, int(n_written or 0)
+
+
+def _roundtrip_read(shard_dir: str, parse_one):
+    """Shared read side: read_binary_files → per-file ``parse_one(raw)
+    -> pa.Table`` → md5/length digest rows (the FILE is the parallelism
+    unit, matching the write side)."""
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_md5, out_len = [], [], []
+        for raw in df["bytes"]:
+            t = parse_one(bytes(raw))
+            out_ids.extend(t.column("doc_id").to_pylist())
+            for txt in t.column("text").to_pylist():
+                txt = txt or ""
+                out_md5.append(hashlib.md5(txt.encode("utf-8")).hexdigest())
+                out_len.append(len(txt))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype=np.int64),
+                "text_md5": pd.Series(out_md5, dtype=object),
+                "n_chars_out": pd.Series(out_len, dtype=np.int64),
+            }
+        )
+
+    return ray.data.read_binary_files(shard_dir).map_batches(
+        parse, batch_format="pandas"
+    )
+
+
+_RT_EMPTY = {
+    "doc_id": pa.int64(),
+    "text_md5": pa.string(),
+    "n_chars_out": pa.int64(),
+}
+
+
+def q_orc_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → sharded ORC (pyarrow.orc, zstd stripes) → per-file
+    parse → content verified by md5. Extends the source-format matrix
+    (parquet / JSONL / WARC / hive / CSV / webdataset / Avro / ORC) —
+    ORC is the other columnar lake format a 100-TB ingest job meets in
+    the wild. Scale shape mirrors q_avro_roundtrip: the FILE is the
+    parallelism unit on both sides."""
+    import pyarrow.orc as paorc
+
+    def write_one(t: pa.Table, path: str) -> None:
+        paorc.write_table(t, path, compression="zstd")
+
+    shard_dir, n_written = _roundtrip_shards(sf_dir, "orc", n_shards, write_one)
+    if not n_written:
+        return pa.table({k: pa.array([], t) for k, t in _RT_EMPTY.items()})
+
+    def parse_one(raw: bytes) -> pa.Table:
+        f = paorc.ORCFile(pa.BufferReader(raw))
+        t = f.read()
+        if f.nrows != t.num_rows:  # verifying reader: footer vs data
+            raise ValueError("ORC footer row count mismatch")
+        return t
+
+    return _roundtrip_read(shard_dir, parse_one)
+
+
+def q_ipc_roundtrip(sf_dir: str, n_shards: int = 8):
+    """documents → sharded Arrow IPC files (Feather V2, zstd buffers) →
+    per-file parse → content verified by md5. IPC is the ZERO-COPY
+    interchange format — the natural spill/cache format for Ray Data
+    blocks themselves — so the matrix covers it alongside the lake
+    formats. The verifying reader checks the footer record-batch count
+    before trusting the payload."""
+
+    def write_one(t: pa.Table, path: str) -> None:
+        opts = pa.ipc.IpcWriteOptions(compression="zstd")
+        with pa.OSFile(path, "wb") as sink:
+            with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+                w.write_table(t)
+
+    shard_dir, n_written = _roundtrip_shards(sf_dir, "arrow", n_shards, write_one)
+    if not n_written:
+        return pa.table({k: pa.array([], t) for k, t in _RT_EMPTY.items()})
+
+    def parse_one(raw: bytes) -> pa.Table:
+        r = pa.ipc.open_file(pa.BufferReader(raw))
+        if r.num_record_batches < 1:
+            raise ValueError("IPC file with no record batches")
+        return r.read_all()
+
+    return _roundtrip_read(shard_dir, parse_one)
+
+
+ORC_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
+IPC_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
+
+
 # ===================== sequence packing (concat-and-chunk, GPT-style)
 
 SEQ_LEN = 256
@@ -1032,5 +1163,7 @@ TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "upsert_merge": (q_upsert_merge, UPSERT_MERGE_SQL),
     "csv_roundtrip": (q_csv_roundtrip, CSV_ROUNDTRIP_SQL),
     "avro_roundtrip": (q_avro_roundtrip, AVRO_ROUNDTRIP_SQL),
+    "orc_roundtrip": (q_orc_roundtrip, ORC_ROUNDTRIP_SQL),
+    "ipc_roundtrip": (q_ipc_roundtrip, IPC_ROUNDTRIP_SQL),
     "sequence_pack": (q_sequence_pack, SEQUENCE_PACK_SQL),
 }

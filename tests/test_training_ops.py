@@ -17,6 +17,8 @@ from europarl_crawler_ray.pipelines.training_ops import (
     q_bigram_lm_score,
     q_chunk_docs,
     q_csv_roundtrip,
+    q_ipc_roundtrip,
+    q_orc_roundtrip,
     q_train_shards,
     q_upsert_merge,
 )
@@ -155,6 +157,53 @@ def test_csv_roundtrip_hostile_content(ray_session, tmp_path):
     for did, t in texts.items():
         assert df.loc[did, "text_md5"] == hashlib.md5(t.encode("utf-8")).hexdigest()
         assert df.loc[did, "n_chars_out"] == len(t)
+
+
+def test_orc_and_ipc_roundtrip_hostile_content(ray_session, tmp_path):
+    # columnar formats must survive what CSV needs quoting for, plus
+    # nulls-as-empty and astral-plane unicode
+    texts = {
+        1: 'quote " and, comma',
+        2: "embedded\nnewline\r\nand cr",
+        3: "",
+        4: "unicode: café € \U0001f600",
+        5: "nul byte \x00 inside",
+    }
+    _write_docs(tmp_path, texts)
+    for q in (q_orc_roundtrip, q_ipc_roundtrip):
+        df = q(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert len(df) == len(texts)
+        for did, t in texts.items():
+            assert df.loc[did, "text_md5"] == hashlib.md5(t.encode("utf-8")).hexdigest()
+            assert df.loc[did, "n_chars_out"] == len(t)
+
+
+def test_orc_and_ipc_write_real_shard_files(ray_session, tmp_path):
+    # the write side must produce one self-contained file per bucket,
+    # each independently parseable by the stock readers
+    import os
+
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+
+    _write_docs(tmp_path, {i: f"doc {i}" for i in range(32)})
+    q_orc_roundtrip(str(tmp_path)).to_pandas()
+    q_ipc_roundtrip(str(tmp_path)).to_pandas()
+    import hashlib as _h
+
+    tag = _h.md5(os.path.abspath(str(tmp_path)).encode()).hexdigest()[:10]
+    orc_dir, ipc_dir = f"/tmp/europarl_orc_{tag}", f"/tmp/europarl_arrow_{tag}"
+    orc_files = sorted(os.listdir(orc_dir))
+    ipc_files = sorted(os.listdir(ipc_dir))
+    assert len(orc_files) == 8 and len(ipc_files) == 8  # 32 ids, 8 buckets
+    n_orc = sum(
+        paorc.ORCFile(os.path.join(orc_dir, f)).nrows for f in orc_files
+    )
+    n_ipc = sum(
+        pa.ipc.open_file(os.path.join(ipc_dir, f)).read_all().num_rows
+        for f in ipc_files
+    )
+    assert n_orc == n_ipc == 32
 
 
 # ------------------------------------- rollup + decay (one-pass aggregates)
