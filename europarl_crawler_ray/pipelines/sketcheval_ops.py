@@ -1791,3 +1791,336 @@ c AS (
 SELECT token, n_docs, n_bytes, CAST(1 AS BIGINT) AS ok
 FROM c WHERE n_docs >= {min_df}
 """
+
+
+# =============================================== theta-sketch intersection
+#
+# Set-intersection estimation from mergeable KMV/theta sketches
+# (Dasgupta et al., "Theta Sketch Framework", 2016): per language keep
+# the K smallest md5 hashes of the repo's 3-word shingles (the
+# whitespace-token vocab is only ~31 words in this corpus — shingles
+# give ~20k-element sets, so the SATURATED estimator path is exercised,
+# not just the exact-copy fallback); for a pair, theta = min of the two
+# K-th-smallest values and the estimate is |common sketch hashes below
+# theta| * 2^64 / theta. Every piece is a DETERMINISTIC function of the
+# data (like kmv_error, unlike HLL registers), so the oracle recomputes
+# the sketch AND the exact intersection bit-for-bit.
+
+THETA_K = 64
+_THETA_2_64 = 1 << 64
+
+
+def q_theta_intersect(sf_dir: str, k: int = THETA_K):
+    """(lang_a, lang_b, n_inter_exact, est, err_bp) per unordered pair
+    of shingle-bearing languages: exact distinct-3-shingle intersection
+    vs the theta-sketch estimate.
+
+    Scale shape: ONE exchange of per-batch-distinct (lang, hash) pairs,
+    bucketed by HIGH hash bits so buckets partition the hash space —
+    per-bucket pair-intersection counts are disjoint (their sum is the
+    exact answer) and each bucket's per-lang K-smallest is a superset
+    of the global sketch's members in that bucket. Driver sees ≤
+    64 × (pairs + langs) bounded rows; shingles never leave their task."""
+    from ..functions.dedup import md5_hash64, shingle_strings
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    empty = pd.DataFrame(
+        {
+            "lang_a": pd.Series([], dtype=object),
+            "lang_b": pd.Series([], dtype=object),
+            "n_inter_exact": pd.Series([], dtype=np.int64),
+            "est": pd.Series([], dtype=np.int64),
+            "err_bp": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def batch_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang"):
+            shingles = set()
+            for t in g["text"]:
+                shingles.update(shingle_strings(t or ""))
+            hs = np.unique(md5_hash64(sorted(shingles)))
+            out.append(pd.DataFrame({"lang": lang, "h": hs.view(np.int64)}))
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {"lang": pd.Series([], dtype=object), "h": pd.Series([], dtype=np.int64)}
+            )
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy().view(np.uint64)
+        return t.append_column("_g", pa.array((h >> np.uint64(58)).view(np.int64)))
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # kind 0: one row per lang pair with this bucket's EXACT
+        # intersection count (buckets are disjoint in hash space);
+        # kind 1: one row per lang with the bucket's K smallest hashes
+        pres = (
+            g.assign(one=1)
+            .drop_duplicates(["lang", "h"])
+            .pivot_table(index="h", columns="lang", values="one", fill_value=0)
+            .astype(bool)
+        )
+        langs = sorted(pres.columns)
+        rows = []
+        for i, a in enumerate(langs):
+            for b in langs[i + 1 :]:
+                rows.append((0, a, b, int((pres[a] & pres[b]).sum()), b""))
+        for lang in langs:
+            hs = np.sort(
+                np.unique(
+                    g.loc[g["lang"] == lang, "h"].to_numpy().view(np.uint64)
+                )
+            )
+            rows.append((1, lang, "", 0, hs[:THETA_K].tobytes()))
+        return pd.DataFrame(
+            rows, columns=["kind", "lang_a", "lang_b", "n_inter", "hmin"]
+        )
+
+    per_bucket = (
+        docs.map_batches(batch_hashes, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(
+            lambda g: bucket_stats(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+        .to_pandas()  # ≤ 64 buckets × (pairs + langs) rows — bounded
+    )
+    if per_bucket.empty:
+        return empty
+    sketches: dict[str, np.ndarray] = {}
+    for lang, g in per_bucket[per_bucket["kind"] == 1].groupby("lang_a"):
+        hs = np.sort(
+            np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in g["hmin"]])
+        )
+        sketches[lang] = hs[:k]
+    exact = (
+        per_bucket[per_bucket["kind"] == 0]
+        .groupby(["lang_a", "lang_b"], as_index=False)["n_inter"]
+        .sum()
+    )
+    exact_map = {
+        (r.lang_a, r.lang_b): int(r.n_inter) for r in exact.itertuples()
+    }
+    langs = sorted(sketches)
+    out = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            sa, sb = sketches[a], sketches[b]
+            theta_a = int(sa[k - 1]) if sa.size >= k else _THETA_2_64
+            theta_b = int(sb[k - 1]) if sb.size >= k else _THETA_2_64
+            theta = min(theta_a, theta_b)
+            common = np.intersect1d(sa, sb)
+            c = int((common < np.uint64(min(theta, _THETA_2_64 - 1))).sum()) if theta < _THETA_2_64 else int(common.size)
+            est = c * _THETA_2_64 // theta
+            n_ex = exact_map.get((a, b), 0)
+            out.append(
+                (a, b, n_ex, est, 10000 * abs(est - n_ex) // max(n_ex, 1))
+            )
+    if not out:
+        return empty
+    return pd.DataFrame(
+        out, columns=["lang_a", "lang_b", "n_inter_exact", "est", "err_bp"]
+    ).astype({"n_inter_exact": np.int64, "est": np.int64, "err_bp": np.int64})
+
+
+def _theta_intersect_sql(k: int = THETA_K) -> str:
+    return rf"""
+WITH w AS (
+  SELECT lang, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT lang, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS s
+  FROM w WHERE len(ws) > 0
+),
+h AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS hv
+  FROM sh
+),
+ex AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM h a JOIN h b ON a.hv = b.hv AND a.lang < b.lang GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, hv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+th AS (
+  SELECT lang, CASE WHEN MAX(n) >= {k}
+      THEN CAST(MAX(CASE WHEN rn = {k} THEN hv END) AS HUGEINT)
+      ELSE CAST({_THETA_2_64} AS HUGEINT) END AS theta
+  FROM r GROUP BY lang
+),
+sk AS (SELECT lang, hv FROM r WHERE rn <= {k}),
+cm AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM sk a JOIN sk b ON a.hv = b.hv AND a.lang < b.lang
+  JOIN th ta ON ta.lang = a.lang JOIN th tb ON tb.lang = b.lang
+  WHERE CAST(a.hv AS HUGEINT) < LEAST(ta.theta, tb.theta)
+  GROUP BY 1, 2
+),
+pl AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, LEAST(ta.theta, tb.theta) AS th_min
+  FROM (SELECT DISTINCT lang FROM h) a
+  JOIN (SELECT DISTINCT lang FROM h) b ON a.lang < b.lang
+  JOIN th ta ON ta.lang = a.lang JOIN th tb ON tb.lang = b.lang
+),
+est AS (
+  SELECT pl.lang_a, pl.lang_b,
+    CAST(COALESCE(ex.n_inter, 0) AS BIGINT) AS n_inter_exact,
+    CAST(COALESCE(cm.c, 0) * CAST({_THETA_2_64} AS HUGEINT) // pl.th_min AS BIGINT) AS est
+  FROM pl
+  LEFT JOIN ex ON ex.lang_a = pl.lang_a AND ex.lang_b = pl.lang_b
+  LEFT JOIN cm ON cm.lang_a = pl.lang_a AND cm.lang_b = pl.lang_b
+)
+SELECT lang_a, lang_b, n_inter_exact, est,
+  CAST(10000 * abs(est - n_inter_exact) // GREATEST(n_inter_exact, 1) AS BIGINT) AS err_bp
+FROM est
+"""
+
+
+# ======================================================= Bloom-filter FPR
+#
+# Measured vs structural false-positive rate of a Bloom filter (Bloom
+# 1970) whose bit positions are md5-derived — the filter the frontier's
+# URL-seen stage would consult — so DuckDB can recompute every SET bit
+# and every probe's positions arithmetically and agree on the exact
+# false-positive COUNT, not an approximation.
+
+BLOOM_M = 65536  # bits — sized so the sf0.01/sf0.1 member sets neither
+# saturate the filter (FPR→1, meaningless) nor vanish (FPR→0 exactly)
+BLOOM_J = 2  # hash functions
+
+
+def q_bloom_fpr(sf_dir: str, m_bits: int = BLOOM_M, j: int = BLOOM_J):
+    """One row: (m_bits, j_hashes, n_members, n_neg, n_false_pos,
+    fpr_bp). Members = custkeys with ≥1 order; probes = every customer's
+    custkey SHIFTED by 10^7 (guaranteed non-members — nearly every raw
+    custkey IS a member in this corpus, so unshifted probes would leave
+    ~1 negative and no measurable rate); a false positive is a shifted
+    probe whose j bits all land on set positions.
+
+    Scale shape: ONE bounded exchange builds the filter (per-batch
+    distinct keys → 64 coarse buckets → per-bucket (distinct count,
+    OR-bitmap) row — ≤64 rows × (8 B + m/8 B) to the driver); the probe
+    pass broadcasts the finished bitmap once via ``ray.put`` and
+    reduces (n_probe, n_pass) partials with a distributed aggregate —
+    nothing block-count-scaled reaches the driver."""
+    from ..functions.dedup import md5_hash64
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def positions(keys: np.ndarray) -> np.ndarray:
+        # j rows of bit positions, column per key (string-kernel floor)
+        return np.stack(
+            [
+                md5_hash64([f"bf{i}:{int(x)}" for x in keys])
+                % np.uint64(m_bits)
+                for i in range(1, j + 1)
+            ]
+        ).astype(np.int64)
+
+    def member_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({"k": keys, "_g": keys & 63})
+
+    def bucket_bitmap(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g["k"].to_numpy(np.int64))
+        bm = np.zeros(m_bits, dtype=bool)
+        if keys.size:
+            bm[positions(keys).ravel()] = True
+        return pd.DataFrame(
+            {"n_distinct": [np.int64(keys.size)], "bm": [np.packbits(bm).tobytes()]}
+        )
+
+    per_bucket = (
+        orders.map_batches(member_partial, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(
+            lambda g: bucket_bitmap(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+        .to_pandas()  # ≤ 64 bounded rows
+    )
+    bm = np.zeros(m_bits, dtype=bool)
+    n_members = 0
+    for r in per_bucket.itertuples():
+        n_members += int(r.n_distinct)
+        bm |= np.unpackbits(np.frombuffer(r.bm, dtype=np.uint8)).astype(bool)[
+            :m_bits
+        ]
+    bm_ref = ray.put(bm)  # broadcast once; tasks read it zero-copy
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        filt = ray.get(bm_ref)
+        keys = df["c_custkey"].to_numpy(np.int64) + 10_000_000
+        if keys.size:
+            n_pass = int(filt[positions(keys)].all(axis=0).sum())
+        else:
+            n_pass = 0
+        return pd.DataFrame(
+            {"n_probe": [np.int64(len(keys))], "n_pass": [np.int64(n_pass)]}
+        )
+
+    agg = cust.map_batches(probe, batch_format="pandas").aggregate(
+        Sum("n_probe", alias_name="n_probe"), Sum("n_pass", alias_name="n_pass")
+    )
+    n_probe = int(agg["n_probe"] or 0)
+    n_pass = int(agg["n_pass"] or 0)
+    n_neg = n_probe  # every shifted probe is a non-member by construction
+    n_fp = n_pass
+    return pd.DataFrame(
+        {
+            "m_bits": pd.Series([m_bits], dtype=np.int64),
+            "j_hashes": pd.Series([j], dtype=np.int64),
+            "n_members": pd.Series([n_members], dtype=np.int64),
+            "n_neg": pd.Series([n_neg], dtype=np.int64),
+            "n_false_pos": pd.Series([n_fp], dtype=np.int64),
+            "fpr_bp": pd.Series([10000 * n_fp // max(n_neg, 1)], dtype=np.int64),
+        }
+    )
+
+
+def _bloom_fpr_sql(m_bits: int = BLOOM_M, j: int = BLOOM_J) -> str:
+    def md5bit(key_expr: str) -> str:
+        return (
+            "CAST(concat('0x', substr(md5('bf' || CAST(i AS VARCHAR) || ':' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 16)) AS UBIGINT) % {m_bits}"
+        )
+
+    return f"""
+WITH m AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+  SELECT DISTINCT {md5bit('k')} AS bit
+  FROM m, range(1, {j + 1}) t(i)
+),
+pb AS (
+  SELECT c_custkey AS k, {md5bit('c_custkey + 10000000')} AS bit
+  FROM customer, range(1, {j + 1}) t(i)
+),
+pass AS (
+  SELECT pb.k FROM pb JOIN bits USING (bit) GROUP BY pb.k HAVING COUNT(*) = {j}
+),
+c AS (
+  SELECT (SELECT COUNT(*) FROM m) AS n_members,
+         (SELECT COUNT(*) FROM customer) AS n_probe,
+         (SELECT COUNT(*) FROM pass) AS n_pass
+)
+SELECT CAST({m_bits} AS BIGINT) AS m_bits, CAST({j} AS BIGINT) AS j_hashes,
+  CAST(n_members AS BIGINT) AS n_members,
+  CAST(n_probe AS BIGINT) AS n_neg,
+  CAST(n_pass AS BIGINT) AS n_false_pos,
+  CAST(10000 * n_pass // GREATEST(n_probe, 1) AS BIGINT) AS fpr_bp
+FROM c
+"""

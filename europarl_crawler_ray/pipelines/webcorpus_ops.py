@@ -116,6 +116,10 @@ from .sketcheval_ops import (  # noqa: F401
     _KMV_2_64,
     q_kmv_error,
     _kmv_error_sql,
+    q_theta_intersect,
+    _theta_intersect_sql,
+    q_bloom_fpr,
+    _bloom_fpr_sql,
     PQ_RECALL_K,
     PQ_RECALL_QUERIES,
     q_pq_recall,
@@ -2095,6 +2099,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "late_data": (q_late_data, LATE_DATA_SQL),
     "product_quantize": (q_product_quantize, PRODUCT_QUANTIZE_SQL),
     "kmv_error": (q_kmv_error, _kmv_error_sql()),
+    "theta_intersect": (q_theta_intersect, _theta_intersect_sql()),
+    "bloom_fpr": (q_bloom_fpr, _bloom_fpr_sql()),
     "fairness_index": (q_fairness_index, FAIRNESS_INDEX_SQL),
     "pq_recall": (q_pq_recall, _pq_recall_sql()),
     "path_templates": (q_path_templates, _path_templates_sql()),

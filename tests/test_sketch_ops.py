@@ -99,3 +99,112 @@ def test_cms_conservation_and_upper_bound(ray_session, tmp_path):
             for j in range(CMS_DEPTH)
         )
         assert est >= n
+
+
+# ------------------------------------------------ theta-sketch intersection
+
+
+def test_theta_intersect_matches_bruteforce(ray_session, tmp_path):
+    """Straight-line reference: shingle sets via the same kernel, exact
+    intersection + the theta formula recomputed with plain Python ints.
+    Word streams are long enough that both langs SATURATE the K=64
+    sketch (the estimator path, not the exact-copy fallback)."""
+    import hashlib
+
+    from europarl_crawler_ray.functions.dedup import shingle_strings
+    from europarl_crawler_ray.pipelines.sketcheval_ops import (
+        THETA_K,
+        _THETA_2_64,
+        q_theta_intersect,
+    )
+
+    def words(seed, n, vocab):
+        return " ".join(
+            f"w{int(hashlib.md5(f'{seed}:{i}'.encode()).hexdigest()[:4], 16) % vocab}"
+            for i in range(n)
+        )
+
+    rows = [
+        ("aa", words("a0", 400, 37)),
+        ("aa", words("a1", 400, 37)),
+        ("bb", words("b0", 400, 41)),
+        ("bb", words("b1", 400, 37)),  # shares the vocab-37 shingle space
+    ]
+    _write_docs(tmp_path, rows)
+    sets = {}
+    for lang in ("aa", "bb"):
+        sh = set()
+        for lg, txt in rows:
+            if lg == lang:
+                sh.update(shingle_strings(txt))
+        sets[lang] = np.sort(md5_hash64(sorted(sh)))
+    assert all(s.size > THETA_K for s in sets.values())  # saturated
+    sa, sb = sets["aa"], sets["bb"]
+    n_exact = int(np.intersect1d(sa, sb).size)
+    ka, kb = sa[:THETA_K], sb[:THETA_K]
+    theta = min(int(ka[-1]), int(kb[-1]))
+    c = int((np.intersect1d(ka, kb) < np.uint64(theta)).sum())
+    est = c * _THETA_2_64 // theta
+    df = q_theta_intersect(str(tmp_path)).set_index(["lang_a", "lang_b"])
+    row = df.loc[("aa", "bb")]
+    assert int(row["n_inter_exact"]) == n_exact
+    assert int(row["est"]) == est
+    assert int(row["err_bp"]) == 10000 * abs(est - n_exact) // max(n_exact, 1)
+
+
+def test_theta_intersect_unsaturated_is_exact(ray_session, tmp_path):
+    # below K distinct shingles per lang, theta = 2^64 and the sketch IS
+    # the set: the estimate must equal the exact intersection
+    rows = [
+        ("aa", "p q r s t u v w"),
+        ("bb", "r s t u v w x y"),
+    ]
+    _write_docs(tmp_path, rows)
+    from europarl_crawler_ray.pipelines.sketcheval_ops import q_theta_intersect
+
+    df = q_theta_intersect(str(tmp_path))
+    assert len(df) == 1
+    assert int(df["est"].iloc[0]) == int(df["n_inter_exact"].iloc[0])
+    assert int(df["err_bp"].iloc[0]) == 0
+
+
+# --------------------------------------------------------- bloom filter FPR
+
+
+def test_bloom_fpr_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.sketcheval_ops import (
+        BLOOM_J,
+        BLOOM_M,
+        q_bloom_fpr,
+    )
+
+    members = np.arange(0, 900, dtype=np.int64)
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(np.repeat(members, 2))}),  # dup orders
+        tmp_path / "orders.parquet",
+    )
+    probes = np.arange(0, 1300, dtype=np.int64)
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(probes)}), tmp_path / "customer.parquet"
+    )
+    # straight-line bloom with the same md5 bit family
+    bits = set()
+    for i in range(1, BLOOM_J + 1):
+        bits.update(
+            int(h) % BLOOM_M for h in md5_hash64([f"bf{i}:{k}" for k in members])
+        )
+    n_fp = 0
+    for k in probes + 10_000_000:
+        pos = [
+            int(md5_hash64([f"bf{i}:{k}"])[0]) % BLOOM_M
+            for i in range(1, BLOOM_J + 1)
+        ]
+        n_fp += all(p in bits for p in pos)
+    df = q_bloom_fpr(str(tmp_path))
+    assert int(df["n_members"].iloc[0]) == len(members)
+    assert int(df["n_neg"].iloc[0]) == len(probes)
+    assert int(df["n_false_pos"].iloc[0]) == n_fp
+    assert int(df["fpr_bp"].iloc[0]) == 10000 * n_fp // len(probes)

@@ -1152,6 +1152,8 @@ class TestLastBatchOracleParity:
         "hits_scores",
         "random_walks",
         "scc_pivot",
+        "theta_intersect",
+        "bloom_fpr",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
