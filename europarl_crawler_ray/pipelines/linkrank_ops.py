@@ -455,10 +455,13 @@ def q_scc_pivot(sf_dir: str, n_buckets: int = 64, max_rounds: int = 64):
     )
     if state_ds is None:
         return _empty(out_schema)
-    if not converged:  # expander-ish graph: diameter ≪ 64; warn, don't lie
-        import warnings
-
-        warnings.warn("q_scc_pivot: frontier still moving after max_rounds")
+    if not converged:
+        # flags would be known-incomplete — an answer that LOOKS valid
+        # but can't match the recursive oracle. Fail loudly instead.
+        raise RuntimeError(
+            f"q_scc_pivot: frontier still moving after {max_rounds} rounds; "
+            "raise max_rounds (graph deeper than expected)"
+        )
 
     def extract(t: pa.Table) -> pa.Table:
         lab = t.filter(

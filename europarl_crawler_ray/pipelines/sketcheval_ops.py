@@ -1875,7 +1875,7 @@ def q_theta_intersect(sf_dir: str, k: int = THETA_K):
                     g.loc[g["lang"] == lang, "h"].to_numpy().view(np.uint64)
                 )
             )
-            rows.append((1, lang, "", 0, hs[:THETA_K].tobytes()))
+            rows.append((1, lang, "", 0, hs[:k].tobytes()))
         return pd.DataFrame(
             rows, columns=["kind", "lang_a", "lang_b", "n_inter", "hmin"]
         )

@@ -489,73 +489,32 @@ def q_avro_roundtrip(sf_dir: str, n_shards: int = 8):
 
     Scale shape mirrors q_csv_roundtrip: the FILE is the parallelism
     unit — one bucket exchange writes each shard in a task, the read
-    side is read_binary_files → per-file parse in map_batches."""
+    side is read_binary_files → per-file parse in map_batches (shared
+    scaffolding: _roundtrip_shards / _roundtrip_read below)."""
     from ..sources.avro import read_ocf, sync_marker, write_ocf
 
-    shard_dir = os.path.join(
-        "/tmp",
-        "europarl_avro_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(shard_dir, ignore_errors=True)
-    os.makedirs(shard_dir)
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return t.append_column(
-            "_g",
-            _pc.cast(_pc.bit_wise_and(t.column("doc_id"), n_shards - 1), pa.int32()),
-        )
-
-    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["_g"].iloc[0])
-        g = g.sort_values("doc_id")
-        tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
+    def write_one(t: pa.Table, path: str, b: int) -> None:
         write_ocf(
-            tmp,
-            g["doc_id"].to_numpy(),
-            [t or "" for t in g["text"]],
+            path,
+            t.column("doc_id").to_numpy(),
+            [x or "" for x in t.column("text").to_pylist()],
             sync=sync_marker(f"shard{b}"),
         )
-        os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.avro"))
-        return pd.DataFrame({"n": [len(g)]})
 
-    n_written = (
-        docs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(write_shard, batch_format="pandas")
-        .sum("n")
-    )
+    shard_dir, n_written = _roundtrip_shards(sf_dir, "avro", n_shards, write_one)
     if not n_written:  # empty corpus: nothing to read back
+        return pa.table({k: pa.array([], t) for k, t in _RT_EMPTY.items()})
+
+    def parse_one(raw: bytes) -> pa.Table:
+        ids, texts = read_ocf(raw)
         return pa.table(
             {
-                "doc_id": pa.array([], pa.int64()),
-                "text_md5": pa.array([], pa.string()),
-                "n_chars_out": pa.array([], pa.int64()),
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64), pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
             }
         )
 
-    def parse(df: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_md5, out_len = [], [], []
-        for raw in df["bytes"]:
-            ids, texts = read_ocf(bytes(raw))
-            out_ids.extend(ids.tolist())
-            out_md5.extend(
-                hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
-            )
-            out_len.extend(len(t) for t in texts)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(out_ids, dtype=np.int64),
-                "text_md5": pd.Series(out_md5, dtype=object),
-                "n_chars_out": pd.Series(out_len, dtype=np.int64),
-            }
-        )
-
-    return ray.data.read_binary_files(shard_dir).map_batches(
-        parse, batch_format="pandas"
-    )
+    return _roundtrip_read(shard_dir, parse_one)
 
 
 AVRO_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
@@ -563,8 +522,9 @@ AVRO_ROUNDTRIP_SQL = CSV_ROUNDTRIP_SQL
 
 def _roundtrip_shards(sf_dir: str, fmt: str, n_shards: int, write_one):
     """Shared write side of the columnar round trips: documents →
-    bucket exchange → one file per bucket via ``write_one(table, path)``.
-    Returns (shard_dir, n_written)."""
+    bucket exchange → one file per bucket via ``write_one(table, path,
+    shard_id)``. Returns (shard_dir, n_written)."""
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     shard_dir = os.path.join(
         "/tmp",
         f"europarl_{fmt}_"
@@ -588,7 +548,7 @@ def _roundtrip_shards(sf_dir: str, fmt: str, n_shards: int, write_one):
             g.sort_values("doc_id")[["doc_id", "text"]], preserve_index=False
         ).cast(pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
         tmp = os.path.join(shard_dir, f".shard_{b:03d}.tmp")
-        write_one(t, tmp)
+        write_one(t, tmp, b)
         os.replace(tmp, os.path.join(shard_dir, f"shard_{b:03d}.{fmt}"))
         return pd.DataFrame({"n": [len(g)]})
 
@@ -644,7 +604,7 @@ def q_orc_roundtrip(sf_dir: str, n_shards: int = 8):
     parallelism unit on both sides."""
     import pyarrow.orc as paorc
 
-    def write_one(t: pa.Table, path: str) -> None:
+    def write_one(t: pa.Table, path: str, _b: int) -> None:
         paorc.write_table(t, path, compression="zstd")
 
     shard_dir, n_written = _roundtrip_shards(sf_dir, "orc", n_shards, write_one)
@@ -669,7 +629,7 @@ def q_ipc_roundtrip(sf_dir: str, n_shards: int = 8):
     formats. The verifying reader checks the footer record-batch count
     before trusting the payload."""
 
-    def write_one(t: pa.Table, path: str) -> None:
+    def write_one(t: pa.Table, path: str, _b: int) -> None:
         opts = pa.ipc.IpcWriteOptions(compression="zstd")
         with pa.OSFile(path, "wb") as sink:
             with pa.ipc.new_file(sink, t.schema, options=opts) as w:

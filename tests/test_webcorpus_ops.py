@@ -1154,6 +1154,8 @@ class TestLastBatchOracleParity:
         "scc_pivot",
         "theta_intersect",
         "bloom_fpr",
+        "orc_roundtrip",
+        "ipc_roundtrip",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
