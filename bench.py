@@ -187,34 +187,18 @@ def bench_cc_ingest(num_cpus: int, n_urls: int = 60_000) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from europarl_crawler_ray.pipelines.corpus_ops import CORPUS_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.frontier_tools import FRONTIER_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.join_ops import JOIN_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.ml_queries import ML_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.queries import SQL_QUERIES
-    from europarl_crawler_ray.pipelines.training_ops import TRAINING_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.sketch_ops import SKETCH_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.webtext_ops import WEBTEXT_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.curation_ops import CURATION_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.webcorpus_ops import WEBCORPUS_SQL_QUERIES
-    from europarl_crawler_ray.pipelines.sampling_ops import SAMPLING_SQL_QUERIES
+    # the single source of truth for the operator surface — every
+    # SQL-oracled entry the driver's correctness gate sees is timed
+    # here too (a per-module import list silently under-swept when new
+    # family modules landed)
+    import __ray_entry__ as entry
 
-    SQL_QUERIES = {
-        **SQL_QUERIES,
-        **ML_SQL_QUERIES,
-        **CORPUS_SQL_QUERIES,
-        **TRAINING_SQL_QUERIES,
-        **JOIN_SQL_QUERIES,
-        **FRONTIER_SQL_QUERIES,
-        **SKETCH_SQL_QUERIES,
-        **WEBTEXT_SQL_QUERIES,
-        **CURATION_SQL_QUERIES,
-        **WEBCORPUS_SQL_QUERIES,
-        **SAMPLING_SQL_QUERIES,
-    }
+    qs, sqls = entry.queries(), entry.oracle_sql()
 
     out = {}
-    for name, (fn, _sql) in SQL_QUERIES.items():
+    for name, fn in sorted(qs.items()):
+        if name not in sqls:  # rows-only ops are not part of the sweep
+            continue
         t0 = time.perf_counter()
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):

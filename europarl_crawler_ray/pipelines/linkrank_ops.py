@@ -505,8 +505,232 @@ FROM documents d
 """
 
 
+# ================================================ maximal independent set
+#
+# Luby's algorithm (Luby 1986), determinized: node priority is the
+# md5-derived value comb(v) = (md5_64("mis:<v>") >> 32) * 2^32 + v —
+# UNIQUE because v rides in the low bits (doc ids < 2^32), so the
+# symmetry-break never ties and both engines make identical choices.
+# Each Luby iteration: every undecided node with a priority greater
+# than all undecided neighbours joins the MIS; its neighbours drop out.
+# O(log n) iterations with high probability.
+
+MIS_MAX_T = 16  # Luby iterations unrolled in SQL; Ray raises if exceeded
+
+
+def _mis_pri(nodes: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (
+            ((_md5_64(f"mis:{int(v)}") >> 32) << 32) | int(v)
+            for v in nodes
+        ),
+        np.uint64,
+        len(nodes),
+    )
+
+
+def q_mis_luby(sf_dir: str, n_buckets: int = 64, max_t: int = MIS_MAX_T):
+    """(doc_id, in_mis): 1 iff the doc is in the deterministic Luby MIS
+    of the symmetrized link graph — the classic distributed
+    symmetry-breaking primitive (pick one page per mutually-linked
+    cluster for spot-checks / canonical sampling).
+
+    Scale shape — actor-resident Pregel, TWO BSP rounds per Luby
+    iteration for a consistent snapshot: even round applies last
+    iteration's exclusions then every still-undecided node broadcasts
+    its priority along resident adjacency (messages only from/to the
+    shrinking undecided set — traffic decays geometrically); odd round
+    decides joins locally (own priority beats every received one) and
+    sends exclusions. Converges when no node is undecided; raises
+    loudly past 2·max_t+2 rounds rather than returning a partial MIS."""
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    out_schema = {"doc_id": pa.int64(), "in_mis": pa.int64()}
+    n_docs = _n_docs(sf_dir)
+    if n_docs == 0:
+        return _empty(out_schema)
+    from .queries import internal_edges_np
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    # kind 0 = symmetric adjacency (n1=owner, n2=neighbour, deduped in
+    # round 0 — per-batch dedup is batch-local, the kcore lesson),
+    # kind 1 = roster (n1=node, pri, status 0/1/2)
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst = internal_edges_np(ids, n_docs, drop_self=True)
+        own = np.concatenate([src, dst])
+        nbr = np.concatenate([dst, src])
+        n_e, n_r = len(own), len(ids)
+        n1 = np.concatenate([own, ids])
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]
+                ),
+                "n1": n1,
+                "n2": np.concatenate([nbr, np.full(n_r, -1, np.int64)]),
+                "pri": np.concatenate(
+                    [np.zeros(n_e, np.uint64), _mis_pri(ids)]
+                ).astype(np.int64),  # int64 view; unsigned view restored in-step
+                "status": np.zeros(n_e + n_r, np.int8),
+                "b": (n1 & mask),
+            }
+        )
+
+    def mis_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        if round_i == 0:
+            # global adjacency dedup: reciprocal pairs arrive from two
+            # source blocks (kcore regression) — dedup inside the actor
+            e = state[state["kind"] == 0].drop_duplicates(["n1", "n2"])
+            state = pd.concat(
+                [e, state[state["kind"] == 1]], ignore_index=True
+            )
+        e = state[state["kind"] == 0]
+        roster = state[state["kind"] == 1].copy()
+        if round_i % 2 == 0:  # apply exclusions, then broadcast priorities
+            if msgs is not None and len(msgs):
+                excl = np.unique(msgs["node"].to_numpy(np.int64))
+                hit = roster["n1"].isin(excl) & (roster["status"] == 0)
+                roster.loc[hit, "status"] = np.int8(2)
+            und = roster[roster["status"] == 0]
+            new_state = pd.concat([e, roster], ignore_index=True)
+            if not len(und):
+                return new_state, None, 0
+            em = e[["n1", "n2"]].merge(
+                und[["n1", "pri"]], on="n1", how="inner"
+            )
+            tgt = em["n2"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "b": tgt & mask,
+                    "node": tgt,
+                    "pri": em["pri"].to_numpy(np.int64),
+                }
+            )
+            return new_state, out, len(und)
+        # odd: decide joins from the broadcast snapshot, emit exclusions
+        und_mask = roster["status"] == 0
+        nodes = roster.loc[und_mask, "n1"].to_numpy(np.int64)
+        if not len(nodes):
+            return state, None, 0
+        own_pri = roster.loc[und_mask, "pri"].to_numpy().view(np.uint64)
+        if msgs is not None and len(msgs):
+            mx = (
+                pd.DataFrame(
+                    {
+                        "node": msgs["node"].to_numpy(np.int64),
+                        "p": msgs["pri"].to_numpy().view(np.uint64),
+                    }
+                )
+                .groupby("node")["p"]
+                .max()
+            )
+            nbr_mx = (
+                pd.Series(nodes).map(mx).fillna(0).to_numpy().astype(np.uint64)
+            )
+        else:
+            nbr_mx = np.zeros(len(nodes), np.uint64)
+        join = own_pri > nbr_mx
+        joined = nodes[join]
+        roster.loc[und_mask & roster["n1"].isin(joined), "status"] = np.int8(1)
+        new_state = pd.concat([e, roster], ignore_index=True)
+        if not len(joined):
+            # the globally-max undecided node always joins somewhere;
+            # locally-zero joins still continue the loop via undecided
+            return new_state, None, int(und_mask.sum())
+        em = e[["n1", "n2"]][e["n1"].isin(joined)]
+        tgt = np.unique(em["n2"].to_numpy(np.int64))
+        out = pd.DataFrame({"b": tgt & mask, "node": tgt, "pri": np.int64(0)})
+        return new_state, out, len(joined)
+
+    from .pregel import pregel_actor_loop
+
+    state_ds, converged, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        mis_step,
+        key="b",
+        max_iters=2 * max_t + 2,
+    )
+    if state_ds is None:
+        return _empty(out_schema)
+    if not converged:
+        raise RuntimeError(
+            f"q_mis_luby: undecided nodes remain after {max_t} Luby "
+            "iterations; raise max_t (and regenerate the SQL oracle)"
+        )
+
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(
+            pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8()))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "in_mis": pc.cast(
+                    pc.equal(
+                        pc.cast(lab.column("status"), pa.int8()),
+                        pa.scalar(1, pa.int8()),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return state_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _mis_luby_sql(max_t: int = MIS_MAX_T) -> str:
+    md5u = _MD5U_SQL
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id),
+e0 AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+pri AS (
+  SELECT doc_id AS v,
+         (CAST(concat('0x', substr(md5('mis:' || CAST(doc_id AS VARCHAR)), 1, 16))
+               AS UBIGINT) // 4294967296) * 4294967296
+           + CAST(doc_id AS UBIGINT) AS p
+  FROM documents),
+u0 AS (SELECT doc_id AS v FROM documents)"""
+    ]
+    for t in range(max_t):
+        parts.append(
+            f"""mx{t} AS MATERIALIZED (
+  SELECT e.src AS v, MAX(pw.p) AS mx
+  FROM e0 e JOIN u{t} w ON w.v = e.dst JOIN pri pw ON pw.v = e.dst
+  GROUP BY 1),
+m{t} AS MATERIALIZED (
+  SELECT u.v FROM u{t} u
+  JOIN pri pv ON pv.v = u.v
+  LEFT JOIN mx{t} x ON x.v = u.v
+  WHERE x.v IS NULL OR pv.p > x.mx),
+u{t + 1} AS MATERIALIZED (
+  SELECT v FROM u{t}
+  WHERE v NOT IN (SELECT v FROM m{t})
+    AND v NOT IN (SELECT e.dst FROM e0 e WHERE e.src IN (SELECT v FROM m{t})))"""
+        )
+    union = " UNION ALL ".join(f"SELECT v FROM m{t}" for t in range(max_t))
+    parts.append(
+        f"""mis AS ({union})
+SELECT d.doc_id AS doc_id,
+  CAST(CASE WHEN d.doc_id IN (SELECT v FROM mis) THEN 1 ELSE 0 END AS BIGINT)
+    AS in_mis
+FROM documents d"""
+    )
+    head = ",\n".join(parts[:-1])
+    return head + ",\n" + parts[-1]
+
+
 LINKRANK_SQL_QUERIES = {
     "hits_scores": (q_hits_scores, _hits_sql()),
     "random_walks": (q_random_walks, _random_walks_sql()),
     "scc_pivot": (q_scc_pivot, _SCC_PIVOT_SQL),
+    "mis_luby": (q_mis_luby, _mis_luby_sql()),
 }

@@ -857,10 +857,173 @@ FROM ranked WHERE rank <= {SKEW_TOPK}
 """
 
 
+# ============================================ MMR diversity re-ranking
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998) as the
+# standard retrieve-then-rerank: a DISTRIBUTED top-P candidate pass by
+# query similarity, then the greedy diversity re-rank on the bounded
+# pool. All similarity math is integer dot products over
+# floor(x*1000+0.5)-quantized embeddings (the repo's exact-cents
+# convention lifted to vectors), so greedy argmax decisions are
+# bit-identical in Ray and DuckDB — no IEEE summation-order hazard.
+
+MMR_POOL = 64  # stage-1 candidates
+MMR_K = 8  # final selections
+MMR_QUERY_VEC = 0  # the query is embedding vec_id 0
+
+
+def _quant_vec(mat: np.ndarray) -> np.ndarray:
+    """floor(x*1000 + 0.5) per element in float64 — identical op order
+    to the SQL list_transform."""
+    return np.floor(mat.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+
+
+def q_mmr_rerank(sf_dir: str, pool: int = MMR_POOL, k: int = MMR_K):
+    """(rank, vec_id, simq, mmr_score): the k docs MMR picks (λ=0.5,
+    scaled ×2 to stay integer: score = simq − max dot-to-selected;
+    rank 1 is pure relevance).
+
+    Scale shape: the query vector broadcasts once (``ray.put``); each
+    batch computes integer sims vectorized and keeps its top-``pool``
+    rows (quantized vector riding along as bytes); ``global_prune``
+    re-selects the global top-``pool`` in a task so the driver sees at
+    most ``pool`` rows; the O(pool²) greedy runs on that bounded pool —
+    the two-stage shape every production reranker uses."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "simq": pd.Series([], dtype=np.int64),
+            "mmr_score": pd.Series([], dtype=np.int64),
+        }
+    )
+    qdf = emb.filter(expr=f"vec_id == {MMR_QUERY_VEC}").to_pandas()
+    if qdf.empty:
+        return empty
+    qvec = _quant_vec(np.stack(qdf["embedding"].to_numpy()))[0]
+    qref = ray.put(qvec)
+
+    def top_pool(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["vec_id"] != MMR_QUERY_VEC]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "simq": pd.Series([], dtype=np.int64),
+                    "qv": pd.Series([], dtype=object),
+                }
+            )
+        q = ray.get(qref)
+        mat = _quant_vec(np.stack(df["embedding"].to_numpy()))
+        sims = mat @ q
+        out = pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "simq": sims.astype(np.int64),
+                "qv": [m.tobytes() for m in mat],
+            }
+        )
+        return out.sort_values(
+            ["simq", "vec_id"], ascending=[False, True]
+        ).head(pool)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        # first pass sees raw (vec_id, embedding) blocks, the combine
+        # pass sees already-pruned (vec_id, simq, qv) frames; empty
+        # frames (repartition(1) of an empty ds may carry NO columns)
+        # exit in the pruned schema
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "simq": pd.Series([], dtype=np.int64),
+                    "qv": pd.Series([], dtype=object),
+                }
+            )
+        if "embedding" in df.columns:
+            return top_pool(df)
+        return df.sort_values(
+            ["simq", "vec_id"], ascending=[False, True]
+        ).head(pool)
+
+    from .grouping import global_prune
+
+    cand = global_prune(emb, prune)
+    if cand.empty:
+        return empty
+    cand = cand.sort_values(["simq", "vec_id"], ascending=[False, True]).head(pool)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    simq = cand["simq"].to_numpy(np.int64)
+    mat = np.stack([np.frombuffer(b, dtype=np.int64) for b in cand["qv"]])
+    dots = mat @ mat.T  # pool × pool integer, exact
+    picked: list[int] = []
+    rows = []
+    remaining = list(range(len(ids)))
+    for r in range(1, min(k, len(ids)) + 1):
+        best_i, best_key = None, None
+        for i in remaining:
+            score = int(simq[i]) - (
+                max(int(dots[i, j]) for j in picked) if picked else 0
+            )
+            key = (-score, int(ids[i]))
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        score = -best_key[0]
+        rows.append((r, int(ids[best_i]), int(simq[best_i]), score))
+        picked.append(best_i)
+        remaining.remove(best_i)
+    return pd.DataFrame(
+        rows, columns=["rank", "vec_id", "simq", "mmr_score"]
+    ).astype(np.int64)
+
+
+def _mmr_rerank_sql(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    parts = [
+        f"""WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+qq AS (SELECT q FROM qv WHERE vec_id = {MMR_QUERY_VEC}),
+sim AS (
+  SELECT v.vec_id, CAST(list_dot_product(v.q, qq.q) AS BIGINT) AS simq
+  FROM qv v, qq WHERE v.vec_id <> {MMR_QUERY_VEC}),
+cand AS MATERIALIZED (
+  SELECT vec_id, simq FROM sim ORDER BY simq DESC, vec_id ASC LIMIT {pool}),
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS d
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN qv qa ON qa.vec_id = a.vec_id
+  JOIN qv qb ON qb.vec_id = b.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, simq, simq AS score FROM cand
+  ORDER BY simq DESC, vec_id ASC LIMIT 1),
+s1 AS (SELECT vec_id FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.simq,
+         c.simq - (SELECT MAX(p.d) FROM pd p, s{i - 1} s
+                   WHERE p.ca = c.vec_id AND p.cb = s.vec_id) AS score
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+s{i} AS (SELECT vec_id FROM s{i - 1} UNION ALL SELECT vec_id FROM sel{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, simq, "
+        f"CAST(score AS BIGINT) AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),
     "semdedup": (q_semdedup, SEMDEDUP_SQL),
     "skew_join": (q_skew_join, SKEW_JOIN_SQL),
+    "mmr_rerank": (q_mmr_rerank, _mmr_rerank_sql()),
 }

@@ -1156,6 +1156,8 @@ class TestLastBatchOracleParity:
         "bloom_fpr",
         "orc_roundtrip",
         "ipc_roundtrip",
+        "mis_luby",
+        "mmr_rerank",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
