@@ -568,6 +568,197 @@ FROM documents
 """
 
 
+# ===================================================== k-anonymity audit
+#
+# Privacy-release auditing (Sweeney 2002): which quasi-identifier
+# combinations identify fewer than k individuals. The QI here is
+# (nation, market segment, $1000 account-balance band) — the
+# re-identification surface a customer-table release would carry.
+# Balance bands use shifted-cents integer division so floor/truncate
+# semantics agree across engines for negative balances.
+
+KANON_K = 5
+_KANON_SHIFT = 10_000_000  # cents shift: acctbal >= -999.99 → always positive
+
+
+def q_k_anon_audit(sf_dir: str, k: int = KANON_K):
+    """(c_nationkey, c_mktsegment, bal_band, n): every QI combo with
+    fewer than k members — the rows a k-anonymous release must suppress
+    or generalize.
+
+    Scale shape: per-batch combo counts (vectorized groupby) → ONE
+    native groupby on the combo columns — group count is bounded by the
+    VALUE DOMAIN (nations × segments × bands, ~10³), not by rows, so
+    the exchange is metadata-sized at any corpus size."""
+    cust = _read(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype=np.int64),
+                    "c_mktsegment": pd.Series([], dtype=object),
+                    "bal_band": pd.Series([], dtype=np.int64),
+                    "n_p": pd.Series([], dtype=np.int64),
+                }
+            )
+        cents = np.floor(df["c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        band = (cents + _KANON_SHIFT) // 100_000  # $1000 bands, all-positive
+        out = (
+            df.assign(bal_band=band)
+            .groupby(["c_nationkey", "c_mktsegment", "bal_band"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_p"})
+        )
+        return out.astype({"c_nationkey": np.int64, "bal_band": np.int64, "n_p": np.int64})
+
+    agg = (
+        cust.map_batches(partial, batch_format="pandas")
+        .groupby(["c_nationkey", "c_mktsegment", "bal_band"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # ≤ nations × segments × bands rows — domain-bounded
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype=np.int64),
+                "c_mktsegment": pd.Series([], dtype=object),
+                "bal_band": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    risky = agg[agg["n"] < k].reset_index(drop=True)
+    return risky.astype({"c_nationkey": np.int64, "bal_band": np.int64, "n": np.int64})
+
+
+K_ANON_AUDIT_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + {_KANON_SHIFT}) // 100000
+         AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {KANON_K}
+"""
+
+
+# ================================================ integer EWMA smoothing
+#
+# Exponentially-weighted daily event-volume smoothing, α = 1/4 in pure
+# nonnegative integer arithmetic — s_t = (3·s_{{t-1}} + 1000·c_t) // 4 —
+# so floor and truncate coincide and the recursion is bit-exact in both
+# engines (the anomaly-detection baseline a crawl scheduler smooths
+# fetch volumes with). Days with zero events are densified into the
+# grid; the recursion runs over the bounded (types × days) count table.
+
+EWMA_SCALE = 1000
+
+
+def q_ewma_forecast(sf_dir: str):
+    """(event_type, day_idx, n_events, ewma_milli): daily counts per
+    event type with the EWMA track.
+
+    Scale shape: per-batch (type, day) count partials → ONE native
+    groupby bounded by the VALUE DOMAIN (types × days); the sequential
+    EWMA recursion runs on that domain-bounded table on the driver —
+    the same class-(a) bounded finish as the histogram quantile ops."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "day": pd.Series([], dtype=object),
+                    "n_p": pd.Series([], dtype=np.int64),
+                }
+            )
+        day = pd.to_datetime(df["ts"]).dt.floor("D")
+        out = (
+            df.assign(day=day.astype(str))
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_p"})
+        )
+        return out.astype({"n_p": np.int64})
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # ≤ types × days rows — domain-bounded
+    )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "day_idx": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "ewma_milli": pd.Series([], dtype=np.int64),
+        }
+    )
+    if agg.empty:
+        return empty
+    days = sorted(agg["day"].unique())
+    idx = {d: i for i, d in enumerate(days)}
+    rows = []
+    for typ, g in agg.groupby("event_type"):
+        counts = np.zeros(len(days), np.int64)
+        for d, n in zip(g["day"], g["n"]):
+            counts[idx[d]] = int(n)
+        s = counts[0] * EWMA_SCALE
+        rows.append((typ, 0, int(counts[0]), int(s)))
+        for i in range(1, len(days)):
+            s = (3 * s + counts[i] * EWMA_SCALE) // 4
+            rows.append((typ, i, int(counts[i]), int(s)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "day_idx", "n_events", "ewma_milli"]
+    ).astype({"day_idx": np.int64, "n_events": np.int64, "ewma_milli": np.int64})
+
+
+EWMA_FORECAST_SQL = f"""
+WITH RECURSIVE
+d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+grid AS (
+  SELECT t.event_type, g.day,
+         CAST(date_diff('day', (SELECT MIN(day) FROM d), g.day) AS BIGINT)
+           AS day_idx
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT DISTINCT day FROM d) g
+),
+c AS (
+  SELECT g.event_type, g.day_idx,
+         CAST(COUNT(d.day) AS BIGINT) AS n_events
+  FROM grid g
+  LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day
+  GROUP BY 1, 2
+),
+-- dense re-index: day_idx has gaps if calendar days are missing
+r AS (
+  SELECT event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) - 1 AS i
+  FROM c
+),
+ew AS (
+  SELECT event_type, i, n_events,
+         n_events * {EWMA_SCALE} AS s
+  FROM r WHERE i = 0
+  UNION ALL
+  SELECT r.event_type, r.i, r.n_events,
+         (3 * ew.s + r.n_events * {EWMA_SCALE}) // 4
+  FROM ew JOIN r ON r.event_type = ew.event_type AND r.i = ew.i + 1
+)
+SELECT event_type, CAST(i AS BIGINT) AS day_idx,
+       CAST(n_events AS BIGINT) AS n_events, CAST(s AS BIGINT) AS ewma_milli
+FROM ew
+"""
+
+
 VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
     "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
@@ -576,4 +767,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "readability": (q_readability, READABILITY_SQL),
     "cube_stats": (q_cube_stats, CUBE_STATS_SQL),
     "compaction_plan": (q_compaction_plan, COMPACTION_PLAN_SQL),
+    "k_anon_audit": (q_k_anon_audit, K_ANON_AUDIT_SQL),
+    "ewma_forecast": (q_ewma_forecast, EWMA_FORECAST_SQL),
 }

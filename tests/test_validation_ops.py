@@ -139,3 +139,125 @@ class TestAAWeights:
     def test_scaled_int_literals(self):
         for d, w in _AA_W.items():
             assert w == round(1e6 / math.log(d))
+
+
+# ------------------------------------------------------- k-anonymity audit
+
+
+def test_k_anon_audit_matches_bruteforce(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.validation_ops import (
+        KANON_K,
+        _KANON_SHIFT,
+        q_k_anon_audit,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n, dtype=np.int64),
+            "c_name": [f"c{i}" for i in range(n)],
+            "c_nationkey": rng.randint(0, 4, n).astype(np.int32),
+            "c_acctbal": np.round(rng.uniform(-999.99, 3000, n), 2),
+            "c_mktsegment": rng.choice(["A", "B"], n),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "customer.parquet")
+    got = q_k_anon_audit(str(tmp_path))
+    cents = np.floor(df["c_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ref = (
+        df.assign(bal_band=(cents + _KANON_SHIFT) // 100_000)
+        .groupby(["c_nationkey", "c_mktsegment", "bal_band"], as_index=False)
+        .size()
+    )
+    ref = ref[ref["size"] < KANON_K]
+    want = {
+        (int(r.c_nationkey), r.c_mktsegment, int(r.bal_band)): int(r.size)
+        for r in ref.itertuples()
+    }
+    have = {
+        (int(r.c_nationkey), r.c_mktsegment, int(r.bal_band)): int(r.n)
+        for r in got.itertuples()
+    }
+    assert have == want
+    assert all(v < KANON_K for v in have.values())
+
+
+def test_k_anon_negative_band_floor_semantics(ray_session, tmp_path):
+    # -0.01 and +0.01 must land in DIFFERENT bands iff the shifted-cents
+    # floor says so (the truncate-vs-floor trap the shift removes):
+    # band(-0.01) = (10^7 - 1)//10^5 = 99, band(+0.01) = 100
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.validation_ops import q_k_anon_audit
+
+    df = pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [-0.01, 0.01],
+            "c_mktsegment": ["A", "A"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "customer.parquet")
+    got = q_k_anon_audit(str(tmp_path))
+    assert sorted(got["bal_band"]) == [99, 100]
+    assert (got["n"] == 1).all()
+
+
+# --------------------------------------------------------- EWMA smoothing
+
+
+def test_ewma_matches_straight_line(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.pipelines.validation_ops import (
+        EWMA_SCALE,
+        q_ewma_forecast,
+    )
+
+    rng = np.random.RandomState(9)
+    days = pd.date_range("2024-03-01", periods=12, freq="D")
+    rows = []
+    for i, d in enumerate(days):
+        for typ, lam in (("click", 20), ("view", 5)):
+            for j in range(rng.poisson(lam)):
+                rows.append((len(rows), d + pd.Timedelta(minutes=j), 1, typ, 0.0, "{}"))
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = q_ewma_forecast(str(tmp_path))
+    for typ in ("click", "view"):
+        g = got[got["event_type"] == typ].sort_values("day_idx")
+        counts = (
+            df[df["event_type"] == typ]
+            .groupby(df["ts"].dt.floor("D"))
+            .size()
+            .reindex(days, fill_value=0)
+            .to_numpy()
+        )
+        assert list(g["n_events"]) == list(counts)
+        s = counts[0] * EWMA_SCALE
+        want = [s]
+        for c in counts[1:]:
+            s = (3 * s + c * EWMA_SCALE) // 4
+            want.append(s)
+        assert list(g["ewma_milli"]) == want
+    # steady-state sanity: EWMA converges toward the mean rate ×1000
+    click = got[got["event_type"] == "click"]
+    assert abs(int(click["ewma_milli"].iloc[-1]) - 20000) < 12000

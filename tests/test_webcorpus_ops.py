@@ -1158,6 +1158,8 @@ class TestLastBatchOracleParity:
         "ipc_roundtrip",
         "mis_luby",
         "mmr_rerank",
+        "k_anon_audit",
+        "ewma_forecast",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
