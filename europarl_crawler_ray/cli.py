@@ -139,6 +139,42 @@ def cmd_rules(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered operator by name over an sf table directory —
+    the whole queries() surface without writing a script."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__ray_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    if args.list or args.name is None:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 2
+    _ray_session(getattr(args, "num_cpus", 8))
+    res = qs[args.name](args.sf)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    if args.out:
+        res.to_parquet(args.out, index=False)
+        print(f"{len(res)} rows -> {args.out}")
+    else:
+        with __import__("pandas").option_context(
+            "display.max_rows", args.head, "display.width", 200
+        ):
+            print(res.head(args.head))
+        print(f"[{len(res)} rows]")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="europarl-crawler-ray")
     p.add_argument("--num-cpus", type=int, default=8)
@@ -189,10 +225,17 @@ def main(argv=None) -> int:
     cc.add_argument("--partitions", type=int, default=16)
     cc.set_defaults(fn=cmd_ccingest)
 
+    q = sub.add_parser("query", help="run a registered operator over an sf dir")
+    q.add_argument("name", nargs="?", help="operator name (omit with --list)")
+    q.add_argument("--sf", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write result parquet here instead of printing")
+    q.add_argument("--head", type=int, default=20)
+    q.add_argument("--list", action="store_true", help="list operator names")
+    q.set_defaults(fn=cmd_query)
 
     # --num-cpus also accepted AFTER the subcommand (as the README shows);
     # SUPPRESS keeps the top-level value when the sub-position flag is absent
-    for spp in (c, pp, rp, st, rl, cc):
+    for spp in (c, pp, rp, st, rl, cc, q):
         spp.add_argument("--num-cpus", type=int, default=argparse.SUPPRESS)
 
     args = p.parse_args(argv)

@@ -145,6 +145,8 @@ def q_hits_scores(sf_dir: str, n_buckets: int = 64, n_iters: int = HITS_ITERS):
         out = pd.DataFrame(
             {"b": tgt & mask, "node": tgt, "val": em["val"].to_numpy(np.int64)}
         )
+        # combiner: receivers sum — pre-sum per destination (exact)
+        out = out.groupby(["b", "node"], as_index=False)["val"].sum()
         return new_state, out, 1
 
     from .pregel import pregel_actor_loop
@@ -609,6 +611,16 @@ def q_mis_luby(sf_dir: str, n_buckets: int = 64, max_t: int = MIS_MAX_T):
                     "node": tgt,
                     "pri": em["pri"].to_numpy(np.int64),
                 }
+            )
+            # combiner: receivers take the UNSIGNED max — pre-reduce per
+            # destination on the uint64 view (int64 max would misorder
+            # priorities with the top bit set)
+            out["pri_u"] = out["pri"].to_numpy().view(np.uint64)
+            out = (
+                out.groupby(["b", "node"], as_index=False)["pri_u"]
+                .max()
+                .assign(pri=lambda d: d["pri_u"].to_numpy().astype(np.uint64).view(np.int64))
+                .drop(columns=["pri_u"])
             )
             return new_state, out, len(und)
         # odd: decide joins from the broadcast snapshot, emit exclusions

@@ -1339,6 +1339,10 @@ def q_pagerank(sf_dir: str, n_buckets: int = 64, n_iters: int = PR_ITERS):
                 "contrib": contrib.astype(np.int64),
             }
         )
+        # Pregel COMBINER: the receiver only ever sums, so pre-summing
+        # per destination node here shrinks the wire volume from
+        # O(edges) to O(distinct dst per actor) — exact (int addition)
+        out_msgs = out_msgs.groupby(["b", "node"], as_index=False)["contrib"].sum()
         return new_state, out_msgs, 1
 
     from .pregel import pregel_actor_loop
