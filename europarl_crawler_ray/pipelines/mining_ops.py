@@ -1019,6 +1019,153 @@ s{i} AS (SELECT vec_id FROM s{i - 1} UNION ALL SELECT vec_id FROM sel{i})"""
     return ",\n".join(parts) + "\n" + union
 
 
+# ======================================================== rrf_fuse
+#
+# Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR 2009) of
+# two per-nation customer rankings — total spend and order count —
+# the standard zero-tuning way to merge heterogeneous retrieval /
+# scoring signals (here: "who are a nation's top accounts by either
+# lens"). Scores are the integer-floored RRF sum
+#   floor(10^9/(60+r_spend)) + floor(10^9/(60+r_count)),
+# so both engines agree bit-for-bit; every tie (rank ties and fused-
+# score ties) breaks by ascending custkey on BOTH sides.
+
+RRF_K = 60  # the canonical RRF damping constant
+RRF_TOP_K = 3  # fused winners reported per nation
+_RRF_SCALE = 1_000_000_000
+
+
+def q_rrf_fuse(sf_dir: str):
+    """(nationkey, custkey, rrf_score, rank): top-3 customers per
+    nation by fused reciprocal rank of spend-rank and order-count-rank.
+
+    Scale shape: per-batch (custkey, spend, n) combiner → ONE coarse
+    exchange keyed on custkey (exact per-customer totals + broadcast
+    custkey→nationkey attach from the bounded dimension, the
+    q_nation_order_stats precedent) → ONE per-nation exchange where
+    ranking is a local argsort and only top-3 rows leave each group.
+    Ranks are intrinsically global per nation; a nation's customer
+    roster (≤1/25 of the dimension) is the documented per-group bound."""
+    import pyarrow.parquet as _pq
+
+    empty = pd.DataFrame(
+        {
+            "nationkey": pd.Series([], dtype=np.int64),
+            "custkey": pd.Series([], dtype=np.int64),
+            "rrf_score": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+        }
+    )
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    if n_orders == 0 or customer.empty:
+        return empty
+    ck_dim = customer["c_custkey"].to_numpy(np.int64)
+    order_ = np.argsort(ck_dim)
+    cust_ref = ray.put(
+        (ck_dim[order_], customer["c_nationkey"].to_numpy(np.int64)[order_])
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"custkey": df["o_custkey"].to_numpy(np.int64), "spend_p": cents}
+            )
+            .groupby("custkey", as_index=False)
+            .agg(spend_p=("spend_p", "sum"), n_p=("spend_p", "size"))
+        )
+        return g.astype(np.int64)
+
+    def merge_cust(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby("custkey", as_index=False)[["spend_p", "n_p"]].sum()
+        sk, sn = ray.get(cust_ref)
+        keys = x["custkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(sk, keys), 0, len(sk) - 1)
+        member = sk[pos] == keys  # inner-join semantics vs the dimension
+        x = x.loc[member]
+        return pd.DataFrame(
+            {
+                "nationkey": sn[pos[member]],
+                "custkey": x["custkey"].to_numpy(np.int64),
+                "spend": x["spend_p"].to_numpy(np.int64),
+                "n": x["n_p"].to_numpy(np.int64),
+            }
+        )
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["custkey"].to_numpy(np.int64)
+        sp = g["spend"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        r1 = np.empty(len(ck), np.int64)
+        r1[np.lexsort((ck, -sp))] = np.arange(1, len(ck) + 1)
+        r2 = np.empty(len(ck), np.int64)
+        r2[np.lexsort((ck, -n))] = np.arange(1, len(ck) + 1)
+        score = _RRF_SCALE // (RRF_K + r1) + _RRF_SCALE // (RRF_K + r2)
+        top = np.lexsort((ck, -score))[:RRF_TOP_K]
+        return pd.DataFrame(
+            {
+                "nationkey": np.full(len(top), g["nationkey"].iloc[0], np.int64),
+                "custkey": ck[top],
+                "rrf_score": score[top],
+                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        _with_coarse_group(
+            orders.map_batches(partial, batch_format="pandas"), "custkey"
+        )
+        .groupby("_g")
+        .map_groups(lambda g: merge_cust(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby("nationkey")
+        .map_groups(fuse, batch_format="pandas")
+        .to_pandas()  # ≤ 25 nations × 3 rows — bounded
+    )
+    if out.empty:
+        return empty
+    return out.astype(np.int64)
+
+
+RRF_FUSE_SQL = f"""
+WITH s AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c_nationkey AS nationkey, custkey, spend, n
+  FROM s JOIN customer ON c_custkey = custkey
+),
+r AS (
+  SELECT nationkey, custkey,
+         ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY spend DESC, custkey) AS r1,
+         ROW_NUMBER() OVER (PARTITION BY nationkey ORDER BY n DESC, custkey) AS r2
+  FROM j
+),
+f AS (
+  SELECT nationkey, custkey,
+         {_RRF_SCALE} // ({RRF_K} + r1) + {_RRF_SCALE} // ({RRF_K} + r2)
+           AS rrf_score
+  FROM r
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(custkey AS BIGINT) AS custkey,
+       CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY nationkey ORDER BY rrf_score DESC, custkey) AS rnk
+  FROM f
+)
+WHERE rnk <= {RRF_TOP_K}
+"""
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
@@ -1026,4 +1173,5 @@ MINING_SQL_QUERIES: dict[str, tuple] = {
     "semdedup": (q_semdedup, SEMDEDUP_SQL),
     "skew_join": (q_skew_join, SKEW_JOIN_SQL),
     "mmr_rerank": (q_mmr_rerank, _mmr_rerank_sql()),
+    "rrf_fuse": (q_rrf_fuse, RRF_FUSE_SQL),
 }

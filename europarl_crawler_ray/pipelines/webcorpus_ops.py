@@ -55,6 +55,8 @@ from .webgraph_ops import (  # noqa: F401
     COCITE_MIN_SUPPORT,
     q_cocitation_pairs,
     COCITATION_PAIRS_SQL,
+    q_butterfly_count,
+    BUTTERFLY_COUNT_SQL,
 )
 
 from .sketcheval_ops import (  # noqa: F401
@@ -2117,6 +2119,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "cocitation_pairs": (q_cocitation_pairs, COCITATION_PAIRS_SQL),
     "burst_days": (q_burst_days, BURST_DAYS_SQL),
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
+    "butterfly_count": (q_butterfly_count, BUTTERFLY_COUNT_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
     "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),
     "props_stats": (q_props_stats, PROPS_STATS_SQL),

@@ -17,7 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .grouping import partitioned_anti_join  # noqa: F401 (family modules share the helper set)
+from .grouping import global_prune  # noqa: F401 (family modules share the helper set)
+from .grouping import partitioned_anti_join  # noqa: F401
 from .grouping import with_coarse_group as _with_coarse_group  # noqa: F401
 from .ml_queries import _md5u  # noqa: F401 — the shared md5-uint64 SQL hash family
 
@@ -865,4 +866,136 @@ SELECT deg.doc_id, deg.deg,
             AS BIGINT) AS cc_bp
 FROM deg LEFT JOIN tri ON tri.doc_id = deg.doc_id
 WHERE deg.deg >= 2
+"""
+
+
+# ==================================================== butterfly_count
+#
+# Bipartite 4-cycle (butterfly) census over the customer-part purchase
+# graph — the bipartite analogue of triangle counting (Wang et al.
+# "Butterfly Counting in Bipartite Networks", KDD 2018) and the
+# standard cohesion metric for co-purchase / co-occurrence structure.
+# A wedge is an ordered pair of customers sharing one part; a
+# butterfly is a pair of customers sharing TWO parts, i.e.
+# sum over customer pairs of C(shared_parts, 2). Pure integer counts.
+
+
+def q_butterfly_count(sf_dir: str, n_buckets: int = 64):
+    """One row: (n_wedges, n_butterflies) over distinct (customer,
+    part) purchase edges.
+
+    Scale shape — three bounded exchanges, nothing on the driver:
+    (1) orderkey-bucket cogroup attaches custkey to lineitem rows
+    (the q_nation_order_stats join idiom, fact-to-fact so no
+    broadcast); (2) partkey-coarse exchange dedups (cust, part)
+    globally — every copy of a part lands in one group — and emits
+    the per-part customer-pair wedges (vectorized triu per part);
+    (3) c1-coarse exchange counts wedges per customer pair and folds
+    C(n,2) into per-group partial sums, combined by global_prune.
+    Wedge fan-out is quadratic in per-part degree: at 100 TB hot
+    parts need the degeneracy-ordering / delta-capped variant noted
+    in SCALE.md; the uniform TPC-H degree (~30) keeps this exact
+    form linear here."""
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def o_side(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "val": pa.array(t.column("o_custkey").to_numpy().astype(np.int64)),
+                "side": pa.array(np.zeros(len(k), np.int8)),
+                "bucket": pa.array((k & mask).astype(np.int32)),
+            }
+        )
+
+    def i_side(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "val": pa.array(t.column("l_partkey").to_numpy().astype(np.int64)),
+                "side": pa.array(np.ones(len(k), np.int8)),
+                "bucket": pa.array((k & mask).astype(np.int32)),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["side"] == 0, ["key", "val"]].drop_duplicates("key")
+        right = g.loc[g["side"] == 1, ["key", "val"]]
+        m = right.merge(left, on="key", suffixes=("_part", "_cust"))
+        out = m[["val_cust", "val_part"]].drop_duplicates()  # bucket-local dedup
+        out.columns = ["cust", "part"]
+        return out.astype(np.int64)
+
+    edges = (
+        orders.map_batches(o_side, batch_format="pyarrow")
+        .union(items.map_batches(i_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(lambda g: attach(g.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        c1s, c2s = [], []
+        for _p, gg in g.groupby("part"):
+            cs = np.unique(gg["cust"].to_numpy(np.int64))  # global dedup: all
+            # copies of this part live in this group (kcore lesson)
+            if len(cs) >= 2:
+                i, j = np.triu_indices(len(cs), 1)
+                c1s.append(cs[i])
+                c2s.append(cs[j])
+        if not c1s:
+            return pd.DataFrame(
+                {"c1": pd.Series([], dtype=np.int64), "c2": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"c1": np.concatenate(c1s), "c2": np.concatenate(c2s)}
+        ).astype(np.int64)
+
+    def bf_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["c1", "c2"]).size().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_wedges": [int(cnt.sum())],
+                "n_butterflies": [int((cnt * (cnt - 1) // 2).sum())],
+            }
+        ).astype(np.int64)
+
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.sum(axis=0).to_frame().T.astype(np.int64)
+
+    pair_stream = (
+        _with_coarse_group(edges, "part")
+        .groupby("_g")
+        .map_groups(lambda g: wedges(g.drop(columns=["_g"])), batch_format="pandas")
+    )
+    totals = global_prune(
+        _with_coarse_group(pair_stream, "c1")
+        .groupby("_g")
+        .map_groups(lambda g: bf_partial(g.drop(columns=["_g"])), batch_format="pandas"),
+        sum_partials,
+    )
+    if not len(totals):
+        totals = pd.DataFrame({"n_wedges": [0], "n_butterflies": [0]})
+    return totals[["n_wedges", "n_butterflies"]].astype(np.int64)
+
+
+BUTTERFLY_COUNT_SQL = """
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+w AS (
+  SELECT a.c AS c1, b.c AS c2 FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+),
+pc AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_wedges,
+       CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_butterflies
+FROM pc
 """

@@ -1160,6 +1160,10 @@ class TestLastBatchOracleParity:
         "mmr_rerank",
         "k_anon_audit",
         "ewma_forecast",
+        # round-4 third-session batch
+        "benford_audit",
+        "rrf_fuse",
+        "butterfly_count",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
