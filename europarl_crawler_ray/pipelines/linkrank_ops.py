@@ -740,9 +740,163 @@ FROM documents d"""
     return head + ",\n" + parts[-1]
 
 
+# ===================================================== label propagation
+#
+# Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+# the deduped symmetric link graph — the near-linear community
+# detector every web-graph stack ships (site/template cluster
+# discovery without a similarity threshold). Fully deterministic
+# variant: label_0(v) = v; each round every node adopts the label that
+# is most frequent among its neighbours, ties broken by SMALLEST
+# label; isolated nodes keep their label. Fixed LPA_ROUNDS synchronous
+# rounds (the asynchronous variant is order-dependent and
+# un-oracleable), so both engines walk the identical trajectory.
+
+LPA_ROUNDS = 4
+
+
+def q_label_prop(sf_dir: str, n_buckets: int = 64, n_rounds: int = LPA_ROUNDS):
+    """(doc_id, label) after ``n_rounds`` synchronous LPA rounds.
+
+    Scale shape — actor-resident Pregel: the deduped symmetric
+    adjacency loads once (dedup in round 0 inside the owner — the
+    kcore cross-batch lesson), labels live with their node, and each
+    round ships per-(destination, label) COUNT partials (pre-combined
+    inside the sending actor, so wire traffic is bounded by
+    Σ_v distinct neighbour labels, not by edge count). One BSP round
+    per LPA round plus a final apply-only round."""
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    out_schema = {"doc_id": pa.int64(), "label": pa.int64()}
+    n_docs = _n_docs(sf_dir)
+    if n_docs == 0:
+        return _empty(out_schema)
+    from .queries import internal_edges_np
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    # kind 0 = symmetric adjacency (n1=owner/src, n2=dst), kind 1 =
+    # roster (n1=node, lbl=current label)
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst = internal_edges_np(ids, n_docs, drop_self=True)
+        own = np.concatenate([src, dst])
+        nbr = np.concatenate([dst, src])
+        n_e, n_r = len(own), len(ids)
+        n1 = np.concatenate([own, ids])
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]
+                ),
+                "n1": n1,
+                "n2": np.concatenate([nbr, np.full(n_r, -1, np.int64)]),
+                "lbl": np.concatenate([np.zeros(n_e, np.int64), ids]),
+                "b": (n1 & mask),
+            }
+        )
+
+    def broadcast_labels(e: pd.DataFrame, roster: pd.DataFrame) -> pd.DataFrame:
+        em = e[["n1", "n2"]].merge(
+            roster[["n1", "lbl"]], on="n1", how="inner"
+        )
+        out = (
+            em.groupby(["n2", "lbl"], as_index=False)
+            .size()
+            .rename(columns={"n2": "node", "size": "c"})
+        )
+        out["b"] = out["node"].to_numpy(np.int64) & mask
+        return out[["b", "node", "lbl", "c"]].astype(np.int64)
+
+    def lpa_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        if round_i == 0:
+            e = state[state["kind"] == 0].drop_duplicates(["n1", "n2"])
+            state = pd.concat([e, state[state["kind"] == 1]], ignore_index=True)
+        e = state[state["kind"] == 0]
+        roster = state[state["kind"] == 1]
+        if round_i > 0 and msgs is not None and len(msgs):
+            agg = msgs.groupby(["node", "lbl"], as_index=False)["c"].sum()
+            # argmax by (count desc, label asc) — stable and integer
+            agg = agg.sort_values(
+                ["node", "c", "lbl"], ascending=[True, False, True]
+            ).drop_duplicates("node")
+            pick = dict(zip(agg["node"].tolist(), agg["lbl"].tolist()))
+            roster = roster.copy()
+            new_lbl = roster["n1"].map(pick)
+            roster["lbl"] = (
+                new_lbl.fillna(roster["lbl"]).astype(np.int64)
+            )
+            state = pd.concat([e, roster], ignore_index=True)
+        if round_i < n_rounds:
+            return state, broadcast_labels(e, roster), 1
+        return state, None, 0
+
+    from .pregel import pregel_actor_loop
+
+    state_ds, _converged, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        lpa_step,
+        key="b",
+        max_iters=n_rounds + 1,  # n_rounds sends + one final apply
+    )
+    if state_ds is None:
+        return _empty(out_schema)
+
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(
+            pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8()))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "label": pc.cast(lab.column("lbl"), pa.int64()),
+            }
+        )
+
+    return state_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _label_prop_sql(n_rounds: int = LPA_ROUNDS) -> str:
+    md5u = _MD5U_SQL
+    parts = [
+        f"""WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id),
+e0 AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+l0 AS (SELECT doc_id AS v, CAST(doc_id AS BIGINT) AS lbl FROM documents)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT e.src AS v, l.lbl, COUNT(*) AS c
+  FROM e0 e JOIN l{t - 1} l ON l.v = e.dst
+  GROUP BY 1, 2),
+p{t} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{t}) WHERE rn = 1),
+l{t} AS MATERIALIZED (
+  SELECT l.v, COALESCE(p.lbl, l.lbl) AS lbl
+  FROM l{t - 1} l LEFT JOIN p{t} p ON p.v = l.v)"""
+        )
+    parts.append(
+        f"""final AS (SELECT v, lbl FROM l{n_rounds})
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS label FROM final"""
+    )
+    head = ",\n".join(parts[:-1])
+    return head + ",\n" + parts[-1]
+
+
 LINKRANK_SQL_QUERIES = {
     "hits_scores": (q_hits_scores, _hits_sql()),
     "random_walks": (q_random_walks, _random_walks_sql()),
     "scc_pivot": (q_scc_pivot, _SCC_PIVOT_SQL),
     "mis_luby": (q_mis_luby, _mis_luby_sql()),
+    "label_prop": (q_label_prop, _label_prop_sql()),
 }

@@ -14,9 +14,11 @@ import pytest
 
 from europarl_crawler_ray.pipelines.linkrank_ops import (
     HITS_ITERS,
+    LPA_ROUNDS,
     WALK_LEN,
     WALK_SEED_MOD,
     q_hits_scores,
+    q_label_prop,
     q_random_walks,
     q_scc_pivot,
 )
@@ -157,3 +159,50 @@ def test_scc_pivot_always_member(ray_session, tmp_path):
     pq.write_table(_docs_table(n), tmp_path / "documents.parquet")
     df = q_scc_pivot(str(tmp_path)).to_pandas().set_index("doc_id")
     assert df.loc[0, "in_scc"] == 1
+
+
+# --------------------------------------------------- label propagation
+
+
+def straight_line_lpa(n: int, rounds: int = LPA_ROUNDS) -> dict[int, int]:
+    from collections import Counter
+
+    edges = set()
+    for u in range(n):
+        for v in _targets(u, n):
+            if u != v:
+                edges.add((u, v))
+                edges.add((v, u))
+    adj: dict[int, list[int]] = {u: [] for u in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+    lbl = {u: u for u in range(n)}
+    for _ in range(rounds):
+        nxt = {}
+        for u in range(n):
+            if not adj[u]:
+                nxt[u] = lbl[u]
+                continue
+            counts = Counter(lbl[v] for v in adj[u])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[u] = best[0]
+        lbl = nxt
+    return lbl
+
+
+@pytest.mark.parametrize("n", [1, 7, 40, 130])
+def test_label_prop_matches_straight_line(ray_session, tmp_path, n):
+    pq.write_table(_docs_table(n), tmp_path / "documents.parquet")
+    df = q_label_prop(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert df["label"].to_dict() == straight_line_lpa(n)
+
+
+def test_label_prop_coarsens(ray_session, tmp_path):
+    # propagation must actually merge labels: far fewer distinct labels
+    # than nodes once the graph is connected enough
+    n = 130
+    pq.write_table(_docs_table(n), tmp_path / "documents.parquet")
+    df = q_label_prop(str(tmp_path)).to_pandas()
+    assert df["label"].nunique() < n // 2
+    # every surviving label is a real node id (labels only propagate)
+    assert set(df["label"]).issubset(set(range(n)))

@@ -1164,6 +1164,7 @@ class TestLastBatchOracleParity:
         "benford_audit",
         "rrf_fuse",
         "butterfly_count",
+        "label_prop",
     ]
 
     def test_oracle_parity(self, ray_session, sf_dir):
