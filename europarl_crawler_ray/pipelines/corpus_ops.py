@@ -1296,6 +1296,111 @@ FROM c
 """
 
 
+# ===================== n-gram novelty (first-occurrence attribution)
+#
+# Corpus-growth curation signal: a document's contribution is the share
+# of its distinct n-grams that appear FIRST in it (first = smallest
+# doc_id containing the gram — a deterministic stand-in for ingestion
+# order). Complements dup_ngram_coverage: that op marks how much of a
+# doc is duplicated ANYWHERE; this one attributes each shared gram to
+# exactly one owner, so Σ n_novel over docs = |corpus gram vocabulary|.
+#
+# Scale shape: per-batch (gram, doc) rows deduped per doc → ONE coarse
+# exchange on the GRAM CONTENT (routing by hash, equality on content —
+# exact); in-task min-doc per gram and per-doc partial sums; second
+# narrow exchange on doc_id sums partials, with zero-gram docs riding
+# it as tagged meta rows. Nothing data-scaled touches the driver.
+
+NOVELTY_N = 3
+
+
+def q_ngram_novelty(sf_dir: str, n: int = NOVELTY_N):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"]):
+            grams = set(_word_grams(txt, n))
+            ids.extend([int(did)] * len(grams))
+            gs.extend(sorted(grams))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "gram": pd.Series(gs, dtype="object"),
+            }
+        )
+
+    grams = _with_coarse_group(
+        d.map_batches(gram_rows, batch_format="pandas"), "gram"
+    )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("gram")["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "part_grams": np.int64(1),
+                "part_novel": (df["doc_id"] == first).astype("int64"),
+            }
+        )
+        return out.groupby("doc_id", as_index=False)[
+            ["part_grams", "part_novel"]
+        ].sum()
+
+    partials = grams.groupby("_g").map_groups(attribute, batch_format="pandas")
+
+    def doc_meta(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "part_grams": np.int64(0),
+                "part_novel": np.int64(0),
+            }
+        )
+
+    meta = d.map_batches(doc_meta, batch_format="pandas")
+    both = _with_coarse_group(partials.union(meta), "doc_id")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("doc_id", as_index=False)[["part_grams", "part_novel"]].sum()
+        ng = s["part_grams"].to_numpy(np.int64)
+        nv = s["part_novel"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": s["doc_id"].astype("int64"),
+                "n_grams": ng,
+                "n_novel": nv,
+                "novelty_bp": np.where(ng > 0, nv * 10000 // np.maximum(ng, 1), 0),
+            }
+        )
+
+    return both.groupby("_g").map_groups(finish, batch_format="pandas")
+
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - {NOVELTY_N} + 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM w WHERE len(ws) >= {NOVELTY_N}),
+fst AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY 1),
+per AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN fst.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN fst USING (gram) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_novel, 0) AS n_novel,
+       CAST(COALESCE(per.n_novel * 10000 // per.n_grams, 0) AS BIGINT)
+         AS novelty_bp
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -1313,4 +1418,5 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
     "contamination_check": (q_contamination_check, CONTAMINATION_CHECK_SQL),
     "normalize_text": (q_normalize_text, NORMALIZE_TEXT_SQL),
+    "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
 }

@@ -893,10 +893,193 @@ SELECT CAST(v AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS label FROM final"""
     return head + ",\n" + parts[-1]
 
 
+# ========================================== personalized PageRank (PPR)
+#
+# Topic-sensitive PageRank (Haveliwala 2002): the teleport mass lands
+# only on a SEED set (here: English-language pages — the "crawl toward
+# this topic" prior a focused crawler uses for frontier ordering).
+# Same scaled-integer arithmetic as queries.q_pagerank (bit-exact vs
+# the unrolled oracle): pr0(v) = 1e6·[v∈S];
+# pr_{t+1}(v) = 0.15e6·[v∈S] + Σ_{(u,v)} pr_t(u)·85 // (outdeg(u)·100).
+# Scale shape: identical actor-resident Pregel — roster + out-edges
+# load once per bucket actor, only pre-combined contribution messages
+# cross rounds; the seed indicator is one extra int8 roster column, so
+# personalization costs nothing over the global PageRank.
+
+PPR_SEED_LANG = "en"
+
+
+def q_pagerank_personalized(sf_dir: str, n_buckets: int = 64, n_iters: int = 3):
+    from .queries import PR_DAMP_NUM, PR_SCALE, internal_edges_np
+
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "ppr": pa.array([], pa.int64())}
+        )
+    )
+    if n_docs == 0:
+        return empty
+
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        ids_np = t.column("doc_id").to_numpy().astype(np.int64)
+        is_seed = (
+            pc.equal(t.column("lang"), pa.scalar(PPR_SEED_LANG))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8)
+        )
+        src, dst, deg = internal_edges_np(ids_np, n_docs, return_counts=True)
+        n_e, n_r = len(src), len(ids_np)
+        n1 = np.concatenate([src, ids_np])
+        return pd.DataFrame(
+            {
+                "kind": np.concatenate(
+                    [np.zeros(n_e, np.int8), np.ones(n_r, np.int8)]
+                ),
+                "n1": n1,
+                "n2": np.concatenate([dst, np.full(n_r, -1, np.int64)]),
+                "outdeg": np.concatenate([deg, np.zeros(n_r, np.int64)]),
+                "pr": np.zeros(n_e + n_r, np.int64),
+                "seed": np.concatenate([np.zeros(n_e, np.int8), is_seed]),
+                "b": (n1 & mask),
+            }
+        )
+
+    def ppr_step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        e = state[state["kind"] == 0]
+        roster = state[state["kind"] == 1]
+        seed_mass = roster["seed"].to_numpy(np.int64)
+        if round_i == 0:
+            pr = pd.DataFrame(
+                {
+                    "n1": roster["n1"].to_numpy(np.int64),
+                    "pr": (seed_mass * PR_SCALE).astype(np.int64),
+                }
+            )
+        else:
+            base = pd.DataFrame(
+                {"node": roster["n1"].to_numpy(np.int64), "contrib": np.int64(0)}
+            )
+            inc = (
+                msgs[["node", "contrib"]]
+                if msgs is not None and len(msgs)
+                else base.iloc[:0]
+            )
+            s = (
+                pd.concat([base, inc])
+                .groupby("node", as_index=False)["contrib"]
+                .sum()
+            )
+            # roster and s are both keyed by n1/node; align seed term by merge
+            m = pd.DataFrame(
+                {
+                    "node": roster["n1"].to_numpy(np.int64),
+                    "base": (seed_mass * (PR_SCALE * 15 // 100)).astype(np.int64),
+                }
+            ).merge(s, on="node", how="left")
+            pr = pd.DataFrame(
+                {
+                    "n1": m["node"].to_numpy(np.int64),
+                    "pr": (
+                        m["base"].to_numpy(np.int64)
+                        + m["contrib"].fillna(0).to_numpy(np.int64)
+                    ),
+                }
+            )
+        new_roster = roster.drop(columns=["pr"]).merge(pr, on="n1", how="left")
+        new_roster["pr"] = new_roster["pr"].fillna(0).astype(np.int64)
+        cols = ["kind", "n1", "n2", "outdeg", "pr", "seed", "b"]
+        new_state = pd.concat([e, new_roster[cols]], ignore_index=True)
+        if round_i >= n_iters:
+            return new_state, None, 0
+        em = e[["n1", "n2", "outdeg"]].merge(pr, on="n1", how="inner")
+        contrib = em["pr"].to_numpy() * PR_DAMP_NUM // (
+            em["outdeg"].to_numpy() * 100
+        )
+        out_msgs = pd.DataFrame(
+            {
+                "b": (em["n2"].to_numpy(np.int64) & mask),
+                "node": em["n2"].to_numpy(np.int64),
+                "contrib": contrib.astype(np.int64),
+            }
+        )
+        out_msgs = out_msgs.groupby(["b", "node"], as_index=False)["contrib"].sum()
+        return new_state, out_msgs, 1
+
+    from .pregel import pregel_actor_loop
+
+    state_ds, _, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        ppr_step,
+        key="b",
+        max_iters=n_iters + 1,
+    )
+    if state_ds is None:
+        return empty
+
+    def extract(t: pa.Table) -> pa.Table:
+        lab = t.filter(
+            pc.equal(pc.cast(t.column("kind"), pa.int8()), pa.scalar(1, pa.int8()))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(lab.column("n1"), pa.int64()),
+                "ppr": pc.cast(lab.column("pr"), pa.int64()),
+            }
+        )
+
+    return state_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _ppr_sql(n_iters: int = 3) -> str:
+    from .queries import PR_DAMP_NUM, PR_SCALE
+
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR))"
+        ", 1, 16)) AS UBIGINT)"
+    )
+    rounds = []
+    prev = "pr0"
+    for t in range(1, n_iters + 1):
+        rounds.append(
+            f"""c{t} AS (
+  SELECT e.dst AS doc_id, SUM({prev}.pr * {PR_DAMP_NUM} // (e.outdeg * 100)) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY 1),
+pr{t} AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = '{PPR_SEED_LANG}' THEN {PR_SCALE * 15 // 100}
+              ELSE 0 END + COALESCE(c{t}.s, 0) AS pr
+  FROM documents d LEFT JOIN c{t} ON d.doc_id = c{t}.doc_id)"""
+        )
+        prev = f"pr{t}"
+    joined = ",\n".join(rounds)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst, k AS outdeg
+  FROM (SELECT doc_id, k, unnest(range(1, k + 1)) AS j FROM kk), n),
+pr0 AS (SELECT doc_id,
+               CAST(CASE WHEN lang = '{PPR_SEED_LANG}' THEN {PR_SCALE}
+                    ELSE 0 END AS BIGINT) AS pr
+        FROM documents),
+{joined}
+SELECT doc_id, CAST(pr AS BIGINT) AS ppr FROM {prev}
+"""
+
+
 LINKRANK_SQL_QUERIES = {
     "hits_scores": (q_hits_scores, _hits_sql()),
     "random_walks": (q_random_walks, _random_walks_sql()),
     "scc_pivot": (q_scc_pivot, _SCC_PIVOT_SQL),
     "mis_luby": (q_mis_luby, _mis_luby_sql()),
     "label_prop": (q_label_prop, _label_prop_sql()),
+    "pagerank_personalized": (q_pagerank_personalized, _ppr_sql()),
 }

@@ -860,6 +860,95 @@ WHERE t.n > 0
 """
 
 
+# =================================================== inclusion_deps
+#
+# Inclusion-dependency discovery (Metanome/Binder-style data
+# profiling): for a candidate list of cross-table column pairs, count
+# the distinct dependent values missing from the referenced column —
+# the foreign-key validity audit a lakehouse runs before declaring
+# constraints. The candidate list mixes holding FKs with one genuine
+# violation (orders without lineitems), so both verdicts are live.
+#
+# Scale shape per pair: BOTH sides get a per-batch distinct combiner,
+# then ONE bucket exchange on key & mask co-locates each value's rows
+# (the partitioned_anti_join shape with a distinct-count piggybacked);
+# per-bucket np.setdiff1d, and only the two per-bucket counters reach
+# the final 16-row reduce. Nothing data-scaled on the driver.
+
+INCLUSION_PAIRS = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+_IND_BUCKETS = 32
+
+
+def q_inclusion_deps(sf_dir: str):
+    frames = []
+    for dt, dc, rt, rc in INCLUSION_PAIRS:
+        dep = _read(sf_dir, dt, columns=[dc])
+        ref = _read(sf_dir, rt, columns=[rc])
+        mask = _IND_BUCKETS - 1
+
+        def prep(col, side):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                v = np.unique(df[col].to_numpy(np.int64))
+                return pd.DataFrame(
+                    {
+                        "k": v,
+                        "side": np.full(v.size, side, np.int8),
+                        "b": (v & mask).astype(np.int64),
+                    }
+                )
+
+            return fn
+
+        both = dep.map_batches(prep(dc, 0), batch_format="pandas").union(
+            ref.map_batches(prep(rc, 1), batch_format="pandas")
+        )
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            dk = np.unique(g.loc[g["side"] == 0, "k"].to_numpy(np.int64))
+            rk = np.unique(g.loc[g["side"] == 1, "k"].to_numpy(np.int64))
+            miss = np.setdiff1d(dk, rk, assume_unique=True)
+            return pd.DataFrame(
+                {
+                    "part_distinct": [np.int64(dk.size)],
+                    "part_viol": [np.int64(miss.size)],
+                }
+            )
+
+        per = both.groupby("b").map_groups(per_bucket, batch_format="pandas")
+        tot = per.to_pandas()  # ≤ _IND_BUCKETS rows — bucket-bounded
+        n_d = int(tot["part_distinct"].sum()) if len(tot) else 0
+        n_v = int(tot["part_viol"].sum()) if len(tot) else 0
+        frames.append((f"{dt}.{dc}", f"{rt}.{rc}", n_d, n_v, int(n_v == 0)))
+    return pd.DataFrame(
+        frames,
+        columns=["dependent", "referenced", "n_distinct", "n_violations", "holds"],
+    ).astype({"n_distinct": "int64", "n_violations": "int64", "holds": "int64"})
+
+
+INCLUSION_DEPS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{dt}.{dc}' AS dependent, '{rt}.{rc}' AS referenced,
+       CAST(COUNT(DISTINCT {dc}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT CASE WHEN NOT EXISTS
+         (SELECT 1 FROM {rt} WHERE {rc} = d.{dc}) THEN d.{dc} END) AS BIGINT)
+         AS n_violations,
+       CAST(CASE WHEN COUNT(DISTINCT CASE WHEN NOT EXISTS
+         (SELECT 1 FROM {rt} WHERE {rc} = d.{dc}) THEN d.{dc} END) = 0
+         THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM {dt} d"""
+    for dt, dc, rt, rc in INCLUSION_PAIRS
+)
+
+
 VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
     "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
@@ -871,4 +960,5 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "k_anon_audit": (q_k_anon_audit, K_ANON_AUDIT_SQL),
     "ewma_forecast": (q_ewma_forecast, EWMA_FORECAST_SQL),
     "benford_audit": (q_benford_audit, BENFORD_AUDIT_SQL),
+    "inclusion_deps": (q_inclusion_deps, INCLUSION_DEPS_SQL),
 }
