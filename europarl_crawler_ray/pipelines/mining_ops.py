@@ -1166,6 +1166,384 @@ WHERE rnk <= {RRF_TOP_K}
 """
 
 
+# ==================================================== dedup_cascade
+#
+# The FineWeb/CCNet-style THREE-STAGE dedup cascade as ONE streaming
+# pipeline: exact (md5 text identity, keep min doc_id) → MinHash LSH
+# near-dup (drop a stage-1 survivor iff a SMALLER stage-1 survivor is
+# an n_agree≥26 pair partner) → SemDeDup semantic (cells + τ-cosine,
+# restricted to stage-2 survivors, centroids md5-sampled FROM the
+# survivors). Output: (doc_id, verdict) with verdict 0=kept,
+# 1=exact-dup, 2=near-dup, 3=semantic-dup — each doc dropped by the
+# EARLIEST stage that catches it, so downstream stages never pay for
+# it (the cost argument for cascading at 100 TB).
+#
+# Scale shape: stage 1 is one content-hash exchange; stage 2 reuses
+# q_dedup_minhash's banded LSH pair stream and filters it through two
+# id-keyed tagged-union exchanges (survivor sets never leave tasks);
+# stage 3 reuses the SemDeDup shape with the survivor flag attached by
+# one more id-keyed exchange before the cell exchange. Embeddings are
+# document embeddings keyed vec_id == doc_id (the testdata contract);
+# docs without a usable embedding (zero-norm) simply skip stage 3.
+
+CASCADE_MIN_AGREE = 26
+
+
+def _tagged_filter(pairs, key_col: str, flags):
+    """Keep pair rows whose ``key_col`` id is flagged as a survivor.
+    ``flags`` rows: (k, keep). Both ride ONE coarse exchange on k."""
+
+    cols = ["k", "is_flag", "keep", "doc_a", "doc_b"]
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            k=df[key_col].astype(np.int64), is_flag=np.int8(0), keep=np.int8(0)
+        )[cols]
+
+    def tag_flags(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            is_flag=np.int8(1), doc_a=np.int64(-1), doc_b=np.int64(-1)
+        )[cols]
+
+    both = _with_coarse_group(
+        pairs.map_batches(tag_pairs, batch_format="pandas").union(
+            flags.map_batches(tag_flags, batch_format="pandas")
+        ),
+        "k",
+    )
+
+    def keep_flagged(df: pd.DataFrame) -> pd.DataFrame:
+        surv = set(
+            df.loc[(df["is_flag"] == 1) & (df["keep"] == 1), "k"].astype(np.int64)
+        )
+        p = df[df["is_flag"] == 0]
+        return p.loc[p["k"].isin(surv), ["doc_a", "doc_b"]].astype(np.int64)
+
+    return both.groupby("_g").map_groups(keep_flagged, batch_format="pandas")
+
+
+def q_dedup_cascade(sf_dir: str):
+    from ..functions.dedup import md5_hash64
+    from .grouping import global_prune
+    from .ml_queries import q_dedup_minhash
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # ---- stage 1: exact content identity, keep the smallest doc_id
+    def h_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "h": md5_hash64(list(df["text"])).astype(np.int64),
+            }
+        )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("h")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "k": df["doc_id"].astype("int64"),
+                "keep": (df["doc_id"] == first).astype(np.int8),
+            }
+        )
+
+    v1 = (
+        _with_coarse_group(d.map_batches(h_rows, batch_format="pandas"), "h")
+        .groupby("_g")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+    # ---- stage 2: LSH pairs, both ends stage-1 survivors → drop doc_b
+    pairs = q_dedup_minhash(sf_dir, min_agree=CASCADE_MIN_AGREE)
+    pa_ok = _tagged_filter(pairs, "doc_a", v1)
+    pb_ok = _tagged_filter(pa_ok, "doc_b", v1)
+
+    def drops2_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(df["doc_b"].to_numpy(np.int64))
+        return pd.DataFrame({"k": v, "keep": np.zeros(v.size, np.int8)})
+
+    d2 = pb_ok.map_batches(drops2_rows, batch_format="pandas")
+
+    # verdict after stage 2: one id-keyed exchange combining v1 and d2
+    def v2_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # kind 1 = stage-1 verdict rows (keep∈{0,1}); kind 2 = stage-2
+        # drop notices. stage = 1 if exact-dropped, 2 if near-dropped,
+        # else 0 — all vectorized per-k boolean reductions
+        k = df["k"].to_numpy(np.int64)
+        drop1 = ((df["kind"] == 1) & (df["keep"] == 0)).to_numpy()
+        drop2 = (df["kind"] == 2).to_numpy()
+        s1 = pd.Series(drop1).groupby(k).any()
+        s2 = pd.Series(drop2).groupby(k).any()
+        ids = s1.index.to_numpy(np.int64)
+        st = np.where(s1.to_numpy(), 1, np.where(s2.to_numpy(), 2, 0))
+        return pd.DataFrame({"k": ids, "stage": st.astype(np.int64)})
+
+    v2 = (
+        _with_coarse_group(
+            v1.map_batches(
+                lambda df: df.assign(kind=np.int8(1)), batch_format="pandas"
+            ).union(
+                d2.map_batches(
+                    lambda df: df.assign(kind=np.int8(2)), batch_format="pandas"
+                )
+            ),
+            "k",
+        )
+        .groupby("_g")
+        .map_groups(v2_combine, batch_format="pandas")
+    )
+
+    # ---- stage 3: SemDeDup restricted to stage-2 survivors
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    jcols = ["k", "kind", "stage", "eb"]
+
+    def tag_emb(df: pd.DataFrame) -> pd.DataFrame:
+        # embedding rides the exchange as BYTES: a mixed tensor/null
+        # Arrow column breaks the shuffle concat (measured at sf0.1)
+        return pd.DataFrame(
+            {
+                "k": df["vec_id"].astype("int64"),
+                "kind": np.int8(0),
+                "stage": np.int64(-1),
+                "eb": [
+                    np.asarray(v, dtype=np.float64).tobytes()
+                    for v in df["embedding"]
+                ],
+            }
+        )[jcols]
+
+    def tag_v2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(kind=np.int8(1), eb=b"")[jcols]
+
+    joined = _with_coarse_group(
+        emb.map_batches(tag_emb, batch_format="pandas").union(
+            v2.map_batches(tag_v2, batch_format="pandas")
+        ),
+        "k",
+    )
+
+    def surv_vec(df: pd.DataFrame) -> pd.DataFrame:
+        surv = set(
+            df.loc[(df["kind"] == 1) & (df["stage"] == 0), "k"].astype(np.int64)
+        )
+        e = df[df["kind"] == 0]
+        e = e[e["k"].isin(surv)]
+        if not len(e):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "embedding": pd.Series(dtype=object),
+                }
+            )
+        mat = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in e["eb"]]
+        )
+        ok = np.linalg.norm(mat, axis=1) > 0
+        e, mat = e[ok], mat[ok]
+        return pd.DataFrame(
+            {
+                "vec_id": e["k"].to_numpy(np.int64),
+                "embedding": list(mat),
+            }
+        )
+
+    semb = joined.groupby("_g").map_groups(surv_vec, batch_format="pandas")
+
+    def cent_cand(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "vec_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "embedding": pd.Series(dtype=object),
+                }
+            )
+        md5s = np.array(
+            [
+                hashlib.md5(f"cas:{int(v)}".encode()).hexdigest()
+                for v in df["vec_id"]
+            ]
+        )
+        keep = np.argsort(md5s)[:SEMDEDUP_CELLS]
+        return df.iloc[np.sort(keep)][["vec_id", "embedding"]]
+
+    cent_df = global_prune(semb, cent_cand)
+    if cent_df.empty:
+        # no survivors with usable embeddings: verdicts are v2 as-is
+        def finish_nosem(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["k"].astype("int64"),
+                    "verdict": df["stage"].astype("int64"),
+                }
+            )
+
+        return v2.map_batches(finish_nosem, batch_format="pandas")
+
+    md5s = np.array(
+        [hashlib.md5(f"cas:{int(v)}".encode()).hexdigest() for v in cent_df["vec_id"]]
+    )
+    order = np.argsort(md5s)[:SEMDEDUP_CELLS]
+    cent_df = cent_df.iloc[order].sort_values("vec_id")
+    cids = cent_df["vec_id"].to_numpy(np.int64)
+    cent = np.stack(cent_df["embedding"].to_numpy()).astype(np.float64)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cref = ray.put((cids, cent))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cids_, ct = ray.get(cref)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype=np.int64),
+                    "cell": pd.Series(dtype=np.int64),
+                    "vec": pd.Series(dtype=object),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ ct.T
+        # max cosine, tie → smallest cid (cids_ sorted ASC, argmax takes
+        # the first maximum — the oracle's ROW_NUMBER tie-break)
+        cell = cids_[sims.argmax(axis=1)]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cell": cell.astype(np.int64),
+                "vec": [v.tobytes() for v in matn],
+            }
+        )
+
+    def drop_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        dup = (np.triu(sims >= SEMDEDUP_TAU, k=1)).any(axis=0)
+        v = ids[dup]
+        return pd.DataFrame({"k": v, "kind": np.full(v.size, 3, np.int8)})
+
+    d3 = (
+        semb.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(drop_cell, batch_format="pandas")
+    )
+
+    # ---- final verdict: v2 (stage 0/1/2) + stage-3 drop notices
+    def final_combine(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        stage = df["stage"].groupby(k).max()  # v2 carry 0/1/2; d3 carry -1
+        sem = pd.Series((df["kind"] == 3).to_numpy()).groupby(k).any()
+        ids = stage.index.to_numpy(np.int64)
+        st = stage.to_numpy(np.int64)
+        verdict = np.where((st == 0) & sem.to_numpy(), 3, st)
+        return pd.DataFrame(
+            {"doc_id": ids, "verdict": verdict.astype(np.int64)}
+        )
+
+    fcols = ["k", "stage", "kind"]
+    final = (
+        _with_coarse_group(
+            v2.map_batches(
+                lambda df: df.assign(kind=np.int8(0))[fcols],
+                batch_format="pandas",
+            ).union(
+                d3.map_batches(
+                    lambda df: df.assign(stage=np.int64(-1))[fcols],
+                    batch_format="pandas",
+                )
+            ),
+            "k",
+        )
+        .groupby("_g")
+        .map_groups(final_combine, batch_format="pandas")
+    )
+    return final
+
+
+def _dedup_cascade_sql() -> str:
+    from ..functions.dedup import N_BANDS, N_PERM
+    from .ml_queries import _perms_values
+
+    return f"""
+WITH v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 0 ELSE 1 END AS d1
+  FROM documents),
+s1 AS (SELECT doc_id FROM v1 WHERE d1 = 0),
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END) AS s
+  FROM w WHERE len(ws) > 0),
+hh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) % 2147483647 AS h
+  FROM sh),
+perms(j, a, b) AS (VALUES {_perms_values()}),
+sig AS (
+  SELECT doc_id, j,
+         MIN((CAST(a AS UBIGINT) * h + CAST(b AS UBIGINT)) % 2147483647) AS m
+  FROM hh CROSS JOIN perms GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, j // {N_PERM // N_BANDS} AS band, list(m ORDER BY j) AS bsig
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM agree p
+  JOIN s1 a ON a.doc_id = p.doc_a
+  JOIN s1 b ON b.doc_id = p.doc_b
+  WHERE p.n_agree >= {CASCADE_MIN_AGREE}),
+s2 AS (SELECT doc_id FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM d2)),
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) > 0),
+sv AS (SELECT e0.vec_id, e0.e FROM e0 JOIN s2 ON s2.doc_id = e0.vec_id),
+cent AS (SELECT vec_id AS cid, e FROM sv
+         ORDER BY md5('cas:' || CAST(vec_id AS VARCHAR))
+         LIMIT {SEMDEDUP_CELLS}),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT sv.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id
+                              ORDER BY list_cosine_similarity(sv.e, c.e) DESC,
+                                       c.cid ASC) AS rn
+    FROM sv CROSS JOIN cent c) WHERE rn = 1),
+d3 AS (
+  SELECT ce.vec_id AS doc_id FROM cells ce
+  WHERE EXISTS (
+    SELECT 1 FROM cells ce2 JOIN sv v2 ON v2.vec_id = ce2.vec_id
+    WHERE ce2.cell = ce.cell AND ce2.vec_id < ce.vec_id
+      AND list_cosine_similarity(
+            (SELECT e FROM sv WHERE sv.vec_id = ce.vec_id), v2.e
+          ) >= {SEMDEDUP_TAU}))
+SELECT CAST(v1.doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN v1.d1 = 1 THEN 1
+                 WHEN v1.doc_id IN (SELECT doc_id FROM d2) THEN 2
+                 WHEN v1.doc_id IN (SELECT doc_id FROM d3) THEN 3
+                 ELSE 0 END AS BIGINT) AS verdict
+FROM v1
+"""
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
@@ -1174,4 +1552,5 @@ MINING_SQL_QUERIES: dict[str, tuple] = {
     "skew_join": (q_skew_join, SKEW_JOIN_SQL),
     "mmr_rerank": (q_mmr_rerank, _mmr_rerank_sql()),
     "rrf_fuse": (q_rrf_fuse, RRF_FUSE_SQL),
+    "dedup_cascade": (q_dedup_cascade, _dedup_cascade_sql()),
 }

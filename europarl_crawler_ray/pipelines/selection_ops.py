@@ -198,13 +198,16 @@ def q_phrase_query(sf_dir: str, top_p: int = PHRASE_TOP_P):
     counts = keyed.groupby("_g").map_groups(reduce_counts, batch_format="pandas")
 
     def prune_top(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+        if df.empty or "w1" not in df.columns:
             return df
         order = df.sort_values(["n", "w1", "w2"], ascending=[False, True, True])
         return order.head(top_p)
 
     top = global_prune(counts, prune_top)  # ≤ P rows on the driver
-    phrases = list(zip(top["w1"].tolist(), top["w2"].tolist()))
+    if top.empty or "w1" not in top.columns:  # empty corpus: no columns
+        phrases = []
+    else:
+        phrases = list(zip(top["w1"].tolist(), top["w2"].tolist()))
 
     def count_hits(df: pd.DataFrame) -> pd.DataFrame:
         ph, ids, occ = [], [], []
