@@ -1247,11 +1247,18 @@ def q_dedup_cascade(sf_dir: str):
             }
         )
 
+    # verdict/pair intermediates are MATERIALIZED: each is consumed by
+    # 2-3 downstream branches, and a lazy Ray DAG re-executes its whole
+    # upstream per consumer — without the pins the banded-LSH pass ran
+    # 4× and the cascade cost 270 s at sf0.1 instead of ~25 s. Three
+    # pins are narrow id/flag tables (O(docs) ints); the fourth (semb)
+    # pins the stage-2-survivor embeddings in the object store
+    # (spillable — the same footprint an IVF build holds).
     v1 = (
         _with_coarse_group(d.map_batches(h_rows, batch_format="pandas"), "h")
         .groupby("_g")
         .map_groups(keep_min, batch_format="pandas")
-    )
+    ).materialize()
 
     # ---- stage 2: LSH pairs, both ends stage-1 survivors → drop doc_b
     pairs = q_dedup_minhash(sf_dir, min_agree=CASCADE_MIN_AGREE)
@@ -1262,7 +1269,7 @@ def q_dedup_cascade(sf_dir: str):
         v = np.unique(df["doc_b"].to_numpy(np.int64))
         return pd.DataFrame({"k": v, "keep": np.zeros(v.size, np.int8)})
 
-    d2 = pb_ok.map_batches(drops2_rows, batch_format="pandas")
+    d2 = pb_ok.map_batches(drops2_rows, batch_format="pandas").materialize()
 
     # verdict after stage 2: one id-keyed exchange combining v1 and d2
     def v2_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -1291,7 +1298,7 @@ def q_dedup_cascade(sf_dir: str):
         )
         .groupby("_g")
         .map_groups(v2_combine, batch_format="pandas")
-    )
+    ).materialize()
 
     # ---- stage 3: SemDeDup restricted to stage-2 survivors
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1348,7 +1355,9 @@ def q_dedup_cascade(sf_dir: str):
             }
         )
 
-    semb = joined.groupby("_g").map_groups(surv_vec, batch_format="pandas")
+    semb = joined.groupby("_g").map_groups(
+        surv_vec, batch_format="pandas"
+    ).materialize()
 
     def cent_cand(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df) or "vec_id" not in df.columns:
