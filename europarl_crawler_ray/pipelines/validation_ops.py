@@ -860,6 +860,119 @@ WHERE t.n > 0
 """
 
 
+# ========================================================== auc_eval
+#
+# Exact ROC-AUC of an integer linear scorer against the embedding
+# labels (positive = label 0) via the Mann-Whitney rank-sum identity
+# with midrank tie handling — the classifier-evaluation primitive a
+# quality-filter pipeline runs after training. Everything is integer:
+# coordinates quantize to floor(1000·x) (double-cast on both engines,
+# so the floor is IEEE-identical), weights are md5-derived in [-8, 8],
+# and AUC uses 2·midrank = 2·RANK + ties − 1 so no halves appear.
+#
+# Scale shape: scores are a per-batch matvec; the rank statistic needs
+# only the (score, n_pos, n_neg) HISTOGRAM — per-batch partials → one
+# coarse exchange on score → distinct-score-bounded driver reduce (the
+# rank_normalize boundedness argument; scores take ≤ |corpus| values
+# but collapse heavily under quantization).
+
+AUC_DIM = 64
+AUC_POS_LABEL = 0
+
+
+def _auc_weights() -> np.ndarray:
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(f"auc:{i}".encode()).hexdigest()[:16], 16) % 17 - 8
+            for i in range(1, AUC_DIM + 1)
+        ],
+        dtype=np.int64,
+    )
+
+
+def q_auc_eval(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    w = _auc_weights()
+
+    def score_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=np.int64),
+                    "part_pos": pd.Series(dtype=np.int64),
+                    "part_neg": pd.Series(dtype=np.int64),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1000.0).astype(np.int64)
+        s = q @ w
+        pos = (df["label"].to_numpy(np.int64) == AUC_POS_LABEL).astype(np.int64)
+        out = pd.DataFrame({"s": s, "part_pos": pos, "part_neg": 1 - pos})
+        return out.groupby("s", as_index=False)[["part_pos", "part_neg"]].sum()
+
+    parts = emb.map_batches(score_hist, batch_format="pandas")
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False)[["part_pos", "part_neg"]].sum()
+
+    hist = (
+        _with_coarse_group(parts, "s")
+        .groupby("_g")
+        .map_groups(lambda g: reduce_hist(g.drop(columns=["_g"])),
+                    batch_format="pandas")
+        .to_pandas()  # distinct-score-bounded (see header note)
+    )
+    cols = ["n_pos", "n_neg", "auc_bp"]
+    if hist.empty or "s" not in hist.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    hist = hist.sort_values("s").reset_index(drop=True)
+    c_pos = hist["part_pos"].to_numpy(np.int64)
+    c_neg = hist["part_neg"].to_numpy(np.int64)
+    c = c_pos + c_neg
+    # min rank of each score value = 1 + #items strictly below
+    below = np.concatenate(([0], np.cumsum(c)[:-1]))
+    rk = below + 1
+    sum2mid = int((c_pos * (2 * rk + c - 1)).sum())
+    n_pos, n_neg = int(c_pos.sum()), int(c_neg.sum())
+    if n_pos == 0 or n_neg == 0:
+        auc_bp = -1
+    else:
+        auc_bp = (sum2mid - n_pos * (n_pos + 1)) * 10000 // (2 * n_pos * n_neg)
+    return pd.DataFrame(
+        {"n_pos": [n_pos], "n_neg": [n_neg], "auc_bp": [auc_bp]}
+    ).astype("int64")
+
+
+AUC_EVAL_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CASE WHEN label = {AUC_POS_LABEL} THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+w AS (
+  SELECT i,
+         CAST(CAST(concat('0x', substr(md5('auc:' || CAST(i AS VARCHAR)),
+              1, 16)) AS UBIGINT) % 17 AS BIGINT) - 8 AS wt
+  FROM (SELECT unnest(range(1, {AUC_DIM} + 1)) AS i)),
+q AS (
+  SELECT e.vec_id, MAX(e.pos) AS pos,
+         SUM(CAST(floor(e.e[w.i] * 1000) AS BIGINT) * w.wt) AS s
+  FROM e, w GROUP BY e.vec_id),
+r AS (SELECT pos, RANK() OVER (ORDER BY s) AS rk,
+             COUNT(*) OVER (PARTITION BY s) AS c
+      FROM q),
+u AS (SELECT SUM(CASE WHEN pos = 1 THEN 2 * rk + c - 1 ELSE 0 END) AS sum2mid,
+             SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM r)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(CASE WHEN np = 0 OR nn = 0 THEN -1
+            ELSE (sum2mid - np * (np + 1)) * 10000 // (2 * np * nn)
+            END AS BIGINT) AS auc_bp
+FROM u WHERE np IS NOT NULL
+"""
+
+
 # =================================================== inclusion_deps
 #
 # Inclusion-dependency discovery (Metanome/Binder-style data
@@ -991,4 +1104,5 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "ewma_forecast": (q_ewma_forecast, EWMA_FORECAST_SQL),
     "benford_audit": (q_benford_audit, BENFORD_AUDIT_SQL),
     "inclusion_deps": (q_inclusion_deps, INCLUSION_DEPS_SQL),
+    "auc_eval": (q_auc_eval, AUC_EVAL_SQL),
 }

@@ -617,12 +617,116 @@ WITH s AS (
     CAST(SUM(length(text)) AS BIGINT) AS n_chars,
     CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
     CAST(SUM(len(regexp_extract_all(text, '[^ 	
-]+'))) AS BIGINT) AS n_tokens
+
+]+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang)
 SELECT lang, n_docs, n_chars, n_bytes, n_tokens,
   CAST(100 * n_chars // GREATEST(n_tokens, 1) AS BIGINT) AS chars_per_token_x100,
   CAST(100 * n_bytes // GREATEST(n_tokens, 1) AS BIGINT) AS bytes_per_token_x100
 FROM s
+"""
+
+
+# ===================================================== vocab_coverage
+#
+# Tokenizer-sizing curve: what fraction of all token OCCURRENCES is
+# covered by the K most frequent types —
+# the number that decides how large a subword vocabulary needs to be
+# before <unk>/byte-fallback traffic becomes negligible.
+#
+# Scale shape: per-batch type-count combiner → ONE coarse exchange on
+# the type → exact global counts; top-max(K) selected AFTER the
+# exchange via global_prune (a prune on partial counts would be
+# invalid), so the driver holds ≤ max(K) rows + one total scalar —
+# vocabulary-bounded, never corpus-bounded.
+
+# the synthetic corpus has a 31-type vocabulary, so the curve is
+# probed at {2, 8, 16} to stay non-degenerate (coverage strictly rising
+# with k and below 100% at the low points); real web text would use
+# {2^8..2^15} — the machinery is K-independent
+VOCAB_KS = [2, 8, 16]
+_VC_TOKEN_RE = re.compile(r"[^ \t\n\r\f]+")
+
+
+def q_vocab_coverage(sf_dir: str, ks=None):
+    from .grouping import global_prune
+
+    ks = sorted(ks or VOCAB_KS)
+    kmax = ks[-1]
+    d = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = []
+        for t in df["text"]:
+            toks.extend(_VC_TOKEN_RE.findall((t or "").lower()))
+        if not toks:
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "part_n": pd.Series(dtype=np.int64)})
+        s = pd.Series(toks).value_counts()
+        return pd.DataFrame({"tok": s.index, "part_n": s.to_numpy(np.int64)})
+
+    parts = d.map_batches(partial, batch_format="pandas")
+
+    def reduce_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", as_index=False)["part_n"].sum()
+        return out.rename(columns={"part_n": "n"})
+
+    counts = (
+        _with_coarse_group(parts, "tok")
+        .groupby("_g")
+        .map_groups(reduce_counts, batch_format="pandas")
+    ).materialize()  # consumed twice: top-K prune + total sum
+
+    def prune_top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "tok" not in df.columns:
+            return df
+        return df.sort_values(["n", "tok"], ascending=[False, True]).head(kmax)
+
+    top = global_prune(counts, prune_top)
+    total = int(counts.sum("n") or 0)
+    if top.empty or "n" not in top.columns:
+        return pd.DataFrame(
+            {
+                "k": pd.Series(dtype="int64"),
+                "n_types": pd.Series(dtype="int64"),
+                "covered": pd.Series(dtype="int64"),
+                "total": pd.Series(dtype="int64"),
+                "coverage_bp": pd.Series(dtype="int64"),
+            }
+        )
+    top = top.sort_values(["n", "tok"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    cum = top["n"].to_numpy(np.int64).cumsum()
+    rows = []
+    for k in ks:
+        n_types = min(k, len(top))
+        covered = int(cum[n_types - 1]) if n_types else 0
+        rows.append(
+            (k, n_types, covered, total, covered * 10000 // max(total, 1))
+        )
+    return pd.DataFrame(
+        rows, columns=["k", "n_types", "covered", "total", "coverage_bp"]
+    ).astype("int64")
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rn FROM cnt),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab FROM cnt),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in VOCAB_KS)})
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(LEAST(ks.k, tot.n_vocab) AS BIGINT) AS n_types,
+       CAST(COALESCE(SUM(rk.n), 0) AS BIGINT) AS covered,
+       tot.total,
+       CAST(COALESCE(SUM(rk.n), 0) * 10000 // GREATEST(tot.total, 1) AS BIGINT)
+         AS coverage_bp
+FROM ks CROSS JOIN tot LEFT JOIN rk ON rk.rn <= ks.k
+GROUP BY ks.k, tot.total, tot.n_vocab
 """
 
 
@@ -633,4 +737,5 @@ WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
     "paragraph_dedup": (q_paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "main_content_extract": (q_main_content_extract, MAIN_CONTENT_EXTRACT_SQL),
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
 }

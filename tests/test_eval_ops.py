@@ -1,0 +1,109 @@
+"""Tests for vocab_coverage (webtext_ops) and auc_eval (validation_ops)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+from europarl_crawler_ray.pipelines.validation_ops import (
+    AUC_EVAL_SQL,
+    _auc_weights,
+    q_auc_eval,
+)
+from europarl_crawler_ray.pipelines.webtext_ops import (
+    VOCAB_COVERAGE_SQL,
+    VOCAB_KS,
+    q_vocab_coverage,
+)
+
+
+class TestOracleParity:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name, fn, sql in [
+            ("vocab_coverage", q_vocab_coverage, VOCAB_COVERAGE_SQL),
+            ("auc_eval", q_auc_eval, AUC_EVAL_SQL),
+        ]:
+            ray_df = to_pandas(fn(sf_dir))
+            sql_df = con.execute(sql).fetchdf()
+            assert compare(name, ray_df, sql_df) == [], name
+
+
+class TestVocabCoverage:
+    def test_curve_is_monotone_and_nondegenerate(self, ray_session, sf_dir):
+        out = (
+            q_vocab_coverage(sf_dir).sort_values("k").reset_index(drop=True)
+        )
+        assert list(out["k"]) == sorted(VOCAB_KS)
+        # coverage rises with k; the low point is strictly below 100%
+        assert out["coverage_bp"].is_monotonic_increasing
+        assert out["coverage_bp"].iloc[0] < 10000
+        assert (out["covered"] <= out["total"]).all()
+
+    def test_matches_pandas_bruteforce(self, ray_session, sf_dir):
+        import re
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        tok_re = re.compile(r"[^ \t\n\r\f]+")
+        vc = pd.Series(
+            [t for txt in docs["text"] for t in tok_re.findall(txt.lower())]
+        ).value_counts()
+        ordered = pd.DataFrame(
+            {"tok": vc.index.to_numpy(), "n": vc.to_numpy()}
+        ).sort_values(["n", "tok"], ascending=[False, True])
+        counts = ordered["n"].to_numpy()
+        total = int(counts.sum())
+        out = q_vocab_coverage(sf_dir).set_index("k")
+        for k in VOCAB_KS:
+            covered = int(counts[: min(k, len(counts))].sum())
+            assert int(out.loc[k, "covered"]) == covered
+            assert int(out.loc[k, "total"]) == total
+
+
+class TestAucEval:
+    def test_matches_sklearn_style_bruteforce(self, ray_session, sf_dir):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        s = (np.floor(mat * 1000.0).astype(np.int64) @ _auc_weights())
+        y = (emb["label"].to_numpy(np.int64) == 0).astype(int)
+        # exact Mann-Whitney with midranks (no scipy needed)
+        order = np.argsort(s, kind="mergesort")
+        ss, yy = s[order], y[order]
+        ranks = np.empty(len(ss), dtype=np.float64)
+        i = 0
+        while i < len(ss):
+            j = i
+            while j + 1 < len(ss) and ss[j + 1] == ss[i]:
+                j += 1
+            ranks[i : j + 1] = (i + j) / 2 + 1
+            i = j + 1
+        n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+        u = ranks[yy == 1].sum() - n_pos * (n_pos + 1) / 2
+        expected_bp = int(np.floor(10000 * u / (n_pos * n_neg)))
+        out = q_auc_eval(sf_dir)
+        assert int(out["n_pos"].iloc[0]) == n_pos
+        assert int(out["n_neg"].iloc[0]) == n_neg
+        assert int(out["auc_bp"].iloc[0]) == expected_bp
+
+    def test_degenerate_single_class(self, ray_session, tmp_path):
+        emb = pd.DataFrame(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": [np.ones(64, dtype=np.float32)] * 4,
+                "label": np.full(4, 3, dtype=np.int64),  # no positives
+            }
+        )
+        emb.to_parquet(tmp_path / "embeddings.parquet")
+        out = q_auc_eval(str(tmp_path))
+        assert int(out["n_pos"].iloc[0]) == 0
+        assert int(out["auc_bp"].iloc[0]) == -1
