@@ -860,6 +860,306 @@ WHERE t.n > 0
 """
 
 
+# ========================================================== ks_drift
+#
+# Two-sample Kolmogorov-Smirnov distance between the value
+# distributions of two event types — the distribution-drift monitor a
+# pipeline runs between crawl snapshots before trusting a quality
+# model trained on the old one. Exact rational arithmetic: with cents
+# c, D = max_t |F_a(t)·n_b − F_b(t)·n_a| / (n_a·n_b), the numerator an
+# integer maximized over observed values only (where the sup of a step
+# function difference lives).
+#
+# Scale shape: per-batch (cents, side) histogram partials → ONE coarse
+# exchange on cents → value-domain-bounded driver reduce (the
+# rank_normalize boundedness argument), then an O(distinct values)
+# cumsum-max on the driver.
+
+KS_SIDE_A = "click"
+KS_SIDE_B = "purchase"
+
+
+def q_ks_drift(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([KS_SIDE_A, KS_SIDE_B])]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "c": pd.Series(dtype=np.int64),
+                    "part_a": pd.Series(dtype=np.int64),
+                    "part_b": pd.Series(dtype=np.int64),
+                }
+            )
+        c = _cents(df["value"].to_numpy())
+        a = (df["event_type"] == KS_SIDE_A).to_numpy().astype(np.int64)
+        out = pd.DataFrame({"c": c, "part_a": a, "part_b": 1 - a})
+        return out.groupby("c", as_index=False)[["part_a", "part_b"]].sum()
+
+    parts = ev.map_batches(hist, batch_format="pandas")
+    h = (
+        _with_coarse_group(parts, "c")
+        .groupby("_g")
+        .map_groups(
+            lambda g: g.groupby("c", as_index=False)[["part_a", "part_b"]].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # value-domain-bounded
+    )
+    cols = ["n_a", "n_b", "d_num", "d_bp"]
+    if h.empty or "c" not in h.columns:
+        return pd.DataFrame({k: pd.Series(dtype="int64") for k in cols})
+    h = h.sort_values("c").reset_index(drop=True)
+    fa = h["part_a"].to_numpy(np.int64).cumsum()
+    fb = h["part_b"].to_numpy(np.int64).cumsum()
+    n_a, n_b = int(fa[-1]), int(fb[-1])
+    d_num = int(np.abs(fa * n_b - fb * n_a).max()) if n_a and n_b else 0
+    d_bp = d_num * 10000 // (n_a * n_b) if n_a and n_b else -1
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "d_num": [d_num], "d_bp": [d_bp]}
+    ).astype("int64")
+
+
+KS_DRIFT_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = '{KS_SIDE_A}' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('{KS_SIDE_A}', '{KS_SIDE_B}')),
+h AS (SELECT c, SUM(a) AS ca, SUM(1 - a) AS cb FROM v GROUP BY 1),
+cum AS (
+  SELECT c, SUM(ca) OVER (ORDER BY c) AS fa, SUM(cb) OVER (ORDER BY c) AS fb
+  FROM h),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(MAX(ABS(fa * nb - fb * na)) AS BIGINT) AS d_num,
+       CAST(CASE WHEN na = 0 OR nb = 0 THEN -1
+            ELSE MAX(ABS(fa * nb - fb * na)) * 10000 // (na * nb)
+            END AS BIGINT) AS d_bp
+FROM cum, tot GROUP BY na, nb
+"""
+
+
+# ========================================================= ndcg_eval
+#
+# NDCG@10 retrieval evaluation: 8 md5-chosen query vectors, candidates
+# ranked by the integer-quantized dot product (the auc_eval coordinate
+# rule), md5-derived relevance grades 0-3 per (query, candidate), gain
+# 2^rel − 1, and rank discounts 1/log2(i+1) inlined as the SAME
+# round(1e9/log2(i+1)) integer literals on both engines (the
+# adamic_adar no-libm convention). ndcg_bp = 10000·DCG // IDCG, all
+# integer.
+#
+# Scale shape: queries broadcast (global_prune, 8 rows); scoring is one
+# matvec per batch; per-batch top-10 per query → bounded exchange →
+# final top-10 (a valid prune — scores are per-row final); IDCG needs
+# only the per-(query, grade) COUNTS — a 8×4-bounded aggregation.
+
+NDCG_Q = 8
+NDCG_K = 10
+# round(1e9 / log2(i+1)) for ranks i = 1..10, precomputed constants so
+# neither engine touches libm at query time
+NDCG_DISC = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+
+
+def _ndcg_rel(qid: np.ndarray, did: np.ndarray) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (
+            int(
+                hashlib.md5(f"rel:{int(q)}:{int(d)}".encode()).hexdigest()[:16],
+                16,
+            )
+            % 4
+            for q, d in zip(qid, did)
+        ),
+        dtype=np.int64,
+        count=len(qid),
+    )
+
+
+def q_ndcg_eval(sf_dir: str):
+    import hashlib
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def prune_q(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "vec_id" not in df.columns:
+            return df
+        md5s = np.array(
+            [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:NDCG_Q]
+        return df.iloc[np.sort(keep)]
+
+    qdf = global_prune(emb, prune_q)
+    cols = ["query_id", "n_cands", "dcg", "idcg", "ndcg_bp"]
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    md5s = np.array(
+        [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in qdf["vec_id"]]
+    )
+    qdf = qdf.iloc[np.argsort(md5s)[:NDCG_Q]].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = np.floor(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "q": pd.Series(dtype=np.int64),
+                    "d": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.int64),
+                    "rel": pd.Series(dtype=np.int64),
+                }
+            )
+        ids = df["vec_id"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        s = mat @ qmat.T  # (n, Q) integer scores
+        out = []
+        for j, q in enumerate(qids):
+            keep = ids != q  # a query never ranks itself
+            dd = ids[keep]
+            sc = s[keep, j]
+            # per-batch top-k prune by (score DESC, vec_id ASC)
+            order = np.lexsort((dd, -sc))[:NDCG_K]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q": np.full(order.size, q, np.int64),
+                        "d": dd[order],
+                        "s": sc[order],
+                        "rel": _ndcg_rel(np.full(order.size, q), dd[order]),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    topk = emb.map_batches(score_rows, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "d"], ascending=[False, True]).head(NDCG_K)
+        g = g.reset_index(drop=True)
+        disc = np.array(NDCG_DISC[: len(g)], np.int64)
+        gain = (2 ** g["rel"].to_numpy(np.int64)) - 1
+        return pd.DataFrame(
+            {"q": [int(g["q"].iloc[0])], "dcg": [int((gain * disc).sum())]}
+        )
+
+    dcg_df = (
+        topk.groupby("q").map_groups(final_topk, batch_format="pandas")
+    ).to_pandas()  # ≤ NDCG_Q rows
+
+    # IDCG from per-(q, rel) candidate counts — an 8×4-bounded reduce
+    def rel_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "q": pd.Series(dtype=np.int64),
+                    "rel": pd.Series(dtype=np.int64),
+                    "part_n": pd.Series(dtype=np.int64),
+                }
+            )
+        ids = df["vec_id"].to_numpy(np.int64)
+        out = []
+        for q in qids:
+            dd = ids[ids != q]
+            rel = _ndcg_rel(np.full(dd.size, q), dd)
+            u, c = np.unique(rel, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q": np.full(u.size, q, np.int64),
+                        "rel": u.astype(np.int64),
+                        "part_n": c.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    rc = (
+        emb.map_batches(rel_counts, batch_format="pandas")
+        .groupby(["q", "rel"])
+        .sum("part_n")
+        .to_pandas()  # ≤ 8×4 rows
+    )
+    rc = rc.rename(columns={"sum(part_n)": "n"})
+    rows = []
+    for q in qids:
+        sub = rc[rc["q"] == q]
+        n_cands = int(sub["n"].sum())
+        # ideal ranking: grades descending, take the first NDCG_K
+        grades = []
+        for r in (3, 2, 1, 0):
+            cnt = int(sub.loc[sub["rel"] == r, "n"].sum())
+            grades.extend([r] * min(cnt, NDCG_K - len(grades)))
+            if len(grades) >= NDCG_K:
+                break
+        disc = np.array(NDCG_DISC[: len(grades)], np.int64)
+        gain = (2 ** np.array(grades, np.int64)) - 1
+        idcg = int((gain * disc).sum())
+        dcg = int(dcg_df.loc[dcg_df["q"] == q, "dcg"].sum())
+        rows.append(
+            (int(q), n_cands, dcg, idcg, dcg * 10000 // idcg if idcg else -1)
+        )
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+def _ndcg_sql() -> str:
+    disc_cases = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(NDCG_DISC)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+qs AS (SELECT vec_id AS qid, q AS qv FROM e
+       ORDER BY md5('nq:' || CAST(vec_id AS VARCHAR)) LIMIT {NDCG_Q}),
+scored AS (
+  SELECT qs.qid, e.vec_id AS did,
+         list_inner_product(qs.qv, e.q) AS s,
+         CAST(CAST(concat('0x', substr(md5('rel:' || CAST(qs.qid AS VARCHAR)
+              || ':' || CAST(e.vec_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4
+              AS BIGINT) AS rel
+  FROM qs JOIN e ON e.vec_id <> qs.qid),
+rk AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, did ASC) AS rn
+  FROM scored),
+dcg AS (
+  SELECT qid, SUM((POWER(2, rel) - 1) * CASE rn {disc_cases} END) AS dcg
+  FROM rk WHERE rn <= {NDCG_K} GROUP BY 1),
+irk AS (
+  SELECT qid, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, did ASC) AS rn
+  FROM scored),
+idcg AS (
+  SELECT qid, SUM((POWER(2, rel) - 1) * CASE rn {disc_cases} END) AS idcg,
+         (SELECT COUNT(*) FROM scored s2 WHERE s2.qid = irk.qid) AS n_cands
+  FROM irk WHERE rn <= {NDCG_K} GROUP BY qid),
+j AS (SELECT dcg.qid, idcg.n_cands, dcg.dcg, idcg.idcg
+      FROM dcg JOIN idcg USING (qid))
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(n_cands AS BIGINT) AS n_cands,
+       CAST(dcg AS BIGINT) AS dcg,
+       CAST(idcg AS BIGINT) AS idcg,
+       CAST(CASE WHEN idcg = 0 THEN -1
+            ELSE CAST(dcg AS BIGINT) * 10000 // CAST(idcg AS BIGINT)
+            END AS BIGINT) AS ndcg_bp
+FROM j
+"""
+
+
 # ========================================================== auc_eval
 #
 # Exact ROC-AUC of an integer linear scorer against the embedding
@@ -1105,4 +1405,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "benford_audit": (q_benford_audit, BENFORD_AUDIT_SQL),
     "inclusion_deps": (q_inclusion_deps, INCLUSION_DEPS_SQL),
     "auc_eval": (q_auc_eval, AUC_EVAL_SQL),
+    "ks_drift": (q_ks_drift, KS_DRIFT_SQL),
+    "ndcg_eval": (q_ndcg_eval, _ndcg_sql()),
 }

@@ -107,3 +107,97 @@ class TestAucEval:
         out = q_auc_eval(str(tmp_path))
         assert int(out["n_pos"].iloc[0]) == 0
         assert int(out["auc_bp"].iloc[0]) == -1
+
+
+class TestKsDrift:
+    def test_matches_bruteforce(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.validation_ops import (
+            KS_SIDE_A,
+            KS_SIDE_B,
+            q_ks_drift,
+        )
+
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+        a = np.floor(
+            ev.loc[ev["event_type"] == KS_SIDE_A, "value"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        b = np.floor(
+            ev.loc[ev["event_type"] == KS_SIDE_B, "value"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        ts = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), ts, side="right")
+        fb = np.searchsorted(np.sort(b), ts, side="right")
+        d_num = int(np.abs(fa * len(b) - fb * len(a)).max())
+        out = q_ks_drift(sf_dir)
+        assert int(out["n_a"].iloc[0]) == len(a)
+        assert int(out["n_b"].iloc[0]) == len(b)
+        assert int(out["d_num"].iloc[0]) == d_num
+        assert int(out["d_bp"].iloc[0]) == d_num * 10000 // (len(a) * len(b))
+
+    def test_identical_samples_have_zero_distance(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.validation_ops import q_ks_drift
+
+        vals = np.array([1.0, 2.0, 3.0, 4.0] * 5)
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(40, dtype=np.int64),
+                "ts": pd.Timestamp("2020-01-01"),
+                "user_id": np.zeros(40, dtype=np.int64),
+                "event_type": ["click"] * 20 + ["purchase"] * 20,
+                "value": np.concatenate([vals, vals]),
+                "props": ["{}"] * 40,
+            }
+        )
+        ev.to_parquet(tmp_path / "events.parquet")
+        out = q_ks_drift(str(tmp_path))
+        assert int(out["d_num"].iloc[0]) == 0
+        assert int(out["d_bp"].iloc[0]) == 0
+
+
+class TestNdcgEval:
+    def test_matches_bruteforce(self, ray_session, sf_dir):
+        import hashlib
+
+        from europarl_crawler_ray.pipelines.validation_ops import (
+            NDCG_DISC,
+            NDCG_K,
+            NDCG_Q,
+            q_ndcg_eval,
+        )
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids = emb["vec_id"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        md5s = np.array(
+            [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in ids]
+        )
+        qidx = np.argsort(md5s)[:NDCG_Q]
+        out = q_ndcg_eval(sf_dir).set_index("query_id")
+        assert len(out) == NDCG_Q
+
+        def rel(q, d):
+            return (
+                int(hashlib.md5(f"rel:{q}:{d}".encode()).hexdigest()[:16], 16) % 4
+            )
+
+        for qi in qidx:
+            q = int(ids[qi])
+            keep = ids != q
+            dd, s = ids[keep], mat[keep] @ mat[qi]
+            order = np.lexsort((dd, -s))[:NDCG_K]
+            gains = np.array([2 ** rel(q, int(d)) - 1 for d in dd[order]])
+            dcg = int((gains * np.array(NDCG_DISC[: len(gains)])).sum())
+            rels = sorted((rel(q, int(d)) for d in dd), reverse=True)[:NDCG_K]
+            igains = np.array([2 ** r - 1 for r in rels])
+            idcg = int((igains * np.array(NDCG_DISC[: len(igains)])).sum())
+            assert int(out.loc[q, "dcg"]) == dcg
+            assert int(out.loc[q, "idcg"]) == idcg
+            assert int(out.loc[q, "ndcg_bp"]) == dcg * 10000 // idcg
+
+    def test_discount_constants_match_log2(self):
+        from europarl_crawler_ray.pipelines.validation_ops import NDCG_DISC
+
+        for i, d in enumerate(NDCG_DISC, start=1):
+            assert d == round(1e9 / np.log2(i + 1))
