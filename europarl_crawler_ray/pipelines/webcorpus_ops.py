@@ -57,6 +57,10 @@ from .webgraph_ops import (  # noqa: F401
     COCITATION_PAIRS_SQL,
     q_butterfly_count,
     BUTTERFLY_COUNT_SQL,
+    CP_PIVOTS,
+    CP_MAX_DEPTH,
+    q_closeness_pivots,
+    _closeness_sql,
 )
 
 from .sketcheval_ops import (  # noqa: F401
@@ -2085,6 +2089,7 @@ GROUP BY 1, 2
 
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
+    "closeness_pivots": (q_closeness_pivots, _closeness_sql()),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
     "radix_quantiles": (

@@ -999,3 +999,219 @@ SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_wedges,
        CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_butterflies
 FROM pc
 """
+
+
+# ================================================== closeness_pivots
+#
+# Pivot-based closeness centrality (the Eppstein-Wang / Indyk sampling
+# shape, run EXACTLY for P=4 md5-chosen pivots): one multi-source BFS
+# over the directed link graph computes every node's distance from
+# each pivot; the output per pivot is (n_reached, sum_dist,
+# closeness_mbp = (n_reached-1)·1e6 // sum_dist) — the per-pivot
+# closeness that averages into the centrality estimate at scale.
+#
+# Scale shape: the link_depth actor-Pregel BFS with a pivot dimension —
+# state rows are (node, pivot) pairs (P·|V|, P fixed), each wave
+# exchanges only newly-settled (node, pivot, depth) proposals, and the
+# final reduce is a P-row sum. Pivots come from global_prune (P rows on
+# the driver). More pivots = more accuracy, cost linear in P.
+
+CP_PIVOTS = 4
+CP_MAX_DEPTH = 16
+
+
+def q_closeness_pivots(sf_dir: str, n_buckets: int = 64,
+                       max_depth: int = CP_MAX_DEPTH):
+    from .pregel import pregel_actor_loop
+    from .queries import internal_edges_np
+
+    assert n_buckets & (n_buckets - 1) == 0
+    mask = n_buckets - 1
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    cols = ["pivot", "n_reached", "sum_dist", "closeness_mbp"]
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def prune_piv(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return df
+        md5s = np.array(
+            [hashlib.md5(f"cp:{int(v)}".encode()).hexdigest() for v in df["doc_id"]]
+        )
+        return df.iloc[np.sort(np.argsort(md5s)[:CP_PIVOTS])]
+
+    pdf = global_prune(d, prune_piv)
+    md5s = np.array(
+        [hashlib.md5(f"cp:{int(v)}".encode()).hexdigest() for v in pdf["doc_id"]]
+    )
+    pivots = np.sort(pdf["doc_id"].to_numpy(np.int64)[np.argsort(md5s)[:CP_PIVOTS]])
+
+    # state: kind 0 = out-edge (n1=src, n2=dst); kind 1 = (node, pivot)
+    # distance cell (n1=node, n2=pivot, depth=-1 unsettled)
+    def seed_rows(t: pa.Table) -> pd.DataFrame:
+        ids_np = t.column("doc_id").to_numpy().astype(np.int64)
+        src, dst = internal_edges_np(ids_np, n_docs)
+        e = pd.DataFrame(
+            {
+                "kind": np.zeros(len(src), np.int8),
+                "n1": src,
+                "n2": dst,
+                "depth": np.full(len(src), -1, np.int64),
+                "b": (src & mask),
+            }
+        )
+        node = np.repeat(ids_np, CP_PIVOTS)
+        piv = np.tile(pivots, len(ids_np))
+        st = pd.DataFrame(
+            {
+                "kind": np.ones(len(node), np.int8),
+                "n1": node,
+                "n2": piv,
+                "depth": np.where(node == piv, 0, -1).astype(np.int64),
+                "b": (node & mask),
+            }
+        )
+        return pd.concat([e, st], ignore_index=True)
+
+    def step(actor_id, n_actors_, state, msgs, round_i):
+        if state is None or not len(state):
+            return state, None, 0
+        e = state[state["kind"] == 0]
+        st = state[state["kind"] == 1]
+        if round_i == 0:
+            depth = st["depth"].to_numpy().copy()
+            settle = depth == 0
+            n_changed = int(settle.sum())
+            st2 = st
+        else:
+            if msgs is not None and len(msgs):
+                best = (
+                    msgs.groupby(["node", "piv"], as_index=False)["depth"]
+                    .min()
+                    .rename(columns={"depth": "prop"})
+                )
+            else:
+                best = pd.DataFrame(
+                    {
+                        "node": pd.Series(dtype=np.int64),
+                        "piv": pd.Series(dtype=np.int64),
+                        "prop": pd.Series(dtype=np.int64),
+                    }
+                )
+            st2 = st.merge(
+                best, left_on=["n1", "n2"], right_on=["node", "piv"], how="left"
+            )
+            unsettled = st2["depth"].to_numpy() < 0
+            has_prop = st2["prop"].notna().to_numpy()
+            settle = unsettled & has_prop
+            depth = st2["depth"].to_numpy().copy()
+            depth[settle] = st2["prop"].to_numpy()[settle]
+            n_changed = int(settle.sum())
+        fan = settle & (depth <= max_depth - 1)
+        senders = pd.DataFrame(
+            {
+                "src": st2["n1"].to_numpy(np.int64)[fan],
+                "piv_s": st2["n2"].to_numpy(np.int64)[fan],
+                "d": depth[fan],
+            }
+        )
+        sm = e[["n1", "n2"]].merge(senders, left_on="n1", right_on="src",
+                                   how="inner")
+        out_msgs = (
+            pd.DataFrame(
+                {
+                    "b": (sm["n2"].to_numpy(np.int64) & mask),
+                    "node": sm["n2"].to_numpy(np.int64),
+                    "piv": sm["piv_s"].to_numpy(np.int64),
+                    "depth": sm["d"].to_numpy(np.int64) + 1,
+                }
+            )
+            if len(sm)
+            else None
+        )
+        if out_msgs is not None:
+            # combiner: receiver takes the min per (node, pivot)
+            out_msgs = out_msgs.groupby(["b", "node", "piv"], as_index=False)[
+                "depth"
+            ].min()
+        new_st = pd.DataFrame(
+            {
+                "kind": np.ones(len(st2), np.int8),
+                "n1": st2["n1"].to_numpy(np.int64),
+                "n2": st2["n2"].to_numpy(np.int64),
+                "depth": depth,
+                "b": st2["b"].to_numpy(np.int64),
+            }
+        )
+        return pd.concat([e, new_st], ignore_index=True), out_msgs, n_changed
+
+    state_ds, _, _ = pregel_actor_loop(
+        d.map_batches(seed_rows, batch_format="pyarrow"),
+        step,
+        key="b",
+        max_iters=max_depth + 1,
+    )
+    if state_ds is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[(df["kind"] == 1) & (df["depth"] >= 0)]
+        out = df.groupby("n2", as_index=False)["depth"].agg(["count", "sum"])
+        out.columns = ["piv", "part_n", "part_sum"]
+        return out.astype(np.int64)
+
+    agg = (
+        state_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("piv")
+        .sum(["part_n", "part_sum"])
+        .to_pandas()  # ≤ P rows
+    )
+    rows = []
+    for p in pivots:
+        sub = agg[agg["piv"] == p]
+        n_r = int(sub["sum(part_n)"].sum()) if len(sub) else 0
+        s_d = int(sub["sum(part_sum)"].sum()) if len(sub) else 0
+        rows.append(
+            (
+                int(p),
+                n_r,
+                s_d,
+                (n_r - 1) * 1_000_000 // s_d if s_d > 0 else -1,
+            )
+        )
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+def _closeness_sql() -> str:
+    md5u = (
+        "CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR))"
+        ", 1, 16)) AS UBIGINT)"
+    )
+    return f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {md5u} % 4 AS BIGINT) AS k FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+piv AS (SELECT doc_id AS p FROM documents
+        ORDER BY md5('cp:' || CAST(doc_id AS VARCHAR)) LIMIT {CP_PIVOTS}),
+walk(p, v, dep) AS (
+  SELECT p, p, 0 FROM piv
+  UNION
+  SELECT w.p, e.dst, w.dep + 1
+  FROM walk w JOIN e ON e.src = w.v
+  WHERE w.dep < {CP_MAX_DEPTH}),
+dist AS (SELECT p, v, MIN(dep) AS d FROM walk GROUP BY 1, 2)
+SELECT CAST(p AS BIGINT) AS pivot,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN SUM(d) > 0
+            THEN (COUNT(*) - 1) * 1000000 // SUM(d) ELSE -1 END AS BIGINT)
+         AS closeness_mbp
+FROM dist GROUP BY p
+"""

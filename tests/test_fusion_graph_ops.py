@@ -194,3 +194,48 @@ class TestButterfly:
         assert int(got["n_wedges"].iloc[0]) == 4
         # pair (2,3) shares parts {7, 9} → exactly one butterfly
         assert int(got["n_butterflies"].iloc[0]) == 1
+
+
+class TestClosenessPivots:
+    def test_matches_bruteforce_bfs(self, ray_session, sf_dir):
+        import hashlib
+        from collections import deque
+
+        import pandas as pd
+
+        from europarl_crawler_ray.pipelines.webgraph_ops import (
+            CP_MAX_DEPTH,
+            CP_PIVOTS,
+            q_closeness_pivots,
+        )
+        from europarl_crawler_ray.pipelines.queries import internal_edges_np
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ids = docs["doc_id"].to_numpy(np.int64)
+        n_docs = len(ids)
+        src, dst = internal_edges_np(ids, n_docs)
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(src.tolist(), dst.tolist()):
+            adj.setdefault(s, []).append(d)
+        md5s = np.array(
+            [hashlib.md5(f"cp:{int(v)}".encode()).hexdigest() for v in ids]
+        )
+        pivots = sorted(int(ids[i]) for i in np.argsort(md5s)[:CP_PIVOTS])
+        out = q_closeness_pivots(sf_dir).set_index("pivot")
+        assert sorted(out.index) == pivots
+        for p in pivots:
+            dist = {p: 0}
+            dq = deque([p])
+            while dq:
+                u = dq.popleft()
+                if dist[u] >= CP_MAX_DEPTH:
+                    continue
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        dq.append(v)
+            n_r, s_d = len(dist), sum(dist.values())
+            assert int(out.loc[p, "n_reached"]) == n_r
+            assert int(out.loc[p, "sum_dist"]) == s_d
+            exp = (n_r - 1) * 1_000_000 // s_d if s_d else -1
+            assert int(out.loc[p, "closeness_mbp"]) == exp
