@@ -1553,6 +1553,145 @@ FROM v1
 """
 
 
+# ==================================================== hard_negatives
+#
+# Contrastive-pair mining for embedding training: for each of 8
+# md5-chosen query vectors, the best positive (nearest candidate with
+# the SAME label) and the hardest negative (nearest with a DIFFERENT
+# label) by the integer-quantized dot product, plus the margin — the
+# triplet-mining pass a retrieval fine-tune runs per epoch. Negative
+# margins mark queries whose nearest neighbor crosses the label
+# boundary (the pairs worth training on).
+#
+# Scale shape: the 8 queries are a global_prune broadcast; every batch
+# computes one matvec and prunes to its local best pos/neg per query
+# (a valid prune — scores are per-row final), so the exchange carries
+# ≤ 16 rows per block and the final reduce is 16 rows.
+
+HN_Q = 8
+
+
+def q_hard_negatives(sf_dir: str):
+    from .grouping import global_prune
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def prune_q(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "vec_id" not in df.columns:
+            return df
+        md5s = np.array(
+            [hashlib.md5(f"hn:{int(v)}".encode()).hexdigest() for v in df["vec_id"]]
+        )
+        return df.iloc[np.sort(np.argsort(md5s)[:HN_Q])]
+
+    qdf = global_prune(emb, prune_q)
+    cols = ["query_id", "label", "pos_id", "pos_s", "neg_id", "neg_s", "margin"]
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    md5s = np.array(
+        [hashlib.md5(f"hn:{int(v)}".encode()).hexdigest() for v in qdf["vec_id"]]
+    )
+    qdf = qdf.iloc[np.argsort(md5s)[:HN_Q]].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlabels = qdf["label"].to_numpy(np.int64)
+    qmat = np.floor(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+
+    def best_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "q": np.int64,
+            "d": np.int64,
+            "s": np.int64,
+            "same": np.int8,
+        }
+        if not len(df):
+            return pd.DataFrame(
+                {k: pd.Series(dtype=v) for k, v in out_cols.items()}
+            )
+        ids = df["vec_id"].to_numpy(np.int64)
+        labels = df["label"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        s = mat @ qmat.T
+        rows = []
+        for j, (q, ql) in enumerate(zip(qids, qlabels)):
+            keep = ids != q
+            for same in (1, 0):
+                m = keep & ((labels == ql) == bool(same))
+                if not m.any():
+                    continue
+                dd, sc = ids[m], s[m, j]
+                i = np.lexsort((dd, -sc))[0]
+                rows.append((int(q), int(dd[i]), int(sc[i]), same))
+        return pd.DataFrame(rows, columns=list(out_cols)).astype(out_cols)
+
+    pruned = emb.map_batches(best_rows, batch_format="pandas")
+
+    def final_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "d"], ascending=[False, True])
+        rows = []
+        for same in (1, 0):
+            sub = g[g["same"] == same]
+            if len(sub):
+                rows.append(sub.iloc[0])
+        return pd.DataFrame(rows)
+
+    best = (
+        pruned.groupby(["q", "same"])
+        .map_groups(final_best, batch_format="pandas")
+        .to_pandas()  # ≤ 2·HN_Q rows
+    )
+    rows = []
+    for q, ql in zip(qids, qlabels):
+        p = best[(best["q"] == q) & (best["same"] == 1)]
+        n = best[(best["q"] == q) & (best["same"] == 0)]
+        pos_id, pos_s = (
+            (int(p["d"].iloc[0]), int(p["s"].iloc[0])) if len(p) else (-1, 0)
+        )
+        neg_id, neg_s = (
+            (int(n["d"].iloc[0]), int(n["s"].iloc[0])) if len(n) else (-1, 0)
+        )
+        rows.append(
+            (int(q), int(ql), pos_id, pos_s, neg_id, neg_s, pos_s - neg_s)
+        )
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+qs AS (SELECT vec_id AS qid, label AS ql, q AS qv FROM e
+       ORDER BY md5('hn:' || CAST(vec_id AS VARCHAR)) LIMIT {HN_Q}),
+scored AS (
+  SELECT qs.qid, qs.ql, e.vec_id AS did, e.label AS dl,
+         list_inner_product(qs.qv, e.q) AS s,
+         CASE WHEN e.label = qs.ql THEN 1 ELSE 0 END AS same
+  FROM qs JOIN e ON e.vec_id <> qs.qid),
+rk AS (
+  SELECT qid, ql, did, s, same,
+         ROW_NUMBER() OVER (PARTITION BY qid, same
+                            ORDER BY s DESC, did ASC) AS rn
+  FROM scored),
+p AS (SELECT qid, ql, did AS pos_id, s AS pos_s FROM rk
+      WHERE same = 1 AND rn = 1),
+n AS (SELECT qid, did AS neg_id, s AS neg_s FROM rk
+      WHERE same = 0 AND rn = 1)
+SELECT CAST(q.qid AS BIGINT) AS query_id,
+       CAST(q.ql AS BIGINT) AS label,
+       CAST(COALESCE(p.pos_id, -1) AS BIGINT) AS pos_id,
+       CAST(COALESCE(p.pos_s, 0) AS BIGINT) AS pos_s,
+       CAST(COALESCE(n.neg_id, -1) AS BIGINT) AS neg_id,
+       CAST(COALESCE(n.neg_s, 0) AS BIGINT) AS neg_s,
+       CAST(COALESCE(p.pos_s, 0) - COALESCE(n.neg_s, 0) AS BIGINT) AS margin
+FROM qs q LEFT JOIN p ON p.qid = q.qid LEFT JOIN n ON n.qid = q.qid
+"""
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
@@ -1562,4 +1701,5 @@ MINING_SQL_QUERIES: dict[str, tuple] = {
     "mmr_rerank": (q_mmr_rerank, _mmr_rerank_sql()),
     "rrf_fuse": (q_rrf_fuse, RRF_FUSE_SQL),
     "dedup_cascade": (q_dedup_cascade, _dedup_cascade_sql()),
+    "hard_negatives": (q_hard_negatives, HARD_NEGATIVES_SQL),
 }

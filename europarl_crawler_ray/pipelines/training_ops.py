@@ -1113,6 +1113,107 @@ def q_webdataset_roundtrip(sf_dir: str, n_shards: int = WDS_N_SHARDS):
 WEBDATASET_ROUNDTRIP_SQL = "SELECT doc_id, text, lang FROM documents"
 
 
+# ==================================================== span_mask_stats
+#
+# T5/UL2-style span-corruption bookkeeping, deterministic: token
+# position i starts a mask span iff md5('sm:'||doc||':'||i) % 20 == 0
+# (≈5% starts × span length 3 ≈ 15% corruption); overlapping spans
+# merge (the same gaps-and-islands union as exact_substr_spans), so
+# n_masked is the TRUE corrupted-token count the training loader would
+# produce, not starts × length. Pure per-doc map — embarrassingly
+# parallel, no exchange at all; the per-position md5 is the
+# epoch_shuffle string-kernel floor.
+
+SPAN_MASK_MOD = 20
+SPAN_MASK_LEN = 3
+
+
+def q_span_mask_stats(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_tok, n_sp, n_mask = [], [], [], []
+        import re
+
+        tok_re = re.compile(r"[^ \t\n\r\f]+")  # the oracle's exact class
+        for did, txt in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            n = len(tok_re.findall((txt or "").lower()))
+            ids.append(int(did))
+            n_tok.append(n)
+            if not n:
+                n_sp.append(0)
+                n_mask.append(0)
+                continue
+            keys = [f"sm:{int(did)}:{i}" for i in range(1, n + 1)]
+            h = md5_hash64(keys) % SPAN_MASK_MOD
+            p = np.nonzero(h == 0)[0] + 1  # 1-based start positions
+            if not p.size:
+                n_sp.append(0)
+                n_mask.append(0)
+                continue
+            end = np.minimum(p + SPAN_MASK_LEN, n + 1)
+            run_end = np.maximum.accumulate(end)
+            starts = np.concatenate(([True], p[1:] > run_end[:-1]))
+            last = np.concatenate((starts[1:], [True]))
+            n_sp.append(int(starts.sum()))
+            n_mask.append(int((run_end[last] - p[starts]).sum()))
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(n_tok, dtype="int64"),
+                "n_spans": pd.Series(n_sp, dtype="int64"),
+                "n_masked": pd.Series(n_mask, dtype="int64"),
+            }
+        )
+        out["mask_bp"] = np.where(
+            out["n_tokens"] > 0,
+            out["n_masked"] * 10000 // np.maximum(out["n_tokens"], 1),
+            0,
+        ).astype(np.int64)
+        return out
+
+    return d.map_batches(stats, batch_format="pandas")
+
+
+SPAN_MASK_STATS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id, len(ws) AS n, unnest(range(1, len(ws) + 1)) AS i
+  FROM w WHERE len(ws) > 0),
+st AS (
+  SELECT doc_id, n, i AS p,
+         LEAST(i + {SPAN_MASK_LEN}, n + 1) AS e
+  FROM pos
+  WHERE CAST(concat('0x', substr(md5('sm:' || CAST(doc_id AS VARCHAR) || ':'
+        || CAST(i AS VARCHAR)), 1, 16)) AS UBIGINT) % {SPAN_MASK_MOD} = 0),
+x AS (
+  SELECT doc_id, p, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM st),
+g AS (
+  SELECT doc_id, p, e,
+         SUM(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM x),
+spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(e) AS e2
+          FROM g GROUP BY 1, 2),
+cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e2 - s) AS BIGINT) AS n_masked
+        FROM spans GROUP BY 1),
+toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.n_tokens,
+       COALESCE(c.n_spans, 0) AS n_spans,
+       COALESCE(c.n_masked, 0) AS n_masked,
+       CAST(CASE WHEN t.n_tokens > 0
+            THEN COALESCE(c.n_masked, 0) * 10000 // t.n_tokens
+            ELSE 0 END AS BIGINT) AS mask_bp
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
 TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "webdataset_roundtrip": (q_webdataset_roundtrip, WEBDATASET_ROUNDTRIP_SQL),
     "token_budget_sample": (q_token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
@@ -1126,4 +1227,5 @@ TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "orc_roundtrip": (q_orc_roundtrip, ORC_ROUNDTRIP_SQL),
     "ipc_roundtrip": (q_ipc_roundtrip, IPC_ROUNDTRIP_SQL),
     "sequence_pack": (q_sequence_pack, SEQUENCE_PACK_SQL),
+    "span_mask_stats": (q_span_mask_stats, SPAN_MASK_STATS_SQL),
 }

@@ -333,3 +333,89 @@ def test_sequence_pack_empty_corpus(ray_session, tmp_path):
         "tok_start_in_doc",
         "n_toks_in_seq",
     ]
+
+
+class TestSpanMaskStats:
+    def test_overlapping_spans_merge(self, ray_session, sf_dir):
+        import hashlib
+
+        import pandas as pd
+
+        from europarl_crawler_ray.pipelines.training_ops import (
+            SPAN_MASK_LEN,
+            SPAN_MASK_MOD,
+            q_span_mask_stats,
+        )
+
+        out = q_span_mask_stats(sf_dir).to_pandas()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+        # brute-force a handful of docs: greedy union of [p, p+L)
+        import re
+
+        tok_re = re.compile(r"[^ \t\n\r\f]+")
+        for did in out["doc_id"].head(25):
+            n = len(tok_re.findall(docs.loc[did, "text"].lower()))
+            masked = set()
+            n_spans = 0
+            prev_end = 0
+            for i in range(1, n + 1):
+                h = int(
+                    hashlib.md5(f"sm:{did}:{i}".encode()).hexdigest()[:16], 16
+                )
+                if h % SPAN_MASK_MOD == 0:
+                    if i > prev_end:
+                        n_spans += 1
+                    span = range(i, min(i + SPAN_MASK_LEN, n + 1))
+                    masked.update(span)
+                    prev_end = max(prev_end, min(i + SPAN_MASK_LEN, n + 1) - 1)
+            row = out[out["doc_id"] == did].iloc[0]
+            assert int(row["n_tokens"]) == n
+            assert int(row["n_masked"]) == len(masked)
+            assert int(row["n_spans"]) == n_spans
+
+    def test_mask_rate_near_target(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.training_ops import q_span_mask_stats
+
+        out = q_span_mask_stats(sf_dir).to_pandas()
+        total = out["n_tokens"].sum()
+        masked = out["n_masked"].sum()
+        # 5% starts x length 3 with overlap shrinkage: expect ~12-15%
+        assert 0.08 < masked / total < 0.20
+
+
+class TestHardNegatives:
+    def test_matches_bruteforce(self, ray_session, sf_dir):
+        import hashlib
+
+        import pandas as pd
+
+        from europarl_crawler_ray.pipelines.mining_ops import (
+            HN_Q,
+            q_hard_negatives,
+        )
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids = emb["vec_id"].to_numpy(np.int64)
+        labels = emb["label"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        md5s = np.array(
+            [hashlib.md5(f"hn:{int(v)}".encode()).hexdigest() for v in ids]
+        )
+        qidx = np.argsort(md5s)[:HN_Q]
+        out = q_hard_negatives(sf_dir).set_index("query_id")
+        assert len(out) == HN_Q
+        for qi in qidx:
+            q, ql = int(ids[qi]), int(labels[qi])
+            s = mat @ mat[qi]
+            for same, id_col, s_col in [(True, "pos_id", "pos_s"),
+                                        (False, "neg_id", "neg_s")]:
+                m = (ids != q) & ((labels == ql) == same)
+                dd, sc = ids[m], s[m]
+                i = np.lexsort((dd, -sc))[0]
+                assert int(out.loc[q, id_col]) == int(dd[i])
+                assert int(out.loc[q, s_col]) == int(sc[i])
+            assert int(out.loc[q, "margin"]) == int(
+                out.loc[q, "pos_s"] - out.loc[q, "neg_s"]
+            )
