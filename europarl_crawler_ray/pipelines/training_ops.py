@@ -170,6 +170,98 @@ GROUP BY bg.doc_id
 """
 
 
+# =================================================== lm_removal_curve
+#
+# Quality-filter tuning curve: if every document whose bigram-LM
+# coverage score (n_hits·10000 // n_bigrams, the q_bigram_lm_score
+# signal) falls below threshold T is removed, how many documents and
+# tokens go? Evaluated at T ∈ {1000..9000 step 2000} — the plot a
+# CCNet-style pipeline reads before picking its perplexity cutoff.
+#
+# Scale shape: composes the bigram-LM pass (bounded K-row model), then
+# reduces per-doc scores to a (score_bp → n_docs, n_tokens) histogram —
+# the score domain is ≤ 10001 values, so the driver reduce is
+# domain-bounded; each threshold is a prefix sum over it.
+
+LM_CURVE_TS = [1000, 3000, 5000, 7000, 9000]
+
+
+def q_lm_removal_curve(sf_dir: str):
+    scored = q_bigram_lm_score(sf_dir)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "score_bp": pd.Series(dtype=np.int64),
+                    "part_docs": pd.Series(dtype=np.int64),
+                    "part_tokens": pd.Series(dtype=np.int64),
+                }
+            )
+        nb = df["n_bigrams"].to_numpy(np.int64)
+        bp = df["n_hits"].to_numpy(np.int64) * 10000 // np.maximum(nb, 1)
+        out = pd.DataFrame(
+            {"score_bp": bp, "part_docs": np.int64(1), "part_tokens": nb + 1}
+        )
+        return out.groupby("score_bp", as_index=False)[
+            ["part_docs", "part_tokens"]
+        ].sum()
+
+    h = (
+        scored.map_batches(hist, batch_format="pandas")
+        .groupby("score_bp")
+        .sum(["part_docs", "part_tokens"])
+        .to_pandas()  # ≤ 10001 rows (bp domain)
+    )
+    cols = ["threshold_bp", "docs_removed", "tokens_removed",
+            "docs_total", "tokens_total"]
+    if h.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    h = h.sort_values("score_bp").reset_index(drop=True)
+    sc = h["score_bp"].to_numpy(np.int64)
+    cd = h["sum(part_docs)"].to_numpy(np.int64).cumsum()
+    ct = h["sum(part_tokens)"].to_numpy(np.int64).cumsum()
+    rows = []
+    for t in LM_CURVE_TS:
+        i = np.searchsorted(sc, t, side="left") - 1  # scores < t
+        dr = int(cd[i]) if i >= 0 else 0
+        tr = int(ct[i]) if i >= 0 else 0
+        rows.append((t, dr, tr, int(cd[-1]), int(ct[-1])))
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+def _lm_removal_sql() -> str:
+    ts = ", ".join(f"({t})" for t in LM_CURVE_TS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w WHERE len(ws) >= 2),
+model AS (
+  SELECT bigram FROM (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+  ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_MODEL_K}),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END)
+              * 10000 // COUNT(*) AS BIGINT) AS bp
+  FROM bg LEFT JOIN model m USING (bigram) GROUP BY bg.doc_id),
+ts(t) AS (VALUES {ts})
+SELECT CAST(ts.t AS BIGINT) AS threshold_bp,
+       CAST(COALESCE(SUM(CASE WHEN sc.bp < ts.t THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS docs_removed,
+       CAST(COALESCE(SUM(CASE WHEN sc.bp < ts.t THEN sc.nb + 1 ELSE 0 END), 0)
+            AS BIGINT) AS tokens_removed,
+       CAST(COUNT(*) AS BIGINT) AS docs_total,
+       CAST(SUM(sc.nb + 1) AS BIGINT) AS tokens_total
+FROM ts CROSS JOIN sc
+GROUP BY ts.t
+"""
+
+
 # ======================================== chunking into training windows
 
 CHUNK_SIZE = 512
@@ -1228,4 +1320,5 @@ TRAINING_SQL_QUERIES: dict[str, tuple] = {
     "ipc_roundtrip": (q_ipc_roundtrip, IPC_ROUNDTRIP_SQL),
     "sequence_pack": (q_sequence_pack, SEQUENCE_PACK_SQL),
     "span_mask_stats": (q_span_mask_stats, SPAN_MASK_STATS_SQL),
+    "lm_removal_curve": (q_lm_removal_curve, _lm_removal_sql()),
 }

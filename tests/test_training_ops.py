@@ -419,3 +419,33 @@ class TestHardNegatives:
             assert int(out.loc[q, "margin"]) == int(
                 out.loc[q, "pos_s"] - out.loc[q, "neg_s"]
             )
+
+
+class TestLmRemovalCurve:
+    def test_matches_composed_score_pass(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.training_ops import (
+            LM_CURVE_TS,
+            q_bigram_lm_score,
+            q_lm_removal_curve,
+        )
+
+        scored = q_bigram_lm_score(sf_dir).to_pandas()
+        bp = (
+            scored["n_hits"].to_numpy(np.int64)
+            * 10000
+            // scored["n_bigrams"].to_numpy(np.int64)
+        )
+        toks = scored["n_bigrams"].to_numpy(np.int64) + 1
+        out = q_lm_removal_curve(sf_dir).set_index("threshold_bp")
+        for t in LM_CURVE_TS:
+            rm = bp < t
+            assert int(out.loc[t, "docs_removed"]) == int(rm.sum())
+            assert int(out.loc[t, "tokens_removed"]) == int(toks[rm].sum())
+            assert int(out.loc[t, "docs_total"]) == len(scored)
+
+    def test_curve_is_monotone(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.training_ops import q_lm_removal_curve
+
+        out = q_lm_removal_curve(sf_dir).sort_values("threshold_bp")
+        assert out["docs_removed"].is_monotonic_increasing
+        assert out["tokens_removed"].is_monotonic_increasing
