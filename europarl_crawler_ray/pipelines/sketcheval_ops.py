@@ -2124,3 +2124,153 @@ SELECT CAST({m_bits} AS BIGINT) AS m_bits, CAST({j} AS BIGINT) AS j_hashes,
   CAST(10000 * n_pass // GREATEST(n_probe, 1) AS BIGINT) AS fpr_bp
 FROM c
 """
+
+
+# ==================================================== dup_transitivity
+#
+# Near-dup relation QA: MinHash-LSH "duplicate of" is NOT transitive,
+# and chained removal (drop b because a~b, then c because b~c) can
+# delete documents arbitrarily far from their cluster canonical. This
+# op measures how non-transitive the relation actually is: of all
+# wedge instances x–m–y in the dup-pair graph, what fraction has the
+# closing edge x–y? (The closure coefficient; low values mean cluster-
+# based dedup and pairwise dedup diverge and dedup_clusters' connected
+# components are the safer keep rule.)
+#
+# Scale shape: the pair stream is already survivor-sized; wedges are
+# built per center inside one node-keyed exchange (per-center work is
+# deg² — dup-cluster degrees are bounded by the LSH bucket cap
+# upstream), and closure membership is ONE more unordered-pair-keyed
+# tagged-union exchange. The driver sees three counters.
+
+def q_dup_transitivity(sf_dir: str, min_agree: int = 26):
+    from .ml_queries import q_dedup_minhash
+
+    pairs = q_dedup_minhash(sf_dir, min_agree=min_agree).materialize()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]
+                ),
+                "v": np.concatenate(
+                    [df["doc_b"].to_numpy(np.int64), df["doc_a"].to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    adj = _with_coarse_group(
+        pairs.map_batches(sym, batch_format="pandas"), "u"
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_x, out_y = [], []
+        for _, nb in g.groupby("u")["v"]:
+            vs = np.sort(nb.to_numpy(np.int64))
+            if vs.size < 2:
+                continue
+            ix, iy = np.triu_indices(vs.size, k=1)
+            out_x.append(vs[ix])
+            out_y.append(vs[iy])
+        if not out_x:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype=np.int64),
+                    "y": pd.Series(dtype=np.int64),
+                    "kind": pd.Series(dtype=np.int8),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "x": np.concatenate(out_x),
+                "y": np.concatenate(out_y),
+                "kind": np.int8(0),
+            }
+        )
+
+    wg = adj.groupby("_g").map_groups(wedges, batch_format="pandas")
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "x": df["doc_a"].astype("int64"),
+                "y": df["doc_b"].astype("int64"),
+                "kind": np.int8(1),
+            }
+        )
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _k=df["x"].astype(str) + ":" + df["y"].astype(str)
+        )
+
+    both = _with_coarse_group(
+        wg.union(pairs.map_batches(tag_pairs, batch_format="pandas"))
+        .map_batches(add_key, batch_format="pandas"),
+        "_k",
+    )
+
+    def close_counts(g: pd.DataFrame) -> pd.DataFrame:
+        closed_keys = set(g.loc[g["kind"] == 1, "_k"])
+        w = g[g["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "part_wedges": [np.int64(len(w))],
+                "part_closed": [np.int64(w["_k"].isin(closed_keys).sum())],
+            }
+        )
+
+    agg = (
+        both.groupby("_g")
+        .map_groups(close_counts, batch_format="pandas")
+        .to_pandas()  # ≤ N_COARSE_GROUPS rows
+    )
+    n_pairs = pairs.count()
+    n_w = int(agg["part_wedges"].sum()) if len(agg) else 0
+    n_c = int(agg["part_closed"].sum()) if len(agg) else 0
+    return pd.DataFrame(
+        {
+            "n_pairs": [int(n_pairs)],
+            "n_wedges": [n_w],
+            "n_closed": [n_c],
+            "closure_bp": [n_c * 10000 // n_w if n_w else -1],
+        }
+    ).astype("int64")
+
+
+def _dup_transitivity_sql(min_agree: int = 26) -> str:
+    from .ml_queries import _dedup_minhash_sql
+
+    base = _dedup_minhash_sql(min_agree)
+    needle = (
+        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    )
+    assert needle in base, (
+        "_dedup_minhash_sql's final SELECT was reformatted — update the "
+        "splice needle in _dup_transitivity_sql"
+    )
+    head, _, _tail = base.rpartition(needle)
+    return (
+        head
+        + f""", p AS (
+  SELECT doc_a, doc_b FROM agree WHERE n_agree >= {min_agree}),
+adj AS (SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p),
+wg AS (SELECT a.v AS x, b.v AS y
+       FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_closed
+       FROM wg JOIN p ON p.doc_a = wg.x AND p.doc_b = wg.y)
+SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM wg) AS BIGINT) AS n_wedges,
+       cl.n_closed,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM wg) = 0 THEN -1
+            ELSE cl.n_closed * 10000 // (SELECT COUNT(*) FROM wg)
+            END AS BIGINT) AS closure_bp
+FROM cl
+"""
+    )

@@ -122,6 +122,8 @@ from .sketcheval_ops import (  # noqa: F401
     _KMV_2_64,
     q_kmv_error,
     _kmv_error_sql,
+    q_dup_transitivity,
+    _dup_transitivity_sql,
     q_theta_intersect,
     _theta_intersect_sql,
     q_bloom_fpr,
@@ -2090,6 +2092,7 @@ GROUP BY 1, 2
 WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "record_linkage": (q_record_linkage, RECORD_LINKAGE_SQL),
     "closeness_pivots": (q_closeness_pivots, _closeness_sql()),
+    "dup_transitivity": (q_dup_transitivity, _dup_transitivity_sql()),
     "ring_rebalance": (q_ring_rebalance, _ring_rebalance_sql()),
     "kcore_peel": (q_kcore_peel, _kcore_sql()),
     "radix_quantiles": (

@@ -208,3 +208,60 @@ def test_bloom_fpr_matches_bruteforce(ray_session, tmp_path):
     assert int(df["n_neg"].iloc[0]) == len(probes)
     assert int(df["n_false_pos"].iloc[0]) == n_fp
     assert int(df["fpr_bp"].iloc[0]) == 10000 * n_fp // len(probes)
+
+
+class TestDupTransitivity:
+    def test_open_wedge_detected(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from europarl_crawler_ray.pipelines.sketcheval_ops import (
+            q_dup_transitivity,
+        )
+
+        # bridge doc b shares half its text with a and half with c:
+        # a~b and b~c pass Jaccard ~0.33 > 0.2, a~c share nothing —
+        # a genuinely open wedge (the non-transitivity the op measures)
+        xa = " ".join(f"alpha{i}" for i in range(60))
+        yc = " ".join(f"omega{i}" for i in range(60))
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [xa, xa + " " + yc, yc],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(xa), len(xa) + 1 + len(yc), len(yc)],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        out = q_dup_transitivity(str(tmp_path))
+        assert int(out["n_pairs"].iloc[0]) == 2  # (1,2) and (2,3)
+        assert int(out["n_wedges"].iloc[0]) == 1  # 1-2-3
+        assert int(out["n_closed"].iloc[0]) == 0  # 1~3 missing
+        assert int(out["closure_bp"].iloc[0]) == 0
+
+    def test_matches_bruteforce_on_testdata(self, ray_session, sf_dir):
+        import pandas as pd
+
+        from europarl_crawler_ray.pipelines.ml_queries import q_dedup_minhash
+        from europarl_crawler_ray.pipelines.sketcheval_ops import (
+            q_dup_transitivity,
+        )
+
+        pairs = q_dedup_minhash(sf_dir).to_pandas()
+        pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        adj: dict[int, set[int]] = {}
+        for a, b in pset:
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        n_w = n_c = 0
+        for _, nb in adj.items():
+            vs = sorted(nb)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    n_w += 1
+                    if (vs[i], vs[j]) in pset:
+                        n_c += 1
+        out = q_dup_transitivity(sf_dir)
+        assert int(out["n_pairs"].iloc[0]) == len(pset)
+        assert int(out["n_wedges"].iloc[0]) == n_w
+        assert int(out["n_closed"].iloc[0]) == n_c
