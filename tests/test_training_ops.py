@@ -353,21 +353,22 @@ class TestSpanMaskStats:
         import re
 
         tok_re = re.compile(r"[^ \t\n\r\f]+")
-        for did in out["doc_id"].head(25):
+        for did in out["doc_id"].sort_values().head(50):
             n = len(tok_re.findall(docs.loc[did, "text"].lower()))
             masked = set()
             n_spans = 0
-            prev_end = 0
+            end_excl = 0  # exclusive end of the running island; a start
+            # AT end_excl is contiguous and merges (op + oracle rule)
             for i in range(1, n + 1):
                 h = int(
                     hashlib.md5(f"sm:{did}:{i}".encode()).hexdigest()[:16], 16
                 )
                 if h % SPAN_MASK_MOD == 0:
-                    if i > prev_end:
+                    if i > end_excl:
                         n_spans += 1
                     span = range(i, min(i + SPAN_MASK_LEN, n + 1))
                     masked.update(span)
-                    prev_end = max(prev_end, min(i + SPAN_MASK_LEN, n + 1) - 1)
+                    end_excl = max(end_excl, min(i + SPAN_MASK_LEN, n + 1))
             row = out[out["doc_id"] == did].iloc[0]
             assert int(row["n_tokens"]) == n
             assert int(row["n_masked"]) == len(masked)
