@@ -188,6 +188,21 @@ LM_CURVE_TS = [1000, 3000, 5000, 7000, 9000]
 
 def q_lm_removal_curve(sf_dir: str):
     scored = q_bigram_lm_score(sf_dir)
+    if not isinstance(scored, ray.data.Dataset):
+        # empty-corpus path: q_bigram_lm_score returns an empty Arrow
+        # table; the curve over nothing is the empty frame
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype="int64")
+                for c in [
+                    "threshold_bp",
+                    "docs_removed",
+                    "tokens_removed",
+                    "docs_total",
+                    "tokens_total",
+                ]
+            }
+        )
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
