@@ -1377,6 +1377,10 @@ def q_ngram_novelty(sf_dir: str, n: int = NOVELTY_N):
     return both.groupby("_g").map_groups(finish, batch_format="pandas")
 
 
+_NOVELTY_GRAM_EXPR = " || ' ' || ".join(
+    f"ws[i+{j}]" if j else "ws[i]" for j in range(NOVELTY_N)
+)
+
 NGRAM_NOVELTY_SQL = rf"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
@@ -1384,7 +1388,7 @@ WITH w AS (
 g AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(ws) - {NOVELTY_N} + 2),
-           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+           i -> {_NOVELTY_GRAM_EXPR})) AS gram
   FROM w WHERE len(ws) >= {NOVELTY_N}),
 fst AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY 1),
 per AS (

@@ -537,6 +537,7 @@ ORDER BY cnt DESC, item ASC
 # lower-id vector in its cluster has cosine >= tau with it.
 
 SEMDEDUP_TAU = 0.45
+_SEMDEDUP_QTAU = int(round(SEMDEDUP_TAU * 1000))  # floor(1000x) comparison
 SEMDEDUP_CELLS = 16
 
 
@@ -618,7 +619,10 @@ def q_semdedup(sf_dir: str):
         ok = norms[:, 0] > 0
         df, mat, norms = df[ok], mat[ok], norms[ok]
         matn = mat / norms
-        cell = cids_[(matn @ ct.T).argmax(axis=1)]
+        # floor(1000x)-quantized cosine so the argmax decision is the
+        # same integer comparison DuckDB's oracle makes (tie -> smallest
+        # cid: cids_ sorted ASC + argmax-first == ROW_NUMBER cid ASC)
+        cell = cids_[np.floor(1000.0 * (matn @ ct.T)).argmax(axis=1)]
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].to_numpy(np.int64),
@@ -631,9 +635,10 @@ def q_semdedup(sf_dir: str):
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy(np.int64)
         mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-        sims = mat @ mat.T
+        qsims = np.floor(1000.0 * (mat @ mat.T))
         # dropped iff ANY lower-id vector in the cell is >= tau similar
-        dup = (np.triu(sims >= SEMDEDUP_TAU, k=1)).any(axis=0)
+        # (quantized-integer comparison, identical in the SQL oracle)
+        dup = (np.triu(qsims >= _SEMDEDUP_QTAU, k=1)).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -660,16 +665,16 @@ cells AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT d.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                              ORDER BY list_cosine_similarity(d.e, c.e) DESC,
+                              ORDER BY floor(1000 * list_cosine_similarity(d.e, c.e)) DESC,
                                        c.cid ASC) AS rn
     FROM d CROSS JOIN cent c) WHERE rn = 1)
 SELECT ce.vec_id, CAST(ce.cell AS BIGINT) AS cell,
   NOT EXISTS (
     SELECT 1 FROM cells ce2 JOIN d d2 ON d2.vec_id = ce2.vec_id
     WHERE ce2.cell = ce.cell AND ce2.vec_id < ce.vec_id
-      AND list_cosine_similarity(
+      AND floor(1000 * list_cosine_similarity(
             (SELECT e FROM d WHERE d.vec_id = ce.vec_id), d2.e
-          ) >= {SEMDEDUP_TAU}
+          )) >= {_SEMDEDUP_QTAU}
   ) AS kept
 FROM cells ce
 """
@@ -1411,10 +1416,11 @@ def q_dedup_cascade(sf_dir: str):
             )
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = matn @ ct.T
-        # max cosine, tie → smallest cid (cids_ sorted ASC, argmax takes
-        # the first maximum — the oracle's ROW_NUMBER tie-break)
-        cell = cids_[sims.argmax(axis=1)]
+        # floor(1000x)-quantized cosine: the argmax decision is the same
+        # integer comparison the SQL oracle makes (tie -> smallest cid:
+        # cids_ sorted ASC + argmax-first == ROW_NUMBER cid ASC)
+        qsims = np.floor(1000.0 * (matn @ ct.T))
+        cell = cids_[qsims.argmax(axis=1)]
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].to_numpy(np.int64),
@@ -1427,8 +1433,8 @@ def q_dedup_cascade(sf_dir: str):
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy(np.int64)
         mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
-        sims = mat @ mat.T
-        dup = (np.triu(sims >= SEMDEDUP_TAU, k=1)).any(axis=0)
+        qsims = np.floor(1000.0 * (mat @ mat.T))
+        dup = (np.triu(qsims >= _SEMDEDUP_QTAU, k=1)).any(axis=0)
         v = ids[dup]
         return pd.DataFrame({"k": v, "kind": np.full(v.size, 3, np.int8)})
 
@@ -1533,7 +1539,7 @@ cells AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT sv.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY sv.vec_id
-                              ORDER BY list_cosine_similarity(sv.e, c.e) DESC,
+                              ORDER BY floor(1000 * list_cosine_similarity(sv.e, c.e)) DESC,
                                        c.cid ASC) AS rn
     FROM sv CROSS JOIN cent c) WHERE rn = 1),
 d3 AS (
@@ -1541,9 +1547,9 @@ d3 AS (
   WHERE EXISTS (
     SELECT 1 FROM cells ce2 JOIN sv v2 ON v2.vec_id = ce2.vec_id
     WHERE ce2.cell = ce.cell AND ce2.vec_id < ce.vec_id
-      AND list_cosine_similarity(
+      AND floor(1000 * list_cosine_similarity(
             (SELECT e FROM sv WHERE sv.vec_id = ce.vec_id), v2.e
-          ) >= {SEMDEDUP_TAU}))
+          )) >= {_SEMDEDUP_QTAU}))
 SELECT CAST(v1.doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN v1.d1 = 1 THEN 1
                  WHEN v1.doc_id IN (SELECT doc_id FROM d2) THEN 2

@@ -114,8 +114,8 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
         )
 
     parts = [
-        "WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding"
-        " FROM embeddings)",
+        "WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
         "c0 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
         " ORDER BY md5('kc:' || CAST(vec_id AS VARCHAR)) LIMIT 1)",
         "d0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
@@ -375,7 +375,9 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
        CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
        CAST(COALESCE(c.n_spans, 0) AS BIGINT) AS n_spans,
-       CAST(COALESCE(c.dup_chars, 0) * 10000 // length(d.text) AS BIGINT)
+       CAST(CASE WHEN length(d.text) > 0
+                 THEN COALESCE(c.dup_chars, 0) * 10000 // length(d.text)
+                 ELSE 0 END AS BIGINT)
          AS coverage_bp
 FROM documents d LEFT JOIN cov c USING (doc_id)
 """

@@ -616,9 +616,7 @@ WITH s AS (
     CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(length(text)) AS BIGINT) AS n_chars,
     CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
-    CAST(SUM(len(regexp_extract_all(text, '[^ 	
-
-]+'))) AS BIGINT) AS n_tokens
+    CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang)
 SELECT lang, n_docs, n_chars, n_bytes, n_tokens,
   CAST(100 * n_chars // GREATEST(n_tokens, 1) AS BIGINT) AS chars_per_token_x100,

@@ -130,13 +130,14 @@ class TestMiningOracleParity:
         cent_idx = np.argsort(md5s)[:SEMDEDUP_CELLS]
         cent_idx = cent_idx[np.argsort(ids[cent_idx])]  # cid-ascending
         cids, cent = ids[cent_idx], matn[cent_idx]
-        cell = cids[(matn @ cent.T).argmax(axis=1)]
+        cell = cids[np.floor(1000.0 * (matn @ cent.T)).argmax(axis=1)]
         kept = np.ones(len(ids), dtype=bool)
         order = np.argsort(ids)
+        qtau = int(round(SEMDEDUP_TAU * 1000))
         for c in np.unique(cell):
             m = order[cell[order] == c]
-            sims = matn[m] @ matn[m].T
-            kept[m[np.triu(sims >= SEMDEDUP_TAU, k=1).any(axis=0)]] = False
+            qsims = np.floor(1000.0 * (matn[m] @ matn[m].T))
+            kept[m[np.triu(qsims >= qtau, k=1).any(axis=0)]] = False
         expect = pd.DataFrame({"vec_id": ids, "cell": cell, "kept": kept})
         expect = expect.sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(
