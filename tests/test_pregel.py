@@ -220,3 +220,131 @@ def test_pregel_actor_loop_checkpoint_resume(ray_session, tmp_path):
             make_seed(), step, key="b", max_iters=2, n_actors=4,
             checkpoint_dir=ck,
         )
+
+
+def test_pregel_messages_read_once_not_per_actor(ray_session):
+    """VERDICT r4 #1: sender-side outbox routing. Total rows FETCHED by
+    actors must equal total rows SENT — with the old scan-every-outbox
+    scheme each message was read n_actors times (4× here)."""
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.pregel import pregel_actor_loop
+
+    n = 4
+    seed = pd.DataFrame({"b": np.arange(8), "x": np.full(8, 3)})
+
+    def step(actor_id, n_actors, state, msgs, i):
+        if state is None or not len(state):
+            return state, None, 0
+        s = state.copy()
+        s["x"] = np.maximum(s["x"].to_numpy() - 1, 0)
+        active = s[s["x"] > 0]
+        # every active node messages EVERY bucket -> cross-actor traffic
+        out = (
+            pd.DataFrame(
+                {"b": np.tile(np.arange(8), len(active))}
+            )
+            if len(active)
+            else None
+        )
+        return s, out, int((s["x"] > 0).sum())
+
+    stats: dict = {}
+    ds, converged, _ = pregel_actor_loop(
+        ray.data.from_pandas(seed), step, key="b", max_iters=10,
+        n_actors=n, stats=stats,
+    )
+    assert converged
+    assert stats["sent_rows"] > 0
+    # reads scale with message volume, not n_actors x volume
+    assert stats["recv_rows"] == stats["sent_rows"]
+
+
+def test_pregel_actor_killed_mid_round_resumes_from_checkpoint(
+    ray_session, tmp_path
+):
+    """VERDICT r4 #6 chaos pin: an actor process dying MID-ROUND fails
+    the query loudly; a re-run with the same checkpoint_dir resumes from
+    the newest committed round (never round 0 — proven by a poisoned
+    seed AND the executed-round log) and reaches the byte-identical
+    fixed point of an uninterrupted run."""
+    import os
+
+    import ray
+    import ray.data
+
+    from europarl_crawler_ray.pipelines.pregel import pregel_actor_loop
+
+    frame = pd.DataFrame({"b": [0, 1, 2, 3], "left": [6, 4, 2, 5]})
+    kill_flag = tmp_path / "kill_once"
+    kill_flag.write_text("armed")
+    round_log = tmp_path / "rounds"
+    round_log.mkdir()
+
+    def make_seed(poisoned=False):
+        ds = ray.data.from_pandas(frame.copy())
+        if poisoned:
+            def boom(t):
+                raise RuntimeError("resume must not re-load the seed")
+            ds = ds.map_batches(boom, batch_format="pandas")
+        return ds
+
+    def make_step(kill_path, log_dir):
+        def step(actor_id, n_actors, state, msgs, i):
+            (log_dir / f"r{i:02d}_a{actor_id}").touch()
+            if actor_id == 1 and i == 3 and kill_path.exists():
+                kill_path.unlink()
+                os._exit(1)  # simulate a lost worker process mid-round
+            if state is None or not len(state):
+                return state, None, 0
+            s = state.copy()
+            n_in = 0 if msgs is None else int(msgs["left"].sum())
+            s["seen"] = s.get("seen", 0) + n_in
+            s["left"] = np.maximum(s["left"].to_numpy() - 1, 0)
+            active = s[s["left"] > 0]
+            out = (
+                pd.DataFrame(
+                    {"b": (active["b"].to_numpy() + 1) % 4,
+                     "left": active["left"]}
+                )
+                if len(active)
+                else None
+            )
+            return s, out, int((s["left"] > 0).sum())
+        return step
+
+    # uninterrupted reference run (no checkpointing, kill disarmed)
+    ref_log = tmp_path / "ref_rounds"
+    ref_log.mkdir()
+    full, conv_a, _ = pregel_actor_loop(
+        make_seed(), make_step(tmp_path / "never", ref_log),
+        key="b", max_iters=20, n_actors=2,
+    )
+    expected = full.to_pandas().sort_values("b").reset_index(drop=True)
+    assert conv_a
+
+    ck = str(tmp_path / "ck")
+    with pytest.raises(ray.exceptions.RayActorError):
+        pregel_actor_loop(
+            make_seed(), make_step(kill_flag, round_log),
+            key="b", max_iters=20, n_actors=2, checkpoint_dir=ck,
+        )
+    assert not kill_flag.exists()  # the kill fired
+    committed = [n for n in os.listdir(ck) if n.endswith(".manifest.json")]
+    assert committed == ["round_0002.manifest.json"]  # rounds 0-2 committed
+
+    resumed, conv_c, _ = pregel_actor_loop(
+        make_seed(poisoned=True), make_step(kill_flag, round_log),
+        key="b", max_iters=20, n_actors=2, checkpoint_dir=ck,
+    )
+    assert conv_c
+    got = resumed.to_pandas().sort_values("b").reset_index(drop=True)
+    assert got.equals(expected)
+    # one (round, actor) marker file per executed step call: rounds 0-2
+    # show exactly their first-attempt 2 actors each — the resumed run
+    # started at round 3, never re-executing a committed round
+    counts = {
+        r: len([n for n in os.listdir(round_log) if n.startswith(r)])
+        for r in ("r00", "r01", "r02", "r03")
+    }
+    assert counts == {"r00": 2, "r01": 2, "r02": 2, "r03": 2}
