@@ -195,7 +195,19 @@ def bench_queries(sf_dir: str) -> dict:
 
     qs, sqls = entry.queries(), entry.oracle_sql()
 
-    out = {}
+    # Warm the shared shingle scratch ONCE up front (VERDICT r4 #2):
+    # the alphabetical sweep otherwise charges the whole cold corpus-
+    # hashing pass to dedup_cascade (~67 s of its in-sweep time) while
+    # the rest of the dedup family reuses the parquet scratch for free.
+    # The warm cost is surfaced as its own record, not hidden.
+    from europarl_crawler_ray.pipelines.ml_queries import _shingle_sets
+
+    t0 = time.perf_counter()
+    _shingle_sets(sf_dir)
+    scratch_warm_s = round(time.perf_counter() - t0, 3)
+    log(f"  shingle scratch warm: {scratch_warm_s}s")
+
+    out = {"_scratch_warm": scratch_warm_s}
     for name, fn in sorted(qs.items()):
         if name not in sqls:  # rows-only ops are not part of the sweep
             continue
@@ -243,8 +255,10 @@ def run_full(num_cpus: int, sf_dir: str, skip_queries: bool = False) -> dict:
         "value": headline["seconds"],
         "unit": "sec",
         "queries": compact,
+        # total INCLUDES the _scratch_warm entry — the hashing work is
+        # still paid, just no longer charged to dedup_cascade's line
         "queries_total_sec": round(sum(queries.values()), 3) if queries else 0.0,
-        "n_queries": len(queries),
+        "n_queries": len([k for k in queries if not k.startswith("_")]),
         "queries_file": "BENCH/queries_full_latest.json" if queries else None,
         "sf": sf_dir,
         "num_cpus": num_cpus,
