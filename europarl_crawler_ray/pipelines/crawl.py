@@ -308,12 +308,24 @@ class CrawlDriver:
         st.wave += 1
         if st.wave % cfg.checkpoint_every == 0:
             self.seen.checkpoint(os.path.join(cfg.output_dir, "seen"))
+        # per-wave seen-filter quality (VERDICT r4 #7): with bloom-only
+        # shards a false positive silently DROPS a frontier url, so each
+        # wave's manifest carries the current estimated FPR and the
+        # expected-drop bound (candidates anti-joined this wave × FPR);
+        # exact-verified shards can't drop, so both report 0.
+        ss = self.seen.stats()
+        exact = all(p.get("exact") for p in ss["shards"])
+        est_fpr = 0.0 if exact else float(ss["est_fpr"])
         m = {
             "wave": st.wave - 1,
             "dates_probed": probe_rows,
             "confirmed_new": n_confirmed_new,
             "urls_new": n_new_urls,
             "pages": n_pages,
+            "est_fpr": est_fpr,
+            "fp_dropped_bound": round(
+                est_fpr * getattr(self, "_last_frontier_checked", 0), 6
+            ),
         }
         self.metrics.append(m)
         self._write_manifest()
@@ -329,6 +341,7 @@ class CrawlDriver:
         generated). With bloom-only shards a false positive can drop a url
         (documented FPR); verification runs use exact shards."""
         cands = candidate_combos(self.state, self.rules)
+        self._last_frontier_checked = len(cands)
         if not cands:
             return pa.table(
                 {

@@ -346,3 +346,24 @@ def test_real_http_client_builds_reference_request():
 
     with _pytest.raises(ValueError):
         make_http_client("carrier-pigeon")
+
+
+def test_wave_manifest_carries_est_fpr_and_drop_bound(crawl_run):
+    """VERDICT r4 #7: every wave's manifest metrics must surface the
+    seen-filter quality — est_fpr plus the expected-false-drop bound
+    (candidates anti-joined that wave x FPR). The default test config
+    runs exact-verified shards, so both must be exactly 0; bloom-only
+    configs report the positive estimate (pinned in test_cc_ingest)."""
+    import json
+
+    cfg, drv, _ = crawl_run
+    with open(f"{cfg.output_dir}/manifest.json") as f:
+        doc = json.load(f)
+    waves = doc["metrics"]
+    assert waves, "manifest has no per-wave metrics"
+    for m in waves:
+        assert "est_fpr" in m and "fp_dropped_bound" in m, m
+        assert m["est_fpr"] >= 0.0 and m["fp_dropped_bound"] >= 0.0
+    if all(p.get("exact") for p in drv.seen.stats()["shards"]):
+        assert all(m["est_fpr"] == 0.0 for m in waves)
+        assert all(m["fp_dropped_bound"] == 0.0 for m in waves)
