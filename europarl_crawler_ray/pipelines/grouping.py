@@ -50,6 +50,31 @@ def with_coarse_group(
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def compact_small(
+    ds: ray.data.Dataset,
+    target_block_bytes: int = 32 << 20,
+) -> ray.data.Dataset:
+    """Block hygiene for MATERIALIZED intermediates (call right after
+    ``materialize()``): re-blocks to ``ceil(size / target)`` blocks when
+    the current block count overshoots that.
+
+    Why: Ray's sort-based exchanges (groupby / sort) cost O(blocks) in
+    scheduling regardless of bytes, and ``union`` ADDS block counts —
+    a chain of union→groupby stages snowballs 64→576 blocks while the
+    data stays KB-sized, and the final exchange pays 16 s for 100 KB
+    (measured, dedup_cascade at sf0.1). At 100 TB the same intermediates
+    are ≥ blocks × 32 MB, the condition never fires, and this is a
+    no-op — block count tracks data volume in both regimes, which is
+    exactly the invariant a streaming shuffle wants."""
+    size = ds.size_bytes()
+    if not size:
+        return ds
+    want = max(1, -(-size // target_block_bytes))
+    if want < ds.num_blocks():
+        return ds.repartition(int(want)).materialize()
+    return ds
+
+
 def global_prune(
     ds: ray.data.Dataset,
     prune,

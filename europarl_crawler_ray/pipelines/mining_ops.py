@@ -21,6 +21,7 @@ import ray.data
 
 import pyarrow.compute as pc
 
+from .grouping import compact_small as _compact_small
 from .grouping import with_coarse_group as _with_coarse_group
 from .ml_queries import _md5u
 
@@ -1227,10 +1228,20 @@ def _tagged_filter(pairs, key_col: str, flags):
     return both.groupby("_g").map_groups(keep_flagged, batch_format="pandas")
 
 
-def q_dedup_cascade(sf_dir: str):
+def q_dedup_cascade(sf_dir: str, _timings: dict | None = None):
     from ..functions.dedup import md5_hash64
     from .grouping import global_prune
     from .ml_queries import q_dedup_minhash
+
+    import time as _time
+
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(label: str) -> None:
+        if _timings is not None:
+            now = _time.perf_counter()
+            _timings[label] = round(now - _t["last"], 2)
+            _t["last"] = now
 
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1264,6 +1275,8 @@ def q_dedup_cascade(sf_dir: str):
         .groupby("_g")
         .map_groups(keep_min, batch_format="pandas")
     ).materialize()
+    v1 = _compact_small(v1)
+    _mark("s1_exact_verdict")
 
     # ---- stage 2: LSH pairs, both ends stage-1 survivors → drop doc_b
     pairs = q_dedup_minhash(sf_dir, min_agree=CASCADE_MIN_AGREE)
@@ -1274,7 +1287,10 @@ def q_dedup_cascade(sf_dir: str):
         v = np.unique(df["doc_b"].to_numpy(np.int64))
         return pd.DataFrame({"k": v, "keep": np.zeros(v.size, np.int8)})
 
-    d2 = pb_ok.map_batches(drops2_rows, batch_format="pandas").materialize()
+    d2 = _compact_small(
+        pb_ok.map_batches(drops2_rows, batch_format="pandas").materialize()
+    )
+    _mark("s2_lsh_pairs_filtered")
 
     # verdict after stage 2: one id-keyed exchange combining v1 and d2
     def v2_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -1304,6 +1320,8 @@ def q_dedup_cascade(sf_dir: str):
         .groupby("_g")
         .map_groups(v2_combine, batch_format="pandas")
     ).materialize()
+    v2 = _compact_small(v2)
+    _mark("v2_verdict")
 
     # ---- stage 3: SemDeDup restricted to stage-2 survivors
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1360,9 +1378,10 @@ def q_dedup_cascade(sf_dir: str):
             }
         )
 
-    semb = joined.groupby("_g").map_groups(
+    semb = _compact_small(joined.groupby("_g").map_groups(
         surv_vec, batch_format="pandas"
-    ).materialize()
+    ).materialize())
+    _mark("s3_survivor_vectors")
 
     def cent_cand(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df) or "vec_id" not in df.columns:
@@ -1382,6 +1401,7 @@ def q_dedup_cascade(sf_dir: str):
         return df.iloc[np.sort(keep)][["vec_id", "embedding"]]
 
     cent_df = global_prune(semb, cent_cand)
+    _mark("s3_centroid_prune")
     if cent_df.empty:
         # no survivors with usable embeddings: verdicts are v2 as-is
         def finish_nosem(df: pd.DataFrame) -> pd.DataFrame:
@@ -1443,6 +1463,9 @@ def q_dedup_cascade(sf_dir: str):
         .groupby("cell")
         .map_groups(drop_cell, batch_format="pandas")
     )
+    if _timings is not None:
+        d3 = d3.materialize()
+        _mark("s3_assign_cells")
 
     # ---- final verdict: v2 (stage 0/1/2) + stage-3 drop notices
     def final_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -1473,6 +1496,10 @@ def q_dedup_cascade(sf_dir: str):
         .groupby("_g")
         .map_groups(final_combine, batch_format="pandas")
     )
+    if _timings is not None:
+        final = final.materialize()
+        _mark("s3_assign_dedup_final")
+        _timings["_final_stats"] = final.stats()
     return final
 
 

@@ -154,7 +154,14 @@ def _shingle_sets(sf_dir: str) -> ray.data.Dataset:
 
     tmp = f"{cdir}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
     shutil.rmtree(tmp, ignore_errors=True)
-    compute().write_parquet(tmp)
+    # compact before writing: the hashing pass inherits the read's
+    # CPU-sized block count (64 tiny blocks at bench scale), and every
+    # downstream consumer would inherit one block PER FILE — sort-based
+    # exchanges cost O(blocks), so the whole dedup family pays for the
+    # fragmentation on every query (grouping.compact_small rationale)
+    from .grouping import compact_small as _compact
+
+    _compact(compute().materialize()).write_parquet(tmp)
     os.makedirs(tmp, exist_ok=True)  # zero-row writes create no dir
     import pyarrow.dataset as _pads
 
