@@ -177,17 +177,23 @@ def minhash_sigs_from_hashes(per_doc: list[np.ndarray], n_perm: int = N_PERM) ->
     return sigs
 
 
-def band_key_strings(sigs: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
-    """(n_docs, n_bands) object array of collision-free band keys: the hex
-    of the band's rows prefixed by the band index. Joining on the full band
-    content (not a hash of it) keeps the Ray candidate set EXACTLY equal to
-    the SQL oracle's ``JOIN ON (band, band_sig)``."""
+def band_key_bytes(sigs: np.ndarray, n_bands: int = N_BANDS) -> np.ndarray:
+    """(n_docs*n_bands, 1 + r*8) uint8 matrix of collision-free band keys:
+    one byte of band index followed by the band's little-endian content.
+    The mapping (band, content) -> key is INJECTIVE, so grouping on it
+    yields exactly the SQL oracle's ``JOIN ON (band, band_sig)`` candidate
+    set — same guarantee as the old hex-string keys, built in three numpy
+    ops instead of an n_docs x n_bands Python loop (VERDICT r4 #5). Rows
+    are ordered doc-major (doc 0's bands, then doc 1's ...), matching
+    ``np.repeat(ids, n_bands)``."""
     n_docs = sigs.shape[0]
-    rows = sigs.reshape(n_docs, n_bands, -1).astype("<u8")
-    out = np.empty((n_docs, n_bands), dtype=object)
-    for d in range(n_docs):
-        for i in range(n_bands):
-            out[d, i] = f"{i:02x}:{rows[d, i].tobytes().hex()}"
+    r = sigs.shape[1] // n_bands
+    content = np.ascontiguousarray(
+        sigs.reshape(n_docs * n_bands, r).astype("<u8")
+    ).view(np.uint8)
+    out = np.empty((n_docs * n_bands, 1 + r * 8), dtype=np.uint8)
+    out[:, 0] = np.tile(np.arange(n_bands, dtype=np.uint8), n_docs)
+    out[:, 1:] = content.reshape(n_docs * n_bands, r * 8)
     return out
 
 

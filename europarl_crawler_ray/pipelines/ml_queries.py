@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -33,7 +32,7 @@ from ..functions.dedup import (
     N_PERM,
     PERM31_A,
     PERM31_B,
-    band_key_strings,
+    band_key_bytes,
     batch_minhash_sigs_p,
     batch_simhash_p,
     simhash_band_keys,
@@ -206,21 +205,33 @@ def _minhash_pairs(
         sigs = minhash_sigs_from_hashes(
             [np.frombuffer(b, dtype=np.uint64) for b in t.column("hs").to_pylist()]
         )
-        bkeys = band_key_strings(sigs)  # (n, 32) collision-free strings
         n = len(ids)
-        flat_keys = bkeys.ravel()
+        keys = band_key_bytes(sigs)  # (n*32, 33) injective (band, content) keys
         # coarse co-location key: grouping directly by band_key would make
         # one map_groups invocation per band (~32×n_docs tiny Python-level
         # groups — measured 20×+ slower); ~256 coarse groups keep the
         # exchange, and the per-band bucketing runs vectorized inside the
-        # task via pandas groupby
-        gkeys = np.array([zlib.crc32(k.encode()) & 0xFF for k in flat_keys], dtype=np.int64)
+        # task via pandas groupby. Any deterministic function of the band
+        # CONTENT works (equal keys must collide): the band's last minhash
+        # value is mod-p uniform, so its low byte spreads evenly.
+        flat = sigs.reshape(n * N_BANDS, -1)
+        gkeys = (flat[:, -1] % np.uint64(256)).astype(np.int64)
+        # signature payload rides the exchange once per band row; values
+        # are mod 2^31-1 so uint32 halves the shuffled bytes vs uint64,
+        # and the FixedSizeBinary arrays are built zero-copy from one
+        # buffer instead of n×32 Python .tobytes() calls (VERDICT r4 #5)
+        sig32 = np.ascontiguousarray(np.repeat(sigs.astype("<u4"), N_BANDS, axis=0))
+        sig_width = sig32.shape[1] * 4
         return pa.table(
             {
                 "gkey": pa.array(gkeys),
-                "band_key": pa.array(flat_keys.tolist(), pa.string()),
+                "band_key": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(keys.shape[1]), n * N_BANDS, [None, pa.py_buffer(keys)]
+                ),
                 "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
-                "sig": pa.array([sigs[i].tobytes() for i in range(n) for _ in range(N_BANDS)], pa.binary()),
+                "sig": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(sig_width), n * N_BANDS, [None, pa.py_buffer(sig32)]
+                ),
             }
         )
 
@@ -238,7 +249,7 @@ def _minhash_pairs(
             b = b.sort_values("doc_id")
             b, n_dropped = _cap_bucket(b, "dedup_minhash", bucket_cap)
             ids = b["doc_id"].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in b["sig"]])
+            sigs = np.frombuffer(b"".join(b["sig"]), dtype=np.uint32).reshape(len(b), -1)
             n = len(b)
             rows = []
             for i in range(n):  # vectorized against all later rows
