@@ -352,6 +352,7 @@ def q_dedup_verify(
     n_buckets: int = 64,
     materialize_sets: bool = False,
     return_agree: bool = False,
+    with_sizes: bool = False,
 ):
     """Exact n-gram Jaccard verification of the MinHash candidates,
     FULLY DISTRIBUTED (VERDICT r2 #2 — the old version collected every
@@ -446,10 +447,11 @@ def q_dedup_verify(
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["side"] == 1]
+        size_cols = ["n_min"] if with_sizes else []
         empty = pd.DataFrame(
             {
                 c: pd.Series([], dtype=np.int64)
-                for c in ["doc_a", "doc_b", "n_agree", "n_inter", "n_union"]
+                for c in ["doc_a", "doc_b", "n_agree", "n_inter", "n_union"] + size_cols
             }
         )
         if p.empty:
@@ -471,7 +473,7 @@ def q_dedup_verify(
         )
         n_a = np.fromiter((len(x) // 8 for x in m["hs_a"]), dtype=np.int64, count=n)
         n_b = np.fromiter((len(y) // 8 for y in m["hs_b"]), dtype=np.int64, count=n)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_a": m["doc_a"].astype(np.int64),
                 "doc_b": m["doc_b"].astype(np.int64),
@@ -480,6 +482,9 @@ def q_dedup_verify(
                 "n_union": n_a + n_b - n_inter,
             }
         )
+        if with_sizes:
+            out["n_min"] = np.minimum(n_a, n_b)
+        return out
 
     stage_a = (
         sets.map_batches(set_prep, batch_format="pyarrow")
@@ -526,6 +531,79 @@ JOIN sz zb ON zb.doc_id = s.doc_b
 
 
 DEDUP_VERIFY_SQL = _dedup_verify_sql()
+
+
+# -------------------------------------- asymmetric containment near-dup
+
+def q_shingle_containment(sf_dir: str, min_agree: int = 26):
+    """(doc_a, doc_b, n_inter, n_min, containment_bp) over the MinHash
+    candidate pairs: max-containment |A∩B| / min(|A|,|B|) of the exact
+    distinct-shingle sets, in integer basis points. Containment is the
+    ASYMMETRIC near-dup signal Jaccard misses — a boilerplate page
+    embedded verbatim inside a longer one scores near 10000 here while
+    its Jaccard stays low — the standard subset/template detector a
+    corpus dedup cascade runs beside symmetric Jaccard (Broder's
+    containment sketch framing). Reference surface analogue: the
+    reference dedups only exact URLs (europarl/db.py's urls table);
+    content-level containment is part of this engine's LLM-corpus
+    extension.
+
+    Scale shape: identical to dedup_verify (shared shingle scratch, two
+    bucket joins, no driver state) — n_min rides the same stage-B task
+    that already owns both set sizes; `containment_bp` is integer
+    division on both engines so the oracle is exact."""
+
+    full = q_dedup_verify(
+        sf_dir, min_agree=min_agree, return_agree=True, with_sizes=True
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n_inter = t.column("n_inter").to_numpy().astype(np.int64)
+        n_min = t.column("n_min").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "n_inter": pa.array(n_inter, pa.int64()),
+                "n_min": pa.array(n_min, pa.int64()),
+                "containment_bp": pa.array(
+                    10000 * n_inter // np.maximum(n_min, 1), pa.int64()
+                ),
+            }
+        )
+
+    return full.map_batches(fin, batch_format="pyarrow")
+
+
+def _shingle_containment_sql(min_agree: int = 26) -> str:
+    base = _dedup_minhash_sql(min_agree)
+    head, _, _tail = base.rpartition(
+        "SELECT doc_a, doc_b, n_agree, CAST(0 AS BIGINT) AS n_capped\nFROM agree"
+    )
+    return (
+        head
+        + f""", surv AS (SELECT doc_a, doc_b FROM agree WHERE n_agree >= {min_agree}),
+hd AS (SELECT DISTINCT doc_id, h FROM hh),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hd GROUP BY doc_id),
+ov AS (
+  SELECT s.doc_a, s.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM surv s
+  JOIN hd a ON a.doc_id = s.doc_a
+  JOIN hd b ON b.doc_id = s.doc_b AND b.h = a.h
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b, COALESCE(ov.n_inter, 0) AS n_inter,
+       LEAST(za.n, zb.n) AS n_min,
+       COALESCE(ov.n_inter, 0) * 10000 // GREATEST(LEAST(za.n, zb.n), 1)
+           AS containment_bp
+FROM surv s
+LEFT JOIN ov ON ov.doc_a = s.doc_a AND ov.doc_b = s.doc_b
+JOIN sz za ON za.doc_id = s.doc_a
+JOIN sz zb ON zb.doc_id = s.doc_b
+"""
+    )
+
+
+SHINGLE_CONTAINMENT_SQL = _shingle_containment_sql()
 
 
 # ---------------------- LSH threshold tuning (precision/recall sweep)
@@ -2311,6 +2389,7 @@ ML_SQL_QUERIES: dict = {
     "multimodal_video": (q_multimodal_video, MULTIMODAL_VIDEO_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
+    "shingle_containment": (q_shingle_containment, SHINGLE_CONTAINMENT_SQL),
     "minhash_pr_curve": (q_minhash_pr_curve, _minhash_pr_sql()),
     "dedup_ngram": (q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),

@@ -1160,6 +1160,217 @@ FROM j
 """
 
 
+# ====================================================== mrr / map eval
+#
+# Reciprocal-rank and average-precision@K over the same integer
+# retrieval setup ndcg_eval grades (NDCG_Q md5-picked queries,
+# floor(1000x) integer dot scores, md5-derived rel grades; relevant =
+# grade > 0) — the other two standard retrieval metrics an
+# embedding-quality report carries beside nDCG. All arithmetic is
+# integer so the DuckDB oracle is bit-exact: rr_bp = 10000 //
+# first_rel_rank, and each AP precision term is (1e6 * cum_rel) // rank
+# summed over relevant top-K positions, normalized by min(R, K).
+#
+# Scale shape: one per-batch (integer matmul, top-K prune) map over the
+# corpus -> a Q-bounded groupby for the global top-K -> a Q-bounded
+# reduce for total-relevant counts. Driver sees <= Q rows.
+
+RANK_EVAL_K = NDCG_K
+
+
+def _rank_eval_metrics(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    cols = ["query_id", "first_rel_rank", "rr_bp", "n_rel", "ap_num", "ap_bp"]
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def prune_q(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "vec_id" not in df.columns:
+            return df
+        md5s = np.array(
+            [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:NDCG_Q]
+        return df.iloc[np.sort(keep)]
+
+    qdf = global_prune(emb, prune_q)
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    md5s = np.array(
+        [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in qdf["vec_id"]]
+    )
+    qdf = qdf.iloc[np.argsort(md5s)[:NDCG_Q]].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = np.floor(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "q": pd.Series(dtype=np.int64),
+                    "d": pd.Series(dtype=np.int64),
+                    "s": pd.Series(dtype=np.int64),
+                    "rel": pd.Series(dtype=np.int64),
+                }
+            )
+        ids = df["vec_id"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        s = mat @ qmat.T
+        out = []
+        for j, q in enumerate(qids):
+            keep = ids != q
+            dd = ids[keep]
+            sc = s[keep, j]
+            order = np.lexsort((dd, -sc))[:RANK_EVAL_K]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q": np.full(order.size, q, np.int64),
+                        "d": dd[order],
+                        "s": sc[order],
+                        "rel": _ndcg_rel(np.full(order.size, q), dd[order]),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    topk = emb.map_batches(score_rows, batch_format="pandas")
+
+    def final_metrics(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["s", "d"], ascending=[False, True])
+            .head(RANK_EVAL_K)
+            .reset_index(drop=True)
+        )
+        rel = g["rel"].to_numpy(np.int64) > 0
+        pos = np.nonzero(rel)[0]
+        if pos.size:
+            fr = int(pos[0]) + 1
+            cum = np.cumsum(rel.astype(np.int64))
+            ap_num = int(((1000000 * cum[pos]) // (pos + 1)).sum())
+        else:
+            fr, ap_num = 0, 0
+        return pd.DataFrame(
+            {"q": [int(g["q"].iloc[0])], "first_rel_rank": [fr], "ap_num": [ap_num]}
+        )
+
+    met = (
+        topk.groupby("q").map_groups(final_metrics, batch_format="pandas")
+    ).to_pandas()  # <= NDCG_Q rows
+
+    def nrel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"q": pd.Series(dtype=np.int64), "part_n": pd.Series(dtype=np.int64)}
+            )
+        ids = df["vec_id"].to_numpy(np.int64)
+        rows = []
+        for q in qids:
+            dd = ids[ids != q]
+            rel = _ndcg_rel(np.full(dd.size, q), dd)
+            rows.append((int(q), int((rel > 0).sum())))
+        return pd.DataFrame(rows, columns=["q", "part_n"])
+
+    rc = (
+        emb.map_batches(nrel_partial, batch_format="pandas")
+        .groupby("q")
+        .sum("part_n")
+        .to_pandas()  # <= NDCG_Q rows
+    ).rename(columns={"sum(part_n)": "n_rel"})
+    out = met.merge(rc, on="q", how="left")
+    out["n_rel"] = out["n_rel"].fillna(0).astype(np.int64)
+    fr = out["first_rel_rank"].to_numpy(np.int64)
+    out["rr_bp"] = np.where(fr > 0, 10000 // np.maximum(fr, 1), 0)
+    denom = 100 * np.maximum(np.minimum(out["n_rel"].to_numpy(np.int64), RANK_EVAL_K), 1)
+    out["ap_bp"] = out["ap_num"].to_numpy(np.int64) // denom
+    out = out.rename(columns={"q": "query_id"}).sort_values("query_id")
+    return out[cols].astype("int64").reset_index(drop=True)
+
+
+def q_mrr_eval(sf_dir: str):
+    """Per-query MRR@K (K=RANK_EVAL_K): (query_id, first_rel_rank,
+    rr_bp). rr_bp is 10000 // rank of the first relevant candidate in
+    the integer-scored top-K, 0 when none — integer-exact vs the
+    window-function oracle."""
+    m = _rank_eval_metrics(sf_dir)
+    return m[["query_id", "first_rel_rank", "rr_bp"]]
+
+
+def q_map_eval(sf_dir: str):
+    """Per-query AP@K (K=RANK_EVAL_K): (query_id, n_rel, ap_num,
+    ap_bp). ap_num sums (1e6 * cum_rel) // rank over relevant top-K
+    positions; ap_bp divides by 100 * min(n_rel, K) — trec-style AP@K,
+    all integer."""
+    m = _rank_eval_metrics(sf_dir)
+    return m[["query_id", "n_rel", "ap_num", "ap_bp"]]
+
+
+def _rank_scored_cte() -> str:
+    """Shared e/qs/scored/rk CTE prefix (ndcg_eval's integer setup)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+qs AS (SELECT vec_id AS qid, q AS qv FROM e
+       ORDER BY md5('nq:' || CAST(vec_id AS VARCHAR)) LIMIT {NDCG_Q}),
+scored AS (
+  SELECT qs.qid, e.vec_id AS did,
+         list_inner_product(qs.qv, e.q) AS s,
+         CAST(CAST(concat('0x', substr(md5('rel:' || CAST(qs.qid AS VARCHAR)
+              || ':' || CAST(e.vec_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4
+              AS BIGINT) AS rel
+  FROM qs JOIN e ON e.vec_id <> qs.qid),
+rk AS (
+  SELECT qid, did, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, did ASC) AS rn
+  FROM scored)"""
+
+
+MRR_EVAL_SQL = (
+    _rank_scored_cte()
+    + f""",
+fr AS (SELECT qid, CAST(MIN(rn) AS BIGINT) AS fr
+       FROM rk WHERE rn <= {RANK_EVAL_K} AND rel > 0 GROUP BY 1)
+SELECT CAST(qs.qid AS BIGINT) AS query_id,
+       COALESCE(fr.fr, 0) AS first_rel_rank,
+       CASE WHEN fr.fr IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST(10000 AS BIGINT) // fr.fr END AS rr_bp
+FROM qs LEFT JOIN fr ON fr.qid = qs.qid
+"""
+)
+
+MAP_EVAL_SQL = (
+    _rank_scored_cte()
+    + f""",
+ck AS (
+  SELECT qid, rel, rn,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY qid ORDER BY rn) AS cum
+  FROM rk),
+ap AS (SELECT qid, CAST(SUM((1000000 * cum) // rn) AS BIGINT) AS ap_num
+       FROM ck WHERE rn <= {RANK_EVAL_K} AND rel > 0 GROUP BY 1),
+nr AS (SELECT qid, CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel
+       FROM scored GROUP BY 1)
+SELECT CAST(qs.qid AS BIGINT) AS query_id,
+       COALESCE(nr.n_rel, 0) AS n_rel,
+       COALESCE(ap.ap_num, 0) AS ap_num,
+       COALESCE(ap.ap_num, 0)
+           // (100 * GREATEST(LEAST(COALESCE(nr.n_rel, 0),
+                                    {RANK_EVAL_K}), 1)) AS ap_bp
+FROM qs
+LEFT JOIN nr ON nr.qid = qs.qid
+LEFT JOIN ap ON ap.qid = qs.qid
+"""
+)
+
+
 # ========================================================== auc_eval
 #
 # Exact ROC-AUC of an integer linear scorer against the embedding
@@ -1407,4 +1618,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "auc_eval": (q_auc_eval, AUC_EVAL_SQL),
     "ks_drift": (q_ks_drift, KS_DRIFT_SQL),
     "ndcg_eval": (q_ndcg_eval, _ndcg_sql()),
+    "mrr_eval": (q_mrr_eval, MRR_EVAL_SQL),
+    "map_eval": (q_map_eval, MAP_EVAL_SQL),
 }

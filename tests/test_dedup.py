@@ -308,3 +308,39 @@ def test_shingle_scratch_cache_roundtrip(ray_session, sf_dir, tmp_path, monkeypa
     monkeypatch.setenv("EUROPARL_SCRATCH", "0")
     fresh = _shingle_sets(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert cached.equals(again) and cached.equals(fresh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shingle_containment_prefix_doc_scores_10000(tmp_path):
+    """A doc fully embedded as a prefix of a longer one has containment
+    10000 bp even though its Jaccard is only ~ |A|/|B| — the asymmetric
+    signal q_shingle_containment exists to surface."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.functions.dedup import md5_hash31, shingle_strings
+    from europarl_crawler_ray.pipelines.ml_queries import q_shingle_containment
+
+    base = " ".join(f"word{i}" for i in range(30))
+    longer = base + " " + " ".join(f"extra{i}" for i in range(20))
+    texts = [base, longer] + [
+        f"unrelated filler {i} " + " ".join(f"tok{i}x{j}" for j in range(12))
+        for i in range(20)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_shingle_containment(str(tmp_path)).to_pandas()
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]
+    assert len(row) == 1, out
+    sa = set(np.unique(md5_hash31(shingle_strings(base))))
+    sb = set(np.unique(md5_hash31(shingle_strings(longer))))
+    assert int(row["n_inter"].iloc[0]) == len(sa & sb)
+    assert int(row["n_min"].iloc[0]) == min(len(sa), len(sb))
+    assert int(row["containment_bp"].iloc[0]) == 10000
+    # while symmetric Jaccard is well below 1
+    assert len(sa & sb) / len(sa | sb) < 0.7

@@ -201,3 +201,78 @@ class TestNdcgEval:
 
         for i, d in enumerate(NDCG_DISC, start=1):
             assert d == round(1e9 / np.log2(i + 1))
+
+
+class TestRankEval:
+    """mrr_eval / map_eval vs a straight-line brute force (same integer
+    scoring/grading as TestNdcgEval)."""
+
+    def _brute(self, sf_dir):
+        import hashlib
+
+        from europarl_crawler_ray.pipelines.validation_ops import (
+            NDCG_Q,
+            RANK_EVAL_K,
+        )
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ids = emb["vec_id"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        md5s = np.array(
+            [hashlib.md5(f"nq:{int(v)}".encode()).hexdigest() for v in ids]
+        )
+        qidx = np.argsort(md5s)[:NDCG_Q]
+
+        def rel(q, d):
+            return (
+                int(hashlib.md5(f"rel:{q}:{d}".encode()).hexdigest()[:16], 16) % 4
+            )
+
+        exp = {}
+        for qi in qidx:
+            q = int(ids[qi])
+            keep = ids != q
+            dd, s = ids[keep], mat[keep] @ mat[qi]
+            order = np.lexsort((dd, -s))[:RANK_EVAL_K]
+            rels = np.array([rel(q, int(d)) for d in dd[order]]) > 0
+            pos = np.nonzero(rels)[0]
+            if pos.size:
+                fr = int(pos[0]) + 1
+                cum = np.cumsum(rels.astype(np.int64))
+                ap_num = int(((1000000 * cum[pos]) // (pos + 1)).sum())
+            else:
+                fr, ap_num = 0, 0
+            n_rel = int(sum(rel(q, int(d)) > 0 for d in dd))
+            exp[q] = (fr, ap_num, n_rel)
+        return exp
+
+    def test_mrr_matches_bruteforce(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.validation_ops import (
+            NDCG_Q,
+            q_mrr_eval,
+        )
+
+        out = q_mrr_eval(sf_dir).set_index("query_id")
+        exp = self._brute(sf_dir)
+        assert len(out) == NDCG_Q
+        for q, (fr, _ap, _nr) in exp.items():
+            assert int(out.loc[q, "first_rel_rank"]) == fr
+            assert int(out.loc[q, "rr_bp"]) == (10000 // fr if fr else 0)
+
+    def test_map_matches_bruteforce(self, ray_session, sf_dir):
+        from europarl_crawler_ray.pipelines.validation_ops import (
+            NDCG_Q,
+            RANK_EVAL_K,
+            q_map_eval,
+        )
+
+        out = q_map_eval(sf_dir).set_index("query_id")
+        exp = self._brute(sf_dir)
+        assert len(out) == NDCG_Q
+        for q, (_fr, ap_num, n_rel) in exp.items():
+            assert int(out.loc[q, "n_rel"]) == n_rel
+            assert int(out.loc[q, "ap_num"]) == ap_num
+            denom = 100 * max(min(n_rel, RANK_EVAL_K), 1)
+            assert int(out.loc[q, "ap_bp"]) == ap_num // denom
