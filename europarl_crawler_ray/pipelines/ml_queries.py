@@ -606,6 +606,98 @@ JOIN sz zb ON zb.doc_id = s.doc_b
 SHINGLE_CONTAINMENT_SQL = _shingle_containment_sql()
 
 
+# -------------------------------------- LSH bucket-size distribution
+
+def q_lsh_bucket_stats(sf_dir: str):
+    """(bucket_size, n_buckets) histogram of MinHash band-bucket collision
+    sizes (size >= 2) — the operational dial for BUCKET_CAP and band/row
+    tuning at 100 TB: the tail of this histogram is exactly the
+    quadratic-pair blowup a boilerplate-heavy web corpus produces, so a
+    production dedup run reads it BEFORE committing to an LSH config
+    (Broder-style banding analysis; same observability rationale as
+    ``n_capped``). Reference surface analogue: none — the reference dedups
+    exact URLs only (europarl/db.py urls table).
+
+    Scale shape: shared shingle scratch → signature map (fused) → ONE
+    coarse exchange on the band-content key (same gkey device as
+    ``_minhash_pairs``: equal band keys collide by construction) →
+    per-group size histogram partials → ``global_prune`` combine over the
+    tiny size domain. No pair materialization anywhere — cost is linear
+    in corpus size even where the pair count would be quadratic."""
+    from ..functions.dedup import minhash_sigs_from_hashes
+
+    sets = _shingle_sets(sf_dir)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        sigs = minhash_sigs_from_hashes(
+            [np.frombuffer(b, dtype=np.uint64) for b in t.column("hs").to_pylist()]
+        )
+        n = len(ids)
+        keys = band_key_bytes(sigs)
+        flat = sigs.reshape(n * N_BANDS, -1)
+        gkeys = (flat[:, -1] % np.uint64(256)).astype(np.int64)
+        return pa.table(
+            {
+                "gkey": pa.array(gkeys),
+                "band_key": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(keys.shape[1]), n * N_BANDS, [None, pa.py_buffer(keys)]
+                ),
+            }
+        )
+
+    def size_hist(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("band_key", sort=False).size()
+        sizes = sizes[sizes >= 2]
+        vc = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "bucket_size": vc.index.to_numpy().astype(np.int64),
+                "n_buckets": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "bucket_size": pd.Series([], dtype="int64"),
+                    "n_buckets": pd.Series([], dtype="int64"),
+                }
+            )
+        return df.groupby("bucket_size", as_index=False)["n_buckets"].sum()
+
+    hists = (
+        sets.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(
+            lambda g: size_hist(g.drop(columns=["gkey"])), batch_format="pandas"
+        )
+    )
+    from .grouping import global_prune
+
+    return global_prune(hists, combine)
+
+
+def _lsh_bucket_stats_sql() -> str:
+    """Minhash CTEs up to ``bands``; bucket sizes are COUNT(*) per
+    (band, band signature) — one row per doc per band on both engines."""
+    base = _dedup_minhash_sql()
+    head, sep, _tail = base.rpartition("cand AS (")
+    assert sep, "minhash SQL shape changed"
+    return (
+        head
+        + """sizes AS (
+  SELECT band, bsig, COUNT(*) AS sz FROM bands GROUP BY 1, 2)
+SELECT CAST(sz AS BIGINT) AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM sizes WHERE sz >= 2 GROUP BY 1
+"""
+    )
+
+
+LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
+
+
 # ---------------------- LSH threshold tuning (precision/recall sweep)
 
 PR_CURVE_FLOOR = 20
@@ -2390,6 +2482,7 @@ ML_SQL_QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "dedup_verify": (q_dedup_verify, DEDUP_VERIFY_SQL),
     "shingle_containment": (q_shingle_containment, SHINGLE_CONTAINMENT_SQL),
+    "lsh_bucket_stats": (q_lsh_bucket_stats, LSH_BUCKET_STATS_SQL),
     "minhash_pr_curve": (q_minhash_pr_curve, _minhash_pr_sql()),
     "dedup_ngram": (q_dedup_ngram, DEDUP_NGRAM_SQL),
     "dedup_embedding": (q_dedup_embedding, DEDUP_EMBEDDING_SQL),

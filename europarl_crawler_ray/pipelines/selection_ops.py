@@ -383,8 +383,78 @@ FROM documents d LEFT JOIN cov c USING (doc_id)
 """
 
 
+# ====================================================== embedding_gram
+#
+# Distributed Gram / second-moment matrix of the embedding column — the
+# input to PCA whitening, ZCA, and low-rank probes a training-data
+# pipeline runs over its embedding space (e.g. before SemDeDup cell
+# sizing). Components are quantized to integers FIRST (floor(x * 1e6)
+# after a float64 cast — FLOOR matches numpy/DuckDB bit-for-bit, unlike
+# round-half-even vs half-away ROUND), so the partial sums are exact
+# integer arithmetic and order-independent on both engines — the
+# linreg_fit integer-moment device applied to a d×d reduce.
+
+GRAM_SCALE = 1_000_000
+
+
+def q_embedding_gram(sf_dir: str):
+    """(i, j, s) for 0 <= i <= j < dim where s = Σ_docs q_i·q_j and
+    q = floor(1e6 · float64(embedding)).
+
+    Scale shape: NO shuffle — each block reduces to one d(d+1)/2-row
+    integer partial (d=64 → 2080 rows) via a local int64 matmul, then
+    ``global_prune`` sums partials in ONE task so the driver sees a
+    single d(d+1)/2 table regardless of block count. At larger corpora
+    shrink GRAM_SCALE so n_docs · GRAM_SCALE² stays under 2^63 (the
+    documented quantization/overflow trade; 1e6 is good to ~9e6 docs of
+    unit-normed components)."""
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "i": pd.Series([], dtype="int64"),
+                "j": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(g.shape[0])
+        return pd.DataFrame(
+            {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "s": g[iu, ju]}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby(["i", "j"], as_index=False)["s"].sum()
+
+    return global_prune(emb.map_batches(partial, batch_format="pandas"), combine)
+
+
+EMBEDDING_GRAM_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(FLOOR(x * {GRAM_SCALE}) AS BIGINT))) AS qx
+  FROM embeddings
+)
+SELECT CAST(a.pos - 1 AS BIGINT) AS i,
+       CAST(b.pos - 1 AS BIGINT) AS j,
+       CAST(SUM(a.qx * b.qx) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
 SELECTION_SQL_QUERIES: dict[str, tuple] = {
     "coreset_kcenter": (q_coreset_kcenter, _kcenter_sql()),
     "phrase_query": (q_phrase_query, PHRASE_QUERY_SQL),
     "exact_substr_spans": (q_exact_substr_spans, EXACT_SUBSTR_SPANS_SQL),
+    "embedding_gram": (q_embedding_gram, EMBEDDING_GRAM_SQL),
 }

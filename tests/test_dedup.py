@@ -2,6 +2,7 @@
 texts must not collide."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from europarl_crawler_ray.functions.dedup import (
@@ -344,3 +345,62 @@ def test_shingle_containment_prefix_doc_scores_10000(tmp_path):
     assert int(row["containment_bp"].iloc[0]) == 10000
     # while symmetric Jaccard is well below 1
     assert len(sa & sb) / len(sa | sb) < 0.7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_bucket_stats_matches_bruteforce(tmp_path):
+    """Three byte-identical docs share every band signature, so each of
+    the N_BANDS bands contributes one size-3 bucket; the full histogram
+    must equal a straight-line recount over the same signatures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from europarl_crawler_ray.functions.dedup import (
+        N_BANDS,
+        md5_hash31,
+        minhash_sigs_from_hashes,
+        shingle_strings,
+    )
+    from europarl_crawler_ray.pipelines.ml_queries import q_lsh_bucket_stats
+
+    dup = "the quick brown fox jumps over the lazy dog " * 3
+    texts = [dup, dup, dup] + [
+        f"unique doc {i} " + " ".join(f"tok{i}w{j}" for j in range(15))
+        for i in range(12)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    sigs = minhash_sigs_from_hashes(
+        [np.unique(md5_hash31(shingle_strings(s))) for s in texts]
+    )
+    banded = sigs.reshape(len(texts), N_BANDS, -1)
+    from collections import Counter
+
+    buckets: Counter = Counter()
+    for b in range(N_BANDS):
+        per_key: Counter = Counter(tuple(row) for row in banded[:, b, :])
+        for sz in per_key.values():
+            if sz >= 2:
+                buckets[sz] += 1
+    assert buckets[3] >= N_BANDS  # the triplicate collides in every band
+
+    out = (
+        q_lsh_bucket_stats(str(tmp_path))
+        .sort_values("bucket_size")
+        .reset_index(drop=True)
+    )
+    expect = (
+        pd.DataFrame(
+            {"bucket_size": list(buckets), "n_buckets": list(buckets.values())}
+        )
+        .astype("int64")
+        .sort_values("bucket_size")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, expect)

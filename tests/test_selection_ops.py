@@ -200,3 +200,44 @@ class TestExactSubstrSpans:
         # checking the first window starts at pos 1
         txt = "a" * SUBSTR_L
         assert txt[0:SUBSTR_L] == txt  # python 0-based slice of pos=1
+
+
+class TestEmbeddingGram:
+    def test_matches_numpy_with_negative_components(self, ray_session, tmp_path):
+        """floor(x*1e6) on NEGATIVE floats rounds away from zero — the
+        exact case where round-vs-floor engines diverge; the quantized
+        Gram must equal a straight int64 matmul over the same rule."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from europarl_crawler_ray.pipelines.selection_ops import (
+            GRAM_SCALE,
+            q_embedding_gram,
+        )
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(40, 5)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 40, pa.int32()),
+            }
+        )
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+
+        q = np.floor(mat.astype(np.float64) * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        iu, ju = np.triu_indices(5)
+        expect = pd.DataFrame(
+            {"i": iu.astype(np.int64), "j": ju.astype(np.int64), "s": g[iu, ju]}
+        ).sort_values(["i", "j"]).reset_index(drop=True)
+
+        out = (
+            q_embedding_gram(str(tmp_path))
+            .sort_values(["i", "j"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, expect)
