@@ -1405,6 +1405,194 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+# ========================================================= zipf_slope
+#
+# Zipf's-law fit per language: OLS slope of ln(frequency) on ln(rank)
+# over the top-K tokens — the distribution-shape diagnostic a corpus
+# curator reads to spot template-heavy or boilerplate-dominated
+# languages (natural text slopes near -1; flat slopes flag synthetic
+# or repetitive sources). Parity device: ranks and counts are exact
+# integers on both engines; ln is quantized to floor(1e6·ln(x)) using
+# the SAME libm double (math.log here, DuckDB ln in-process — both
+# glibc), then the slope is the linreg_fit integer-moment closed form:
+# exact integer sums and ONE final float division.
+#
+# Scale shape: per-batch (lang, token) combiner → ONE coarse exchange
+# on token (all rows of a token co-locate, counts become exact there),
+# per-task top-K-per-lang prune (a superset of the global top-K, so
+# the selection is associative), one repartition(1) re-prune, and a
+# ≤ K·n_langs driver table. Nothing vocabulary-scaled leaves a task.
+
+ZIPF_TOP_K = 100
+
+
+def _zipf_topk(df: pd.DataFrame, k: int = ZIPF_TOP_K) -> pd.DataFrame:
+    df = df.sort_values(
+        ["lang", "n", "token"], ascending=[True, False, True], kind="mergesort"
+    )
+    return df.groupby("lang", dropna=False).head(k).reset_index(drop=True)
+
+
+def q_zipf_slope(sf_dir: str):
+    import math
+
+    d = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype=str),
+                    "token": pd.Series(dtype=str),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        toks = df.set_index("lang")["text"].str.lower().str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.reset_index().groupby(["lang", "text"], as_index=False).size()
+        g.columns = ["lang", "token", "n"]
+        return g.astype({"n": np.int64})
+
+    def sum_and_prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).groupby(["lang", "token"], as_index=False)["n"].sum()
+        return _zipf_topk(g.astype({"n": np.int64}))
+
+    pruned = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(sum_and_prune, batch_format="pandas")
+    )
+    top = (
+        pruned.repartition(1)
+        .map_batches(_zipf_topk, batch_format="pandas")
+        .to_pandas()  # ≤ ZIPF_TOP_K × n_langs rows
+    )
+    cols = ["lang", "n_terms", "zipf_slope"]
+    if top.empty or "lang" not in top.columns:
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=str), "n_terms": pd.Series(dtype=np.int64),
+             "zipf_slope": pd.Series(dtype=float)}
+        )
+    rows = []
+    for lang, g in top.groupby("lang", sort=True, dropna=False):
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        cnts = g["n"].to_numpy(np.int64)
+        k = len(cnts)
+        lx = [int(math.floor(1e6 * math.log(r))) for r in range(1, k + 1)]
+        ly = [int(math.floor(1e6 * math.log(int(c)))) for c in cnts]
+        sx, sy = sum(lx), sum(ly)
+        sxx = sum(x * x for x in lx)
+        sxy = sum(x * y for x, y in zip(lx, ly))
+        den = k * sxx - sx * sx
+        slope = float(k * sxy - sx * sy) / float(den) if den else 0.0
+        rows.append((lang, k, slope))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({"n_terms": np.int64})
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+      FROM c),
+q AS (SELECT lang,
+             CAST(FLOOR(1e6 * ln(rk)) AS HUGEINT) AS lx,
+             CAST(FLOOR(1e6 * ln(n)) AS HUGEINT) AS ly
+      FROM r WHERE rk <= {ZIPF_TOP_K}),
+m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS k,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM q GROUP BY 1)
+SELECT lang, CAST(k AS BIGINT) AS n_terms,
+       CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE)
+       END AS zipf_slope
+FROM m
+"""
+
+
+# ======================================================== vocab_growth
+#
+# Heaps'-law saturation curve: distinct-vocabulary size after each
+# decile of the corpus (by doc_id order) — the diminishing-returns
+# diagnostic that tells a data buyer whether the next 10 TB of a crawl
+# still adds vocabulary or only repeats it. Exact integers end to end:
+# each token's contribution is pinned to min(doc_id), cutoffs are
+# integer-division decile bounds of COUNT(*).
+#
+# Scale shape: per-batch token→min(doc_id) combiner → ONE coarse
+# exchange on token (exact global min per token in-task) → each task
+# emits a 10-row decile histogram partial → driver sums + cumsums a
+# ≤ 10×n_groups table. The vocabulary itself never leaves the tasks.
+
+VOCAB_DECILES = 10
+
+
+def q_vocab_growth(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = int(d.count() or 0)
+    cutoffs = np.array(
+        [(k * n_docs) // VOCAB_DECILES for k in range(1, VOCAB_DECILES + 1)],
+        dtype=np.int64,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=str), "first_id": pd.Series(dtype=np.int64)}
+            )
+        toks = df.set_index("doc_id")["text"].str.lower().str.findall(_TOKEN_RE).explode().dropna()
+        g = toks.reset_index().groupby("text", as_index=False)["doc_id"].min()
+        g.columns = ["token", "first_id"]
+        return g.astype({"first_id": np.int64})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.drop(columns=["_g"]).groupby("token", dropna=False)["first_id"].min()
+        # decile index of first appearance: number of cutoffs <= first_id
+        idx = np.searchsorted(cutoffs, first.to_numpy(np.int64), side="right")
+        cnt = np.bincount(idx, minlength=VOCAB_DECILES)[:VOCAB_DECILES]
+        return pd.DataFrame(
+            {"d": np.arange(VOCAB_DECILES, dtype=np.int64), "cnt": cnt.astype(np.int64)}
+        )
+
+    parts = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()  # ≤ 10 × N_COARSE_GROUPS rows
+    )
+    total = np.zeros(VOCAB_DECILES, dtype=np.int64)
+    if len(parts) and "d" in parts.columns:
+        s = parts.groupby("d")["cnt"].sum()
+        total[s.index.to_numpy(np.int64)] = s.to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "decile": np.arange(1, VOCAB_DECILES + 1, dtype=np.int64),
+            "cutoff": cutoffs,
+            "vocab_size": np.cumsum(total).astype(np.int64),
+        }
+    )
+
+
+VOCAB_GROWTH_SQL = rf"""
+WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+fst AS (SELECT token, MIN(doc_id) AS first_id FROM tok GROUP BY 1),
+k AS (SELECT unnest(range(1, {VOCAB_DECILES} + 1)) AS decile)
+SELECT CAST(k.decile AS BIGINT) AS decile,
+       CAST(k.decile * n.nd // {VOCAB_DECILES} AS BIGINT) AS cutoff,
+       CAST(COALESCE((SELECT COUNT(*) FROM fst
+                      WHERE fst.first_id < k.decile * n.nd // {VOCAB_DECILES}), 0)
+            AS BIGINT) AS vocab_size
+FROM k, n ORDER BY decile
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -1423,4 +1611,6 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "contamination_check": (q_contamination_check, CONTAMINATION_CHECK_SQL),
     "normalize_text": (q_normalize_text, NORMALIZE_TEXT_SQL),
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
+    "zipf_slope": (q_zipf_slope, ZIPF_SLOPE_SQL),
+    "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
 }

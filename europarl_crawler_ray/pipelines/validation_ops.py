@@ -1484,6 +1484,126 @@ FROM u WHERE np IS NOT NULL
 """
 
 
+# ==================================================== ece_calibration
+#
+# Expected-calibration-error table of the integer linear scorer against
+# the embedding labels: scores are min-max normalized to basis points,
+# bucketed into 10 confidence bins, and each bin reports mean predicted
+# confidence vs observed positive rate — the reliability-diagram
+# primitive a quality-classifier pipeline runs beside auc_eval. Fully
+# integer (same floor(1000·x) coordinates, md5 weights, and
+# integer-division normalization), so parity is exact by construction.
+#
+# Scale shape: identical to auc_eval — per-batch (score, n_pos, n)
+# histogram partials → one coarse exchange on score → distinct-score-
+# bounded driver reduce; min/max and binning run over the collapsed
+# histogram, never the corpus.
+
+ECE_BINS = 10
+
+
+def _ece_weights() -> np.ndarray:
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(f"ece:{i}".encode()).hexdigest()[:16], 16) % 19 - 9
+            for i in range(1, AUC_DIM + 1)
+        ],
+        dtype=np.int64,
+    )
+
+
+def q_ece_calibration(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+    w = _ece_weights()
+
+    def score_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(dtype=np.int64),
+                    "part_pos": pd.Series(dtype=np.int64),
+                    "part_n": pd.Series(dtype=np.int64),
+                }
+            )
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1000.0).astype(np.int64)
+        s = q @ w
+        pos = (df["label"].to_numpy(np.int64) == AUC_POS_LABEL).astype(np.int64)
+        out = pd.DataFrame({"s": s, "part_pos": pos, "part_n": 1})
+        return out.groupby("s", as_index=False)[["part_pos", "part_n"]].sum()
+
+    parts = emb.map_batches(score_hist, batch_format="pandas")
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False)[["part_pos", "part_n"]].sum()
+
+    hist = (
+        _with_coarse_group(parts, "s")
+        .groupby("_g")
+        .map_groups(lambda g: reduce_hist(g.drop(columns=["_g"])),
+                    batch_format="pandas")
+        .to_pandas()  # distinct-score-bounded (see auc_eval note)
+    )
+    cols = ["bin", "n", "conf_bp", "acc_bp", "gap_bp"]
+    if hist.empty or "s" not in hist.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    s = hist["s"].to_numpy(np.int64)
+    n = hist["part_n"].to_numpy(np.int64)
+    npos = hist["part_pos"].to_numpy(np.int64)
+    smin, smax = int(s.min()), int(s.max())
+    span = smax - smin
+    pbp = ((s - smin) * 10000) // span if span else np.zeros_like(s)
+    bins = np.minimum(pbp // 1000, ECE_BINS - 1)
+    agg = pd.DataFrame(
+        {"bin": bins, "n": n, "sp": pbp * n, "npos": npos}
+    ).groupby("bin", as_index=False).sum()
+    return pd.DataFrame(
+        {
+            "bin": agg["bin"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+            "conf_bp": (agg["sp"].to_numpy(np.int64) // agg["n"].to_numpy(np.int64)),
+            "acc_bp": (agg["npos"].to_numpy(np.int64) * 10000 // agg["n"].to_numpy(np.int64)),
+            "gap_bp": np.abs(
+                agg["sp"].to_numpy(np.int64) // agg["n"].to_numpy(np.int64)
+                - agg["npos"].to_numpy(np.int64) * 10000 // agg["n"].to_numpy(np.int64)
+            ),
+        }
+    ).astype("int64")
+
+
+ECE_CALIBRATION_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CASE WHEN label = {AUC_POS_LABEL} THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+w AS (
+  SELECT i,
+         CAST(CAST(concat('0x', substr(md5('ece:' || CAST(i AS VARCHAR)),
+              1, 16)) AS UBIGINT) % 19 AS BIGINT) - 9 AS wt
+  FROM (SELECT unnest(range(1, {AUC_DIM} + 1)) AS i)),
+q AS (
+  SELECT e.vec_id, MAX(e.pos) AS pos,
+         SUM(CAST(floor(e.e[w.i] * 1000) AS BIGINT) * w.wt) AS s
+  FROM e, w GROUP BY e.vec_id),
+mm AS (SELECT MIN(s) AS smin, MAX(s) AS smax FROM q),
+p AS (SELECT q.pos,
+             CASE WHEN mm.smax > mm.smin
+                  THEN (q.s - mm.smin) * 10000 // (mm.smax - mm.smin)
+                  ELSE 0 END AS pbp
+      FROM q, mm),
+b AS (SELECT LEAST(pbp // 1000, {ECE_BINS} - 1) AS bin,
+             COUNT(*) AS n, SUM(pbp) AS sp, SUM(pos) AS npos
+      FROM p GROUP BY 1)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(sp // n AS BIGINT) AS conf_bp,
+       CAST(npos * 10000 // n AS BIGINT) AS acc_bp,
+       CAST(abs(sp // n - npos * 10000 // n) AS BIGINT) AS gap_bp
+FROM b
+"""
+
+
 # =================================================== inclusion_deps
 #
 # Inclusion-dependency discovery (Metanome/Binder-style data
@@ -1620,4 +1740,5 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "ndcg_eval": (q_ndcg_eval, _ndcg_sql()),
     "mrr_eval": (q_mrr_eval, MRR_EVAL_SQL),
     "map_eval": (q_map_eval, MAP_EVAL_SQL),
+    "ece_calibration": (q_ece_calibration, ECE_CALIBRATION_SQL),
 }
