@@ -728,6 +728,197 @@ GROUP BY ks.k, tot.total, tot.n_vocab
 """
 
 
+# ======================================================= token_entropy
+#
+# Per-document Shannon token diversity in integer micro-nats — the
+# third diversity index beside token_simpson (concentration) and
+# repetition_stats (top-gram mass); low entropy flags keyword-stuffed
+# or template pages a quality filter should drop. Fully integer:
+# H = ln(n) − (1/n)·Σ c·ln(c) is computed as
+# (n·L(n) − Σ c·L(c)) // n with L(x) = floor(1e6·ln(x)), so both
+# engines do exact integer sums over identically-quantized libm logs
+# (the zipf_slope parity device applied per document).
+#
+# Scale shape: NO shuffle — a document is one row, so its token counts
+# are batch-local; one vectorized pass per batch, output one narrow row
+# per doc. L(c) is memoized over the batch's distinct counts.
+
+def q_token_entropy(sf_dir: str):
+    import math
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "n_tokens", "distinct_tokens", "entropy_unats"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        out_n = np.zeros(len(df), dtype=np.int64)
+        out_k = np.zeros(len(df), dtype=np.int64)
+        out_e = np.zeros(len(df), dtype=np.int64)
+        memo: dict[int, int] = {1: 0}
+        for i, text in enumerate(df["text"].to_numpy()):
+            toks = tok_re.findall(str(text).lower())
+            n = len(toks)
+            out_n[i] = n
+            if not n:
+                continue
+            _, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            out_k[i] = len(cnts)
+            sc = 0
+            for c in cnts:
+                c = int(c)
+                lc = memo.get(c)
+                if lc is None:
+                    lc = memo[c] = math.floor(1e6 * math.log(c))
+                sc += c * lc
+            ln = memo.get(n)
+            if ln is None:
+                ln = memo[n] = math.floor(1e6 * math.log(n))
+            out_e[i] = (n * ln - sc) // n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": out_n,
+                "distinct_tokens": out_k,
+                "entropy_unats": out_e,
+            }
+        )
+
+    return d.map_batches(per_doc, batch_format="pandas")
+
+
+TOKEN_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS k,
+         SUM(c * CAST(FLOOR(1e6 * ln(c)) AS BIGINT)) AS sc
+  FROM c GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.k, 0) AS BIGINT) AS distinct_tokens,
+       CAST(COALESCE((per.n * CAST(FLOOR(1e6 * ln(per.n)) AS BIGINT) - per.sc)
+                     // per.n, 0) AS BIGINT) AS entropy_unats
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+# ========================================================== psi_drift
+#
+# Population Stability Index of each source's doc-length distribution
+# against the rest of the corpus — the drift score a data buyer tracks
+# per provider/snapshot before remixing. Laplace-smoothed over 20
+# fixed-width length bins; the ln of the (integer) odds ratio is
+# quantized to floor(1e6·ln(x)) on both engines, every other step is
+# exact big-integer arithmetic, so parity is exact. Each term
+# (p−q)(L(aB')−L(bA')) is ≥ 0 because floor preserves the ordering of
+# its arguments.
+#
+# Scale shape: per-batch (source, bin) count partials (≤ sources×20
+# rows per block) → ONE global_prune combine → a ≤ sources×20-row
+# driver table reduced with Python big ints. No shuffle.
+
+PSI_BIN_WIDTH = 50
+PSI_BINS = 20
+
+
+def q_psi_drift(sf_dir: str):
+    import math
+
+    d = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=str),
+                    "bin": pd.Series(dtype=np.int64),
+                    "a": pd.Series(dtype=np.int64),
+                }
+            )
+        bins = np.minimum(
+            df["n_chars"].to_numpy(np.int64) // PSI_BIN_WIDTH, PSI_BINS - 1
+        )
+        g = pd.DataFrame({"source": df["source"], "bin": bins, "a": 1})
+        return g.groupby(["source", "bin"], as_index=False)["a"].sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby(["source", "bin"], as_index=False)["a"].sum()
+
+    from .grouping import global_prune
+
+    m = global_prune(d.map_batches(partial, batch_format="pandas"), combine)
+    cols = ["source", "n_docs", "psi_unats"]
+    if not len(m) or "source" not in m.columns:
+        return pd.DataFrame(
+            {"source": pd.Series(dtype=str), "n_docs": pd.Series(dtype=np.int64),
+             "psi_unats": pd.Series(dtype=np.int64)}
+        )
+    # pivot to the full sources × bins grid with integer zeros
+    pv = m.pivot_table(index="source", columns="bin", values="a",
+                       aggfunc="sum", fill_value=0)
+    pv = pv.reindex(columns=range(PSI_BINS), fill_value=0).astype(np.int64)
+    tot = pv.sum(axis=0).to_numpy(np.int64)
+    rows = []
+    for source, arow in pv.iterrows():
+        a = arow.to_numpy(np.int64)
+        b = tot - a
+        ap = int(a.sum()) + PSI_BINS
+        bp = int(b.sum()) + PSI_BINS
+        psi = 0
+        for i in range(PSI_BINS):
+            ai, bi = int(a[i]) + 1, int(b[i]) + 1
+            diff = ai * bp - bi * ap
+            lnr = math.floor(1e6 * math.log(ai * bp)) - math.floor(
+                1e6 * math.log(bi * ap)
+            )
+            psi += diff * lnr
+        rows.append((source, int(a.sum()), psi // (ap * bp)))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"n_docs": np.int64, "psi_unats": np.int64}
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH t AS (
+  SELECT source, LEAST(n_chars // {PSI_BIN_WIDTH}, {PSI_BINS} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS a
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT bin, SUM(a) AS tt FROM t GROUP BY 1),
+grid AS (
+  SELECT s.source, g.bin
+  FROM (SELECT DISTINCT source FROM documents) s,
+       (SELECT unnest(range(0, {PSI_BINS})) AS bin) g),
+f AS (
+  SELECT grid.source, grid.bin,
+         CAST(COALESCE(t.a, 0) AS HUGEINT) AS a,
+         CAST(COALESCE(tot.tt, 0) - COALESCE(t.a, 0) AS HUGEINT) AS b
+  FROM grid
+  LEFT JOIN t ON t.source = grid.source AND t.bin = grid.bin
+  LEFT JOIN tot ON tot.bin = grid.bin),
+tots AS (SELECT source, SUM(a) + {PSI_BINS} AS ap, SUM(b) + {PSI_BINS} AS bp
+         FROM f GROUP BY 1),
+terms AS (
+  SELECT f.source,
+         ((f.a + 1) * tots.bp - (f.b + 1) * tots.ap)
+         * (CAST(FLOOR(1e6 * ln(CAST((f.a + 1) * tots.bp AS DOUBLE)))
+                 AS HUGEINT)
+            - CAST(FLOOR(1e6 * ln(CAST((f.b + 1) * tots.ap AS DOUBLE)))
+                   AS HUGEINT)) AS term,
+         tots.ap AS ap, tots.bp AS bp
+  FROM f JOIN tots USING (source))
+SELECT source,
+       CAST(MAX(ap) - {PSI_BINS} AS BIGINT) AS n_docs,
+       CAST(SUM(term) // (MAX(ap) * MAX(bp)) AS BIGINT) AS psi_unats
+FROM terms GROUP BY 1
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "refinery": (q_refinery, REFINERY_SQL),
@@ -736,4 +927,6 @@ WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
     "main_content_extract": (q_main_content_extract, MAIN_CONTENT_EXTRACT_SQL),
     "epoch_shuffle": (q_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
+    "token_entropy": (q_token_entropy, TOKEN_ENTROPY_SQL),
+    "psi_drift": (q_psi_drift, PSI_DRIFT_SQL),
 }

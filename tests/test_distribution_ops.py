@@ -29,6 +29,14 @@ from europarl_crawler_ray.pipelines.validation_ops import (
     _ece_weights,
     q_ece_calibration,
 )
+from europarl_crawler_ray.pipelines.webtext_ops import (
+    PSI_BIN_WIDTH,
+    PSI_BINS,
+    PSI_DRIFT_SQL,
+    TOKEN_ENTROPY_SQL,
+    q_psi_drift,
+    q_token_entropy,
+)
 
 
 class TestOracleParity:
@@ -42,6 +50,8 @@ class TestOracleParity:
             ("zipf_slope", q_zipf_slope, ZIPF_SLOPE_SQL),
             ("vocab_growth", q_vocab_growth, VOCAB_GROWTH_SQL),
             ("ece_calibration", q_ece_calibration, ECE_CALIBRATION_SQL),
+            ("token_entropy", q_token_entropy, TOKEN_ENTROPY_SQL),
+            ("psi_drift", q_psi_drift, PSI_DRIFT_SQL),
         ]:
             ray_df = to_pandas(fn(sf_dir))
             sql_df = con.execute(sql).fetchdf()
@@ -107,6 +117,82 @@ class TestVocabGrowth:
         out = q_vocab_growth(str(tmp_path))
         assert len(out) == 10
         assert out["vocab_size"].sum() == 0
+
+
+class TestTokenEntropy:
+    def test_brute_force(self, ray_session, tmp_path):
+        # doc0: uniform over 4 tokens → H = ln 4; doc1: all same → H = 0;
+        # doc2: empty
+        texts = ["a b c d", "x x x x x", ""]
+        _write_docs(tmp_path, texts, ["en"] * 3)
+        out = q_token_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+        l4 = math.floor(1e6 * math.log(4))
+        assert out.loc[0, "entropy_unats"] == (4 * l4 - 0) // 4  # c=1 → L=0
+        assert out.loc[0, "n_tokens"] == 4 and out.loc[0, "distinct_tokens"] == 4
+        l5 = math.floor(1e6 * math.log(5))
+        assert out.loc[1, "entropy_unats"] == (5 * l5 - 5 * l5) // 5  # == 0
+        assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "entropy_unats"] == 0
+
+    def test_mixed_counts(self, ray_session, tmp_path):
+        _write_docs(tmp_path, ["a a a b"], ["en"])
+        out = q_token_entropy(str(tmp_path)).to_pandas()
+        l4, l3 = (math.floor(1e6 * math.log(n)) for n in (4, 3))
+        assert int(out["entropy_unats"].iloc[0]) == (4 * l4 - 3 * l3) // 4
+
+
+class TestPsiDrift:
+    def test_identical_sources_zero(self, ray_session, tmp_path):
+        # two sources with identical length histograms → psi ~ 0
+        texts = ["x" * 10, "y" * 120, "z" * 10, "w" * 120]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 4, pa.string()),
+                    "source": pa.array(["s0", "s0", "s1", "s1"], pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = q_psi_drift(str(tmp_path)).set_index("source")
+        assert list(out["n_docs"]) == [2, 2]
+        # identical distributions: every term has a==b → diff==0 → psi 0
+        assert list(out["psi_unats"]) == [0, 0]
+
+    def test_brute_force_disjoint(self, ray_session, tmp_path):
+        # s0 all short, s1 all long → maximal drift, psi > 0
+        texts = ["a" * 10] * 3 + ["b" * 900] * 5
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(8), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 8, pa.string()),
+                    "source": pa.array(["s0"] * 3 + ["s1"] * 5, pa.string()),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = q_psi_drift(str(tmp_path)).set_index("source")
+        # brute force for s0: bins — 3 docs in bin 0, 5 rest in bin 19
+        a = np.zeros(PSI_BINS, dtype=object)
+        b = np.zeros(PSI_BINS, dtype=object)
+        a[10 // PSI_BIN_WIDTH] = 3
+        b[min(900 // PSI_BIN_WIDTH, PSI_BINS - 1)] = 5
+        ap, bp = 3 + PSI_BINS, 5 + PSI_BINS
+        psi = 0
+        for i in range(PSI_BINS):
+            ai, bi = int(a[i]) + 1, int(b[i]) + 1
+            diff = ai * bp - bi * ap
+            lnr = math.floor(1e6 * math.log(ai * bp)) - math.floor(
+                1e6 * math.log(bi * ap)
+            )
+            psi += diff * lnr
+        assert out.loc["s0", "psi_unats"] == psi // (ap * bp)
+        assert out.loc["s0", "psi_unats"] > 0
 
 
 class TestEceCalibration:
