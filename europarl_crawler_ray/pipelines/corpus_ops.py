@@ -1593,6 +1593,179 @@ FROM k, n ORDER BY decile
 """
 
 
+# ==================================================== pmi_collocations
+#
+# Collocation mining: adjacent-bigram PMI over the PMI_V most frequent
+# tokens — the classic phrase-discovery pass (Church & Hanks 1990) a
+# tokenizer/phrase-vocab builder runs over a corpus. PMI is quantized
+# as L(c_xy·N²) − L(c1·c2·B) with L(x) = floor(1e6·ln(double(x)))
+# (double conversion BEFORE the log on both engines, the
+# mi_composition device), where N = total tokens and B = total
+# adjacent-bigram slots; only bigrams with both words in the top-V
+# vocabulary and c_xy ≥ PMI_MIN_COUNT are reported.
+#
+# Scale shape: (1) exact unigram counts via the token_topk shape —
+# per-batch value_counts combiner, ONE coarse-hash exchange on token,
+# in-task sums; top-V selection via global_prune over the
+# already-exact counts (associative, O(V) driver rows). (2) N and B
+# are one-row per-batch partials through the same global_prune.
+# (3) the bigram pass filters to the BROADCAST top-V set batch-side,
+# so its exchange is bounded by V² keys regardless of corpus size.
+
+PMI_V = 256
+PMI_MIN_COUNT = 2
+
+
+def q_pmi_collocations(sf_dir: str):
+    import math
+
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["text"])
+    cols = ["w1", "w2", "c_xy", "c1", "c2", "pmi_unats"]
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(_TOKEN_RE).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "part_n": vc.to_numpy().astype(np.int64)}
+        )
+
+    counted = (
+        _with_coarse_group(d.map_batches(uni_partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(
+            lambda g: g.groupby("token", as_index=False, dropna=False)["part_n"]
+            .sum()
+            .rename(columns={"part_n": "n"}),
+            batch_format="pandas",
+        )
+    )
+
+    def top_v(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "token" not in df.columns:
+            return df
+        return df.sort_values(["n", "token"], ascending=[False, True]).head(PMI_V)
+
+    vdf = global_prune(counted, top_v)
+    if not len(vdf) or "token" not in vdf.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=str if c in ("w1", "w2") else np.int64) for c in cols}
+        )
+    vocab = dict(zip(vdf["token"], vdf["n"].astype(int)))
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lens = (
+            df["text"].str.lower().str.findall(_TOKEN_RE).str.len().to_numpy(np.int64)
+            if len(df)
+            else np.zeros(0, np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "n": [int(lens.sum())],
+                "b": [int(np.maximum(lens - 1, 0).sum())],
+            }
+        )
+
+    def tot_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["n"].sum())], "b": [int(df["b"].sum())]})
+
+    tot = global_prune(d.map_batches(tot_partial, batch_format="pandas"), tot_sum)
+    n_tok, n_big = int(tot["n"].iloc[0]), int(tot["b"].iloc[0])
+
+    vset = frozenset(vocab)
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: dict[tuple, int] = {}
+        for text in df["text"].to_numpy():
+            ts = _TOKEN_RE.findall(str(text).lower())
+            for w1, w2 in zip(ts[:-1], ts[1:]):
+                if w1 in vset and w2 in vset:
+                    pairs[(w1, w2)] = pairs.get((w1, w2), 0) + 1
+        if not pairs:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype=str),
+                    "w2": pd.Series(dtype=str),
+                    "part_n": pd.Series(dtype=np.int64),
+                }
+            )
+        k1, k2 = zip(*pairs.keys())
+        return pd.DataFrame(
+            {"w1": k1, "w2": k2, "part_n": np.fromiter(pairs.values(), np.int64)}
+        )
+
+    def big_sum(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent: global_prune re-applies it to its own output,
+        # where the count column is already named c_xy
+        val = "part_n" if "part_n" in df.columns else "c_xy"
+        if not len(df) or "w1" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype=str),
+                    "w2": pd.Series(dtype=str),
+                    "c_xy": pd.Series(dtype=np.int64),
+                }
+            )
+        return (
+            df.groupby(["w1", "w2"], as_index=False)[val]
+            .sum()
+            .rename(columns={val: "c_xy"})
+        )
+
+    # bigram key space is bounded by V² after the vocab filter, so the
+    # global_prune combine task sees at most blocks × (block-local
+    # distinct pairs) ≤ V² rows after its own re-sum
+    bg = global_prune(d.map_batches(big_partial, batch_format="pandas"), big_sum)
+    bg = bg[bg["c_xy"] >= PMI_MIN_COUNT].reset_index(drop=True)
+    if not len(bg):
+        return pd.DataFrame(
+            {c: pd.Series(dtype=str if c in ("w1", "w2") else np.int64) for c in cols}
+        )
+    c1 = bg["w1"].map(vocab).to_numpy(np.int64)
+    c2 = bg["w2"].map(vocab).to_numpy(np.int64)
+    cxy = bg["c_xy"].to_numpy(np.int64)
+    pmi = np.fromiter(
+        (
+            math.floor(1e6 * math.log(float(int(x) * n_tok * n_tok)))
+            - math.floor(1e6 * math.log(float(int(a) * int(b) * n_big)))
+            for x, a, b in zip(cxy, c1, c2)
+        ),
+        dtype=np.int64,
+        count=len(bg),
+    )
+    return pd.DataFrame(
+        {"w1": bg["w1"], "w2": bg["w2"], "c_xy": cxy, "c1": c1, "c2": c2,
+         "pmi_unats": pmi}
+    )
+
+
+PMI_COLLOCATIONS_SQL = rf"""
+WITH d AS (SELECT regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ts
+           FROM documents),
+tot AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS n,
+               CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS b FROM d),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1),
+vocab AS (SELECT w, c FROM uc ORDER BY c DESC, w ASC LIMIT {PMI_V}),
+idx AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM d),
+big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM idx GROUP BY 1, 2),
+cand AS (
+  SELECT b.w1, b.w2, b.cxy, v1.c AS c1, v2.c AS c2
+  FROM big b
+  JOIN vocab v1 ON v1.w = b.w1
+  JOIN vocab v2 ON v2.w = b.w2
+  WHERE b.cxy >= {PMI_MIN_COUNT})
+SELECT w1, w2, cxy AS c_xy, c1, c2,
+       CAST(FLOOR(1e6 * ln(CAST(CAST(cxy AS HUGEINT) * tot.n * tot.n
+                                AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR(1e6 * ln(CAST(CAST(c1 AS HUGEINT) * c2 * tot.b
+                                  AS DOUBLE))) AS BIGINT) AS pmi_unats
+FROM cand, tot
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -1613,4 +1786,5 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "ngram_novelty": (q_ngram_novelty, NGRAM_NOVELTY_SQL),
     "zipf_slope": (q_zipf_slope, ZIPF_SLOPE_SQL),
     "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
+    "pmi_collocations": (q_pmi_collocations, PMI_COLLOCATIONS_SQL),
 }

@@ -1723,6 +1723,112 @@ FROM {dt} d"""
 )
 
 
+# ==================================================== silhouette_eval
+#
+# Simplified (centroid-based) silhouette over the embedding table —
+# the cluster-quality score a curation pipeline reads before trusting
+# a clustering for SemDeDup / mixture balancing. Centroids are the
+# SIL_CELLS md5-smallest vectors ('sil:{vec_id}', the repo's
+# deterministic-sample device); every vector and centroid quantizes to
+# floor(1000·x) int64, so squared euclidean distances are EXACT
+# integers via the a·a − 2a·b + b·b expansion (same identity
+# _kcenter_sql uses). a2 = d² to the assigned (nearest, ties → smaller
+# cid) centroid, b2 = min d² over the others, sil_bp =
+# (b2−a2)·10000 // max(a2,b2,1) — non-negative by construction since
+# the assignment minimizes d², so // is plain integer division on both
+# engines.
+#
+# Scale shape: centroid pick via global_prune (O(SIL_CELLS) driver
+# rows regardless of block count); the scoring pass is one integer
+# matmul per batch against the broadcast SIL_CELLS×D centroid matrix —
+# NO shuffle, one narrow output row per vector.
+
+SIL_CELLS = 12
+
+
+def q_silhouette_eval(sf_dir: str):
+    import hashlib
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cols = ["vec_id", "cell", "a2", "b2", "sil_bp"]
+
+    def prune_c(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "vec_id" not in df.columns:
+            return df
+        md5s = np.array(
+            [hashlib.md5(f"sil:{int(v)}".encode()).hexdigest() for v in df["vec_id"]]
+        )
+        keep = np.argsort(md5s)[:SIL_CELLS]
+        return df.iloc[np.sort(keep)]
+
+    cdf = global_prune(emb, prune_c)
+    if cdf.empty or "vec_id" not in cdf.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    md5s = np.array(
+        [hashlib.md5(f"sil:{int(v)}".encode()).hexdigest() for v in cdf["vec_id"]]
+    )
+    cdf = cdf.iloc[np.argsort(md5s)[:SIL_CELLS]].sort_values("vec_id")
+    cids = cdf["vec_id"].to_numpy(np.int64)
+    cmat = np.floor(
+        np.stack(cdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        ids = df["vec_id"].to_numpy(np.int64)
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        d2 = (mat * mat).sum(axis=1)[:, None] - 2 * (mat @ cmat.T) + cnorm[None, :]
+        # cids are ascending and argmin takes the FIRST minimum, so
+        # distance ties resolve to the smaller centroid id (oracle rule)
+        own = np.argmin(d2, axis=1)
+        rows = np.arange(len(ids))
+        a2 = d2[rows, own]
+        masked = d2.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        sil = (b2 - a2) * 10000 // np.maximum(np.maximum(a2, b2), 1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": cids[own], "a2": a2, "b2": b2, "sil_bp": sil}
+        )
+
+    return emb.map_batches(score, batch_format="pandas")
+
+
+SILHOUETTE_EVAL_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         ORDER BY md5('sil:' || CAST(vec_id AS VARCHAR)) LIMIT {SIL_CELLS}),
+d AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_inner_product(e.q, e.q)
+              - 2 * list_inner_product(e.q, c.cq)
+              + list_inner_product(c.cq, c.cq) AS BIGINT) AS d2
+  FROM e CROSS JOIN cent c),
+own AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d),
+a AS (SELECT vec_id, cid AS cell, d2 AS a2 FROM own WHERE rn = 1),
+b AS (SELECT d.vec_id, MIN(d.d2) AS b2
+      FROM d JOIN a ON a.vec_id = d.vec_id AND d.cid <> a.cell GROUP BY 1)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cell AS BIGINT) AS cell,
+       CAST(a.a2 AS BIGINT) AS a2,
+       CAST(b.b2 AS BIGINT) AS b2,
+       CAST((b.b2 - a.a2) * 10000
+            // GREATEST(a.a2, b.b2, 1) AS BIGINT) AS sil_bp
+FROM a JOIN b USING (vec_id)
+"""
+
+
 VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
     "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
@@ -1741,4 +1847,5 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "mrr_eval": (q_mrr_eval, MRR_EVAL_SQL),
     "map_eval": (q_map_eval, MAP_EVAL_SQL),
     "ece_calibration": (q_ece_calibration, ECE_CALIBRATION_SQL),
+    "silhouette_eval": (q_silhouette_eval, SILHOUETTE_EVAL_SQL),
 }

@@ -919,6 +919,203 @@ FROM terms GROUP BY 1
 """
 
 
+# ====================================================== mi_composition
+#
+# Pointwise mutual information of every (lang, source) cell of the
+# corpus composition table — the audit that tells a mixture designer
+# which providers over-/under-supply which languages before weights are
+# set. pmi_unats = L(n_ls·N) − L(n_l·n_s) with L(x) =
+# floor(1e6·ln(double(x))): the argument is converted to double BEFORE
+# the log on both engines (Python float(int) and DuckDB's
+# HUGEINT→DOUBLE round identically), so the quantized logs match
+# bit-for-bit even when the products overflow 2^53. Summing
+# n_ls·pmi // N over cells gives corpus MI; the cells themselves are
+# the deliverable.
+#
+# Scale shape: per-batch (lang, source) count partials (≤ L×S rows per
+# block) → ONE global_prune combine → a ≤ L×S-row driver table where
+# marginals are two numpy sums. NO shuffle.
+
+def q_mi_composition(sf_dir: str):
+    import math
+
+    d = _read(sf_dir, "documents", columns=["lang", "source"])
+    cols = ["lang", "source", "n_docs", "n_lang", "n_source", "pmi_unats"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series(dtype=str),
+                    "source": pd.Series(dtype=str),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.assign(n=1).groupby(["lang", "source"], as_index=False)["n"].sum()
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby(["lang", "source"], as_index=False)["n"].sum()
+
+    from .grouping import global_prune
+
+    m = global_prune(d.map_batches(partial, batch_format="pandas"), combine)
+    if not len(m) or "lang" not in m.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64 if c.startswith(("n_", "pmi")) else str)
+             for c in cols}
+        )
+    nl = m.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    ns = m.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    n = m["n"].to_numpy(np.int64)
+    nt = int(n.sum())
+    pmi = np.fromiter(
+        (
+            math.floor(1e6 * math.log(float(int(c) * nt)))
+            - math.floor(1e6 * math.log(float(int(l) * int(s))))
+            for c, l, s in zip(n, nl, ns)
+        ),
+        dtype=np.int64,
+        count=len(m),
+    )
+    return pd.DataFrame(
+        {
+            "lang": m["lang"].to_numpy(),
+            "source": m["source"].to_numpy(),
+            "n_docs": n,
+            "n_lang": nl,
+            "n_source": ns,
+            "pmi_unats": pmi,
+        }
+    )
+
+
+MI_COMPOSITION_SQL = """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT lang, source, n,
+         SUM(n) OVER (PARTITION BY lang) AS nl,
+         SUM(n) OVER (PARTITION BY source) AS ns,
+         SUM(n) OVER () AS nt
+  FROM c)
+SELECT lang, source, n AS n_docs,
+       CAST(nl AS BIGINT) AS n_lang,
+       CAST(ns AS BIGINT) AS n_source,
+       CAST(FLOOR(1e6 * ln(CAST(n * nt AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR(1e6 * ln(CAST(nl * ns AS DOUBLE))) AS BIGINT) AS pmi_unats
+FROM m
+"""
+
+
+# ======================================================= filter_funnel
+#
+# Per-source survivorship through a C4/RefinedWeb-style quality-gate
+# cascade — the audit table a curation run publishes so a data buyer
+# can see WHERE each provider's documents die. Four cumulative gates,
+# all integer-exact: length (n_chars ≥ 200), token count (≥ 30),
+# type-token ratio (distinct·10⁴ // n ≥ 2500), and max-token share
+# (top count·10⁴ // n ≤ 2000, the keyword-stuffing gate). Counts are
+# cumulative ANDs, so n_docs ≥ n_len ≥ n_tok ≥ n_distinct ≥ n_rep.
+#
+# Scale shape: one tokenizing pass per batch (per-doc np.unique — the
+# token_entropy kernel), per-source partial sums (≤ sources rows per
+# block) → ONE global_prune combine → ≤ sources driver rows. NO
+# shuffle.
+
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MIN_TTR_BP = 2500
+FUNNEL_MAX_TOP_BP = 2000
+
+
+def q_filter_funnel(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["source", "text", "n_chars"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+    cols = ["source", "n_docs", "n_len", "n_tok", "n_distinct", "n_rep"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=str if c == "source" else np.int64)
+                 for c in cols}
+            )
+        nc = df["n_chars"].to_numpy(np.int64)
+        g1 = nc >= FUNNEL_MIN_CHARS
+        g2 = np.zeros(len(df), dtype=bool)
+        g3 = np.zeros(len(df), dtype=bool)
+        g4 = np.zeros(len(df), dtype=bool)
+        for i, text in enumerate(df["text"].to_numpy()):
+            toks = tok_re.findall(str(text).lower())
+            n = len(toks)
+            if not n:
+                continue
+            _, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            g2[i] = n >= FUNNEL_MIN_TOKENS
+            g3[i] = len(cnts) * 10000 // n >= FUNNEL_MIN_TTR_BP
+            g4[i] = int(cnts.max()) * 10000 // n <= FUNNEL_MAX_TOP_BP
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "n_docs": 1,
+                "n_len": g1.astype(np.int64),
+                "n_tok": (g1 & g2).astype(np.int64),
+                "n_distinct": (g1 & g2 & g3).astype(np.int64),
+                "n_rep": (g1 & g2 & g3 & g4).astype(np.int64),
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "source" not in df.columns:
+            return df
+        return df.groupby("source", as_index=False).sum()
+
+    from .grouping import global_prune
+
+    m = global_prune(d.map_batches(partial, batch_format="pandas"), combine)
+    if not len(m) or "source" not in m.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=str if c == "source" else np.int64) for c in cols}
+        )
+    return m[cols].astype({c: np.int64 for c in cols[1:]})
+
+
+FILTER_FUNNEL_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ts
+  FROM documents),
+tc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2),
+st AS (SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+              MAX(c) AS mx
+       FROM tc GROUP BY 1),
+p AS (
+  SELECT t.source,
+         t.n_chars >= {FUNNEL_MIN_CHARS} AS g1,
+         COALESCE(st.n, 0) >= {FUNNEL_MIN_TOKENS} AS g2,
+         CASE WHEN COALESCE(st.n, 0) > 0
+              THEN st.k * 10000 // st.n >= {FUNNEL_MIN_TTR_BP}
+              ELSE FALSE END AS g3,
+         CASE WHEN COALESCE(st.n, 0) > 0
+              THEN st.mx * 10000 // st.n <= {FUNNEL_MAX_TOP_BP}
+              ELSE FALSE END AS g4
+  FROM t LEFT JOIN st USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct,
+       CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rep
+FROM p GROUP BY 1
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "refinery": (q_refinery, REFINERY_SQL),
@@ -929,4 +1126,6 @@ WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
     "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
     "token_entropy": (q_token_entropy, TOKEN_ENTROPY_SQL),
     "psi_drift": (q_psi_drift, PSI_DRIFT_SQL),
+    "mi_composition": (q_mi_composition, MI_COMPOSITION_SQL),
+    "filter_funnel": (q_filter_funnel, FILTER_FUNNEL_SQL),
 }

@@ -1,0 +1,187 @@
+"""Tests for the round-5 corpus-audit operators: silhouette_eval
+(validation_ops), mi_composition / filter_funnel (webtext_ops), and
+pmi_collocations (corpus_ops) — DuckDB-oracle parity plus brute-force
+checks of the integer distance, PMI, and gate arithmetic on hand-built
+corpora."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+from europarl_crawler_ray.pipelines.corpus_ops import (
+    PMI_COLLOCATIONS_SQL,
+    PMI_MIN_COUNT,
+    q_pmi_collocations,
+)
+from europarl_crawler_ray.pipelines.validation_ops import (
+    SIL_CELLS,
+    SILHOUETTE_EVAL_SQL,
+    q_silhouette_eval,
+)
+from europarl_crawler_ray.pipelines.webtext_ops import (
+    FILTER_FUNNEL_SQL,
+    FUNNEL_MIN_CHARS,
+    MI_COMPOSITION_SQL,
+    q_filter_funnel,
+    q_mi_composition,
+)
+
+
+class TestOracleParity:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name, fn, sql in [
+            ("silhouette_eval", q_silhouette_eval, SILHOUETTE_EVAL_SQL),
+            ("mi_composition", q_mi_composition, MI_COMPOSITION_SQL),
+            ("filter_funnel", q_filter_funnel, FILTER_FUNNEL_SQL),
+            ("pmi_collocations", q_pmi_collocations, PMI_COLLOCATIONS_SQL),
+        ]:
+            ray_df = to_pandas(fn(sf_dir))
+            sql_df = con.execute(sql).fetchdf()
+            assert compare(name, ray_df, sql_df) == [], name
+
+
+def _write_docs(d, rows):
+    """rows: list of (text, lang, source)."""
+    texts = [r[0] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+
+def _write_emb(d, vecs):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+class TestSilhouette:
+    def test_all_points_are_centroids(self, ray_session, tmp_path):
+        # fewer vectors than SIL_CELLS → every point is its own centroid:
+        # a2 == 0, b2 == d² to the nearest OTHER centroid, sil_bp == 10000
+        assert SIL_CELLS >= 4
+        vecs = [(0.0, 0.0), (1.0, 0.0), (0.0, 2.0), (3.0, 3.0)]
+        _write_emb(tmp_path, vecs)
+        out = q_silhouette_eval(str(tmp_path)).to_pandas().set_index("vec_id")
+        q = np.floor(np.array(vecs, dtype=np.float64) * 1000.0).astype(np.int64)
+        for i in range(4):
+            d2 = ((q - q[i]) ** 2).sum(axis=1)
+            d2[i] = np.iinfo(np.int64).max
+            assert out.loc[i, "cell"] == i
+            assert out.loc[i, "a2"] == 0
+            assert out.loc[i, "b2"] == d2.min()
+            assert out.loc[i, "sil_bp"] == 10000
+
+    def test_brute_force_definition(self, ray_session, tmp_path):
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(40, 8)).astype(np.float64)
+        _write_emb(tmp_path, vecs)
+        out = q_silhouette_eval(str(tmp_path)).to_pandas().set_index("vec_id")
+        import hashlib
+
+        md5s = [hashlib.md5(f"sil:{i}".encode()).hexdigest() for i in range(40)]
+        cids = np.array(sorted(np.argsort(md5s)[:SIL_CELLS]))
+        q = np.floor(vecs * 1000.0).astype(np.int64)
+        for i in range(40):
+            d2 = ((q[cids] - q[i]) ** 2).sum(axis=1)
+            own = int(np.argmin(d2))
+            a2 = int(d2[own])
+            rest = np.delete(d2, own)
+            b2 = int(rest.min())
+            assert out.loc[i, "cell"] == cids[own]
+            assert out.loc[i, "a2"] == a2
+            assert out.loc[i, "b2"] == b2
+            assert out.loc[i, "sil_bp"] == (b2 - a2) * 10000 // max(a2, b2, 1)
+
+
+class TestMiComposition:
+    def test_brute_force(self, ray_session, tmp_path):
+        # 3 en/s0, 1 en/s1, 2 fr/s1 → hand-check one cell's PMI
+        rows = (
+            [("t", "en", "s0")] * 3 + [("t", "en", "s1")] + [("t", "fr", "s1")] * 2
+        )
+        _write_docs(tmp_path, rows)
+        out = (
+            q_mi_composition(str(tmp_path))
+            .set_index(["lang", "source"])
+            .sort_index()
+        )
+        # cell (en, s0): n=3, n_lang=4, n_source=3, N=6
+        L = lambda x: math.floor(1e6 * math.log(float(x)))
+        assert out.loc[("en", "s0"), "n_docs"] == 3
+        assert out.loc[("en", "s0"), "pmi_unats"] == L(3 * 6) - L(4 * 3)
+        # cell (fr, s1): n=2, n_lang=2, n_source=3 → pmi = L(12) - L(6) > 0
+        assert out.loc[("fr", "s1"), "pmi_unats"] == L(2 * 6) - L(2 * 3)
+        assert out.loc[("fr", "s1"), "pmi_unats"] > 0
+
+
+class TestFilterFunnel:
+    def test_gates(self, ray_session, tmp_path):
+        long_pad = " ".join(f"w{i}" for i in range(60))  # 60 distinct tokens
+        rows = [
+            ("short", "en", "s0"),  # fails length
+            (long_pad + " " + "x" * (FUNNEL_MIN_CHARS), "en", "s0"),  # passes all
+            (("spam " * 200).strip(), "en", "s0"),  # long, 200 tokens, 1 distinct
+        ]
+        _write_docs(tmp_path, rows)
+        out = q_filter_funnel(str(tmp_path)).set_index("source")
+        assert out.loc["s0", "n_docs"] == 3
+        assert out.loc["s0", "n_len"] == 2  # doc0 dies at length
+        assert out.loc["s0", "n_tok"] == 2  # both survivors have ≥30 tokens
+        assert out.loc["s0", "n_distinct"] == 1  # spam dies at TTR
+        assert out.loc["s0", "n_rep"] == 1  # doc1 survives the top-share gate
+
+    def test_monotone_on_testdata(self, ray_session, sf_dir):
+        out = q_filter_funnel(sf_dir)
+        for a, b in [("n_docs", "n_len"), ("n_len", "n_tok"),
+                     ("n_tok", "n_distinct"), ("n_distinct", "n_rep")]:
+            assert (out[a] >= out[b]).all()
+
+
+class TestPmiCollocations:
+    def test_brute_force(self, ray_session, tmp_path):
+        # "a b" twice, "a c" once → only (a,b) reaches PMI_MIN_COUNT
+        rows = [("a b q q", "en", "s0"), ("a b", "en", "s0"), ("a c", "en", "s0")]
+        _write_docs(tmp_path, rows)
+        out = q_pmi_collocations(str(tmp_path))
+        assert PMI_MIN_COUNT == 2
+        pairs = set(zip(out["w1"], out["w2"]))
+        assert ("a", "b") in pairs and ("a", "c") not in pairs
+        row = out.set_index(["w1", "w2"]).loc[("a", "b")]
+        # N=8 tokens, B=5 bigram slots, c_a=3, c_b=2, c_ab=2
+        assert row["c_xy"] == 2 and row["c1"] == 3 and row["c2"] == 2
+        L = lambda x: math.floor(1e6 * math.log(float(x)))
+        assert row["pmi_unats"] == L(2 * 8 * 8) - L(3 * 2 * 5)
+        # (q,q) also appears once only → excluded by min count
+        assert ("q", "q") not in pairs
