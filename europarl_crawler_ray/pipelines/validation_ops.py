@@ -1829,6 +1829,156 @@ FROM a JOIN b USING (vec_id)
 """
 
 
+# ================================================== embedding_moments
+#
+# Per-dimension first/second moments of the quantized embedding matrix
+# — the feature-health audit (dead dims, scale outliers) an embedding
+# pipeline runs before ANN indexing or whitening. Coordinates quantize
+# to floor(1000·x) int64 (the repo's vector convention), so s1 = Σq and
+# s2 = Σq² are exact integers and n²·var = n·s2 − s1² is exact too
+# (HUGEINT on the SQL side; Python ints never overflow).
+#
+# Scale shape: one per-batch D-row partial (n, s1, s2 per dimension) →
+# ONE global_prune combine → a D-row driver table. NO shuffle; D is the
+# fixed embedding width.
+
+def q_embedding_moments(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    cols = ["dim", "n", "s1", "s2", "var_n2"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("dim", "n", "s1", "s2")})
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+                "n": np.full(mat.shape[1], mat.shape[0], np.int64),
+                "s1": mat.sum(axis=0),
+                "s2": (mat * mat).sum(axis=0),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "dim" not in df.columns:
+            return df
+        return df.groupby("dim", as_index=False)[["n", "s1", "s2"]].sum()
+
+    m = global_prune(emb.map_batches(partial, batch_format="pandas"), combine)
+    if not len(m) or "dim" not in m.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    # Python big ints: n·s2 − s1² can exceed int64 at corpus scale
+    var = [int(n) * int(s2) - int(s1) * int(s1)
+           for n, s1, s2 in zip(m["n"], m["s1"], m["s2"])]
+    out = m.sort_values("dim").reset_index(drop=True)
+    out["var_n2"] = np.array(var, dtype=np.int64)
+    return out[cols].astype({c: np.int64 for c in cols})
+
+
+EMBEDDING_MOMENTS_SQL = """
+WITH e AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+idx AS (SELECT q, unnest(range(1, len(q) + 1)) AS dim FROM e),
+per AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q[dim]) AS BIGINT) AS s1,
+         CAST(SUM(q[dim] * q[dim]) AS BIGINT) AS s2
+  FROM idx GROUP BY 1)
+SELECT dim, n, s1, s2,
+       CAST(CAST(n AS HUGEINT) * s2
+            - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS var_n2
+FROM per
+"""
+
+
+# ======================================================== l_diversity
+#
+# l-diversity audit, the companion gate to k_anon_audit: for each
+# quasi-identifier group (nation, market segment) count members AND
+# distinct sensitive values (exact account-balance cents, the value the
+# k-anonymity bands generalize away) — a group can be k-anonymous yet
+# leak if everyone in it shares one sensitive value (Machanavajjhala
+# et al. 2007). diverse = l_distinct ≥ LDIV_L.
+#
+# Scale shape: per-batch (QI, cents) distinct+count combiner → ONE
+# coarse exchange on the QI pair (domain-bounded: nations × segments) →
+# in-task exact distinct + member sums. Driver sees ≤ |QI domain| rows.
+
+LDIV_L = 3
+
+
+def q_l_diversity(sf_dir: str):
+    cust = _read(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    cols = ["c_nationkey", "c_mktsegment", "n", "l_distinct", "diverse"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series(dtype=np.int64),
+                    "c_mktsegment": pd.Series(dtype=object),
+                    "cents": pd.Series(dtype=np.int64),
+                    "cnt": pd.Series(dtype=np.int64),
+                }
+            )
+        out = df.assign(
+            c_nationkey=df["c_nationkey"].astype(np.int64),
+            cents=_cents(df["c_acctbal"].to_numpy(np.float64)),
+            cnt=1,
+        )
+        return out.groupby(
+            ["c_nationkey", "c_mktsegment", "cents"], as_index=False
+        )["cnt"].sum()
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["c_nationkey", "c_mktsegment"]).agg(
+            n=("cnt", "sum"), l_distinct=("cents", "nunique")
+        )
+        agg = agg.reset_index()
+        agg["diverse"] = (agg["l_distinct"] >= LDIV_L).astype(np.int64)
+        return agg
+
+    def qi_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _qi=df["c_nationkey"].astype(str) + "|" + df["c_mktsegment"].astype(str)
+        )
+
+    ds = cust.map_batches(partial, batch_format="pandas").map_batches(
+        qi_key, batch_format="pandas"
+    )
+    out = (
+        _with_coarse_group(ds, "_qi")
+        .groupby("_g")
+        .map_groups(
+            lambda g: per_group(g.drop(columns=["_g", "_qi"])),
+            batch_format="pandas",
+        )
+    )
+    return out
+
+
+L_DIVERSITY_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT cents) AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN COUNT(DISTINCT cents) >= {LDIV_L} THEN 1 ELSE 0 END
+            AS BIGINT) AS diverse
+FROM c GROUP BY 1, 2
+"""
+
+
 VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
     "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
@@ -1848,4 +1998,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "map_eval": (q_map_eval, MAP_EVAL_SQL),
     "ece_calibration": (q_ece_calibration, ECE_CALIBRATION_SQL),
     "silhouette_eval": (q_silhouette_eval, SILHOUETTE_EVAL_SQL),
+    "embedding_moments": (q_embedding_moments, EMBEDDING_MOMENTS_SQL),
+    "l_diversity": (q_l_diversity, L_DIVERSITY_SQL),
 }

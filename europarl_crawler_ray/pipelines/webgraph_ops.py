@@ -1215,3 +1215,154 @@ SELECT CAST(p AS BIGINT) AS pivot,
          AS closeness_mbp
 FROM dist GROUP BY p
 """
+
+
+# ==================================================== modularity_score
+#
+# Directed modularity of the SOURCE partition of the internal link
+# graph — "do providers link within themselves more than a random
+# rewiring would?", the community-quality score a crawl-graph analyst
+# reads before trusting per-source sharding. Over the distinct
+# self-loop-free edge set (graph_reciprocity's convention),
+# Q = Σ_c [e_c/m − (dout_c·din_c)/m²]; multiplying by m² keeps
+# everything integer: q_term_c = m·e_c − dout_c·din_c, so
+# Q = Σ q_term / m². All four per-community columns are exact integer
+# counts — no quantized logs needed.
+#
+# Scale shape: per-doc edges are batch-local (dst is a formula of src),
+# so the src community rides along free; attaching the DST community is
+# the one real exchange — node rows keyed by doc_id and edge rows keyed
+# by dst share a coarse-hash bucket, the in-task dict lookup maps each
+# edge to its (c_src, c_dst) pair, and only the ≤S² pair-count table
+# leaves the task. Driver math is a pandas pivot over ≤S² rows.
+
+def q_modularity_score(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    cols = ["source", "e_in", "d_out", "d_in", "q_term"]
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        """kind 0 = node (key=doc_id, com=its source);
+        kind 1 = edge (key=dst, com=src's community)."""
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=np.int64),
+                    "kind": pd.Series(dtype=np.int8),
+                    "com": pd.Series(dtype=str),
+                }
+            )
+        ids = df["doc_id"].to_numpy(np.int64)
+        src, dst = internal_edges_np(ids, n_docs, drop_self=True)
+        # per-doc distinct dst (the DISTINCT of the oracle's edge set —
+        # duplicates can only be generated within one doc's edge run)
+        pair = np.stack([src, dst], axis=1)
+        pair = np.unique(pair, axis=0) if len(pair) else pair
+        com = dict(zip(ids, df["source"].to_numpy()))
+        nodes = pd.DataFrame(
+            {"key": ids, "kind": np.int8(0), "com": df["source"].to_numpy()}
+        )
+        edges = pd.DataFrame(
+            {
+                "key": pair[:, 1] if len(pair) else np.zeros(0, np.int64),
+                "kind": np.int8(1),
+                "com": [com[s] for s in pair[:, 0]] if len(pair) else [],
+            }
+        )
+        return pd.concat([nodes, edges], ignore_index=True)
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        node = g[g["kind"] == 0]
+        edge = g[g["kind"] == 1]
+        if not len(edge):
+            return pd.DataFrame(
+                {
+                    "cs": pd.Series(dtype=str),
+                    "cd": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype=np.int64),
+                }
+            )
+        dmap = dict(zip(node["key"].to_numpy(np.int64), node["com"].to_numpy()))
+        out = pd.DataFrame(
+            {
+                "cs": edge["com"].to_numpy(),
+                "cd": [dmap[k] for k in edge["key"].to_numpy(np.int64)],
+            }
+        )
+        return out.groupby(["cs", "cd"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    pc = (
+        _with_coarse_group(d.map_batches(emit, batch_format="pandas"), "key")
+        .groupby("_g")
+        .map_groups(
+            lambda g: pair_counts(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+        .to_pandas()  # ≤ n_coarse_groups × S² rows, S = #sources
+    )
+    # communities with no edges still appear with zeros (oracle rule)
+    def srcs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": df["source"].astype(str).unique()})
+
+    all_src = global_prune(d, srcs)["source"].to_numpy()
+    if not len(pc):
+        z = np.zeros(len(all_src), np.int64)
+        return pd.DataFrame(
+            {"source": np.sort(all_src), "e_in": z, "d_out": z, "d_in": z,
+             "q_term": z}
+        )
+    pc = pc.groupby(["cs", "cd"], as_index=False)["cnt"].sum()
+    m = int(pc["cnt"].sum())
+    dout = pc.groupby("cs")["cnt"].sum()
+    din = pc.groupby("cd")["cnt"].sum()
+    ein = pc[pc["cs"] == pc["cd"]].set_index("cs")["cnt"]
+    rows = []
+    for c in sorted(all_src):
+        e_c = int(ein.get(c, 0))
+        do = int(dout.get(c, 0))
+        di = int(din.get(c, 0))
+        rows.append((c, e_c, do, di, m * e_c - do * di))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {c: np.int64 for c in cols[1:]}
+    )
+
+
+MODULARITY_SCORE_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+node AS (SELECT doc_id, source FROM documents),
+ec AS (SELECT ns.source AS cs, nd.source AS cd, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM e
+       JOIN node ns ON ns.doc_id = e.src
+       JOIN node nd ON nd.doc_id = e.dst
+       GROUP BY 1, 2),
+m AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS m FROM ec),
+coms AS (SELECT DISTINCT source FROM documents),
+per AS (
+  SELECT coms.source,
+         CAST(COALESCE((SELECT SUM(cnt) FROM ec
+                        WHERE cs = coms.source AND cd = coms.source), 0)
+              AS BIGINT) AS e_in,
+         CAST(COALESCE((SELECT SUM(cnt) FROM ec WHERE cs = coms.source), 0)
+              AS BIGINT) AS d_out,
+         CAST(COALESCE((SELECT SUM(cnt) FROM ec WHERE cd = coms.source), 0)
+              AS BIGINT) AS d_in
+  FROM coms)
+SELECT source, e_in, d_out, d_in,
+       CAST(m.m * e_in - d_out * d_in AS BIGINT) AS q_term
+FROM per, m
+"""

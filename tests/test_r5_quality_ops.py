@@ -185,3 +185,102 @@ class TestPmiCollocations:
         assert row["pmi_unats"] == L(2 * 8 * 8) - L(3 * 2 * 5)
         # (q,q) also appears once only → excluded by min count
         assert ("q", "q") not in pairs
+
+
+from europarl_crawler_ray.pipelines.validation_ops import (  # noqa: E402
+    EMBEDDING_MOMENTS_SQL,
+    L_DIVERSITY_SQL,
+    LDIV_L,
+    q_embedding_moments,
+    q_l_diversity,
+)
+from europarl_crawler_ray.pipelines.webgraph_ops import (  # noqa: E402
+    MODULARITY_SCORE_SQL,
+    q_modularity_score,
+)
+
+
+class TestOracleParityBatch2:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name, fn, sql in [
+            ("modularity_score", q_modularity_score, MODULARITY_SCORE_SQL),
+            ("embedding_moments", q_embedding_moments, EMBEDDING_MOMENTS_SQL),
+            ("l_diversity", q_l_diversity, L_DIVERSITY_SQL),
+        ]:
+            ray_df = to_pandas(fn(sf_dir))
+            sql_df = con.execute(sql).fetchdf()
+            assert compare(name, ray_df, sql_df) == [], name
+
+
+class TestModularity:
+    def test_identities(self, ray_session, sf_dir):
+        out = q_modularity_score(sf_dir)
+        # Σ dout == Σ din == m; e_in ≤ min(dout, din) per community
+        assert out["d_out"].sum() == out["d_in"].sum()
+        assert (out["e_in"] <= out[["d_out", "d_in"]].min(axis=1)).all()
+        m = int(out["d_out"].sum())
+        assert (
+            out["q_term"]
+            == m * out["e_in"] - out["d_out"] * out["d_in"]
+        ).all()
+
+    def test_single_community_q_zero(self, ray_session, tmp_path):
+        # one source → e_in == m, dout == din == m → q_term = m·m − m·m = 0
+        _write_docs(tmp_path, [(f"doc {i}", "en", "s0") for i in range(30)])
+        out = q_modularity_score(str(tmp_path))
+        assert len(out) == 1
+        assert int(out["q_term"].iloc[0]) == 0
+        assert int(out["e_in"].iloc[0]) == int(out["d_out"].iloc[0])
+
+
+class TestEmbeddingMoments:
+    def test_brute_force(self, ray_session, tmp_path):
+        vecs = [(0.5, -0.25), (1.0, 0.75), (-0.5, 0.3)]
+        _write_emb(tmp_path, vecs)
+        out = q_embedding_moments(str(tmp_path)).set_index("dim")
+        # float32 storage: quantize from the float32-rounded values
+        q = np.floor(np.array(vecs, dtype=np.float32).astype(np.float64) * 1000.0)
+        q = q.astype(np.int64)
+        for d in (1, 2):
+            col = q[:, d - 1]
+            assert out.loc[d, "n"] == 3
+            assert out.loc[d, "s1"] == col.sum()
+            assert out.loc[d, "s2"] == (col * col).sum()
+            assert out.loc[d, "var_n2"] == 3 * (col * col).sum() - col.sum() ** 2
+            assert out.loc[d, "var_n2"] >= 0
+
+
+class TestLDiversity:
+    def test_brute_force(self, ray_session, tmp_path):
+        # group (1, A): 3 members, all same balance → NOT diverse;
+        # group (2, B): 3 members, 3 distinct balances → diverse (L=3)
+        nk = [1, 1, 1, 2, 2, 2]
+        seg = ["A"] * 3 + ["B"] * 3
+        bal = [10.0, 10.0, 10.0, 1.0, 2.0, 3.0]
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(range(6), pa.int64()),
+                    "c_name": pa.array([f"c{i}" for i in range(6)], pa.string()),
+                    "c_nationkey": pa.array(nk, pa.int32()),
+                    "c_acctbal": pa.array(bal, pa.float64()),
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        out = (
+            q_l_diversity(str(tmp_path))
+            .to_pandas()
+            .set_index(["c_nationkey", "c_mktsegment"])
+        )
+        assert LDIV_L == 3
+        assert out.loc[(1, "A"), "l_distinct"] == 1
+        assert out.loc[(1, "A"), "diverse"] == 0
+        assert out.loc[(2, "B"), "l_distinct"] == 3
+        assert out.loc[(2, "B"), "diverse"] == 1
