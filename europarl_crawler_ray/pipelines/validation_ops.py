@@ -1897,6 +1897,103 @@ FROM per
 """
 
 
+# =================================================== embedding_outliers
+#
+# The OUTLIER_TOPK vectors farthest from the corpus mean embedding —
+# the anomaly shortlist (mislabeled modality, corrupt encode, off-
+# distribution content) an embedding QA pass surfaces for human review.
+# Exact integer arithmetic at n²-scale: with s1_d = Σ_i q_id and n the
+# corpus count, dist_n2 = Σ_d (n·q_id − s1_d)² = n²·‖q_i − mean‖², so
+# no division ever happens and both engines rank identical integers
+# (ties → smaller vec_id).
+#
+# Scale shape: pass 1 is embedding_moments' D-row partial (n, s1 per
+# dim) → global_prune; pass 2 broadcasts the D-vector s1 and computes
+# dist_n2 per batch (one vectorized matvec), then top-K via
+# global_prune — O(K) driver rows, NO shuffle.
+
+OUTLIER_TOPK = 20
+
+
+def q_embedding_outliers(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cols = ["vec_id", "dist_n2"]
+
+    def mom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("dim", "n", "s1")}
+            )
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+                "n": np.full(mat.shape[1], mat.shape[0], np.int64),
+                "s1": mat.sum(axis=0),
+            }
+        )
+
+    def mom_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "dim" not in df.columns:
+            return df
+        return df.groupby("dim", as_index=False)[["n", "s1"]].sum()
+
+    m = global_prune(emb.map_batches(mom_partial, batch_format="pandas"),
+                     mom_combine)
+    if not len(m) or "dim" not in m.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    m = m.sort_values("dim")
+    n = int(m["n"].iloc[0])
+    s1 = m["s1"].to_numpy(np.int64)
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        diff = n * mat - s1[None, :]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "dist_n2": (diff * diff).sum(axis=1),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "dist_n2" not in df.columns:
+            return df
+        return df.sort_values(
+            ["dist_n2", "vec_id"], ascending=[False, True]
+        ).head(OUTLIER_TOPK)
+
+    return global_prune(
+        emb.map_batches(dist, batch_format="pandas"), topk
+    ).reset_index(drop=True)
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+idx AS (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS dim FROM e),
+s AS (SELECT dim, CAST(SUM(q[dim]) AS BIGINT) AS s1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM idx GROUP BY 1),
+d AS (
+  SELECT idx.vec_id,
+         SUM((CAST(s.n AS HUGEINT) * idx.q[idx.dim] - s.s1)
+             * (CAST(s.n AS HUGEINT) * idx.q[idx.dim] - s.s1)) AS dist
+  FROM idx JOIN s USING (dim) GROUP BY 1)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(dist AS BIGINT) AS dist_n2
+FROM d ORDER BY dist DESC, vec_id LIMIT {OUTLIER_TOPK}
+"""
+
+
 # ======================================================== l_diversity
 #
 # l-diversity audit, the companion gate to k_anon_audit: for each
@@ -1999,5 +2096,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "ece_calibration": (q_ece_calibration, ECE_CALIBRATION_SQL),
     "silhouette_eval": (q_silhouette_eval, SILHOUETTE_EVAL_SQL),
     "embedding_moments": (q_embedding_moments, EMBEDDING_MOMENTS_SQL),
+    "embedding_outliers": (q_embedding_outliers, EMBEDDING_OUTLIERS_SQL),
     "l_diversity": (q_l_diversity, L_DIVERSITY_SQL),
 }

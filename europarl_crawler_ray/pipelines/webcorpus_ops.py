@@ -59,6 +59,8 @@ from .webgraph_ops import (  # noqa: F401
     BUTTERFLY_COUNT_SQL,
     q_modularity_score,
     MODULARITY_SCORE_SQL,
+    q_deg_powerlaw,
+    DEG_POWERLAW_SQL,
     CP_PIVOTS,
     CP_MAX_DEPTH,
     q_closeness_pivots,
@@ -2131,6 +2133,7 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "butterfly_count": (q_butterfly_count, BUTTERFLY_COUNT_SQL),
     "modularity_score": (q_modularity_score, MODULARITY_SCORE_SQL),
+    "deg_powerlaw": (q_deg_powerlaw, DEG_POWERLAW_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
     "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),
     "props_stats": (q_props_stats, PROPS_STATS_SQL),

@@ -1366,3 +1366,118 @@ SELECT source, e_in, d_out, d_in,
        CAST(m.m * e_in - d_out * d_in AS BIGINT) AS q_term
 FROM per, m
 """
+
+
+# ======================================================== deg_powerlaw
+#
+# In-degree distribution shape of the internal link graph: the
+# histogram of in-degrees plus the OLS slope of ln(node count) on
+# ln(degree) over the positive-degree points — the tail diagnostic
+# (power-law-ish vs Poisson-ish) a webgraph analyst reads before
+# picking hub-suppression thresholds. Parity is the zipf_slope device:
+# exact integer histogram on both engines, logs quantized to
+# floor(1e6·ln(x)) on the same libm double, integer moment sums, ONE
+# final float division.
+#
+# Scale shape: per-batch edge generation with per-doc distinct dst
+# (batch-local), per-batch (dst, c) partial counts → ONE coarse
+# exchange on dst (exact in-degree per node in-task) → degree-bounded
+# histogram partials → global_prune sum → tiny driver table.
+
+def q_deg_powerlaw(sf_dir: str):
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    cols = ["n_points", "n_zero_in", "slope"]
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"n_points": pd.Series(dtype=np.int64),
+             "n_zero_in": pd.Series(dtype=np.int64),
+             "slope": pd.Series(dtype=float)}
+        )
+
+    def dst_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        src, dst = internal_edges_np(ids, n_docs, drop_self=True)
+        if len(src):
+            pair = np.unique(np.stack([src, dst], axis=1), axis=0)
+            dst = pair[:, 1]
+        vals, cnts = np.unique(dst, return_counts=True)
+        return pd.DataFrame({"dst": vals, "c": cnts.astype(np.int64)})
+
+    def hist_in_task(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("dst")["c"].sum().to_numpy(np.int64)
+        vals, cnts = np.unique(deg, return_counts=True)
+        return pd.DataFrame({"deg": vals, "cnt": cnts.astype(np.int64)})
+
+    def hist_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "deg" not in df.columns:
+            return df
+        return df.groupby("deg", as_index=False)["cnt"].sum()
+
+    hist = global_prune(
+        _with_coarse_group(d.map_batches(dst_partial, batch_format="pandas"), "dst")
+        .groupby("_g")
+        .map_groups(
+            lambda g: hist_in_task(g.drop(columns=["_g"])), batch_format="pandas"
+        ),
+        hist_sum,
+    )
+    if not len(hist) or "deg" not in hist.columns:
+        return pd.DataFrame(
+            {"n_points": [0], "n_zero_in": [int(n_docs)], "slope": [0.0]}
+        ).astype({"n_points": np.int64, "n_zero_in": np.int64})
+    hist = hist.sort_values("deg").reset_index(drop=True)
+    n_zero = int(n_docs) - int(hist["cnt"].sum())
+    degs = hist["deg"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    k = len(degs)
+    lx = [int(math.floor(1e6 * math.log(int(v)))) for v in degs]
+    ly = [int(math.floor(1e6 * math.log(int(c)))) for c in cnts]
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(x * x for x in lx)
+    sxy = sum(x * y for x, y in zip(lx, ly))
+    den = k * sxx - sx * sx
+    slope = float(k * sxy - sx * sy) / float(den) if den else 0.0
+    return pd.DataFrame(
+        {"n_points": [k], "n_zero_in": [n_zero], "slope": [slope]}
+    ).astype({"n_points": np.int64, "n_zero_in": np.int64})
+
+
+DEG_POWERLAW_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM ind GROUP BY 1),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(FLOOR(1e6 * ln(deg)) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(1e6 * ln(c)) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(1e6 * ln(deg)) AS BIGINT)
+             * CAST(FLOOR(1e6 * ln(deg)) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(1e6 * ln(deg)) AS BIGINT)
+             * CAST(FLOOR(1e6 * ln(c)) AS BIGINT)) AS sxy
+  FROM hist)
+SELECT CAST(mom.k AS BIGINT) AS n_points,
+       CAST((SELECT cnt FROM n) - (SELECT COUNT(*) FROM ind) AS BIGINT)
+           AS n_zero_in,
+       CASE WHEN mom.k * mom.sxx - mom.sx * mom.sx = 0 THEN 0.0
+            ELSE CAST(mom.k * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+                 / CAST(mom.k * mom.sxx - mom.sx * mom.sx AS DOUBLE)
+       END AS slope
+FROM mom
+"""

@@ -284,3 +284,81 @@ class TestLDiversity:
         assert out.loc[(1, "A"), "diverse"] == 0
         assert out.loc[(2, "B"), "l_distinct"] == 3
         assert out.loc[(2, "B"), "diverse"] == 1
+
+
+from europarl_crawler_ray.pipelines.validation_ops import (  # noqa: E402
+    EMBEDDING_OUTLIERS_SQL,
+    OUTLIER_TOPK,
+    q_embedding_outliers,
+)
+from europarl_crawler_ray.pipelines.webgraph_ops import (  # noqa: E402
+    DEG_POWERLAW_SQL,
+    q_deg_powerlaw,
+)
+
+
+class TestOracleParityBatch3:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name, fn, sql in [
+            ("deg_powerlaw", q_deg_powerlaw, DEG_POWERLAW_SQL),
+            ("embedding_outliers", q_embedding_outliers, EMBEDDING_OUTLIERS_SQL),
+        ]:
+            ray_df = to_pandas(fn(sf_dir))
+            sql_df = con.execute(sql).fetchdf()
+            assert compare(name, ray_df, sql_df) == [], name
+
+
+class TestEmbeddingOutliers:
+    def test_farthest_point_wins(self, ray_session, tmp_path):
+        # 9 clustered points + one far point → far point ranks first
+        vecs = [(0.01 * i, 0.0) for i in range(9)] + [(50.0, 50.0)]
+        _write_emb(tmp_path, vecs)
+        out = q_embedding_outliers(str(tmp_path))
+        assert int(out["vec_id"].iloc[0]) == 9
+        # brute-force the n²-scaled distance for the winner
+        q = np.floor(np.array(vecs, dtype=np.float32).astype(np.float64) * 1000.0)
+        q = q.astype(np.int64)
+        n, s1 = len(vecs), q.sum(axis=0)
+        d = ((n * q[9] - s1) ** 2).sum()
+        assert int(out["dist_n2"].iloc[0]) == d
+        assert len(out) == min(OUTLIER_TOPK, len(vecs))
+        # descending, tie-broken by vec_id
+        dd = out["dist_n2"].to_numpy()
+        assert (dd[:-1] >= dd[1:]).all()
+
+
+class TestDegPowerlaw:
+    def test_histogram_consistency(self, ray_session, sf_dir):
+        import pyarrow.parquet as _pq
+
+        out = q_deg_powerlaw(sf_dir)
+        n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        assert len(out) == 1
+        assert 0 <= int(out["n_zero_in"].iloc[0]) <= n_docs
+        assert int(out["n_points"].iloc[0]) >= 1
+
+    def test_brute_force_small(self, ray_session, tmp_path):
+        from europarl_crawler_ray.pipelines.queries import internal_edges_np
+
+        n = 25
+        _write_docs(tmp_path, [(f"doc {i}", "en", "s0") for i in range(n)])
+        out = q_deg_powerlaw(str(tmp_path))
+        src, dst = internal_edges_np(np.arange(n), n, drop_self=True)
+        pair = np.unique(np.stack([src, dst], axis=1), axis=0)
+        deg = np.unique(pair[:, 1], return_counts=True)[1]
+        degs, cnts = np.unique(deg, return_counts=True)
+        assert int(out["n_points"].iloc[0]) == len(degs)
+        assert int(out["n_zero_in"].iloc[0]) == n - len(np.unique(pair[:, 1]))
+        lx = [math.floor(1e6 * math.log(int(v))) for v in degs]
+        ly = [math.floor(1e6 * math.log(int(c))) for c in cnts]
+        k, sx, sy = len(lx), sum(lx), sum(ly)
+        sxx = sum(x * x for x in lx)
+        sxy = sum(x * y for x, y in zip(lx, ly))
+        den = k * sxx - sx * sx
+        want = float(k * sxy - sx * sy) / float(den) if den else 0.0
+        assert out["slope"].iloc[0] == want
