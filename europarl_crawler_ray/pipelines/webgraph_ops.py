@@ -1244,6 +1244,10 @@ def q_modularity_score(sf_dir: str):
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = _read(sf_dir, "documents", columns=["doc_id", "source"])
     cols = ["source", "e_in", "d_out", "d_in", "q_term"]
+    if n_docs == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=str if c == "source" else np.int64) for c in cols}
+        )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         """kind 0 = node (key=doc_id, com=its source);
