@@ -1766,6 +1766,110 @@ FROM cand, tot
 """
 
 
+# ==================================================== token_burstiness
+#
+# Index of dispersion (variance-to-mean, Church & Gale 1995) of the
+# per-document count of each top-BURST_TOP token — bursty tokens
+# (names, topical terms) concentrate in few documents while function
+# words spread evenly; the signal separates topical vocab from
+# boilerplate when building stopword/keyword lists. All exact
+# integers: with D total docs, s1 = Σ_doc c and s2 = Σ_doc c²,
+# disp_n2 = D·s2 − s1² = D²·var (docs without the token contribute 0
+# to both sums, exactly as the definition wants).
+#
+# Scale shape: per-batch per-doc token counts collapse to (token, s1,
+# s2, df) partials — all three sums are associative, so NO doc-level
+# co-location is needed; ONE coarse token exchange makes them exact,
+# top-K selection is an associative global_prune, D comes from parquet
+# metadata. Driver sees ≤ BURST_TOP rows.
+
+BURST_TOP = 100
+
+
+def q_token_burstiness(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .grouping import global_prune
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["token", "s1", "s2", "df", "disp_n2"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"token": pd.Series(dtype=str),
+             "s1": pd.Series(dtype=np.int64),
+             "s2": pd.Series(dtype=np.int64),
+             "df": pd.Series(dtype=np.int64)}
+        )
+        if not len(df):
+            return empty
+        toks = (
+            df.set_index("doc_id")["text"].str.lower().str.findall(_TOKEN_RE)
+            .explode().dropna()
+        )
+        if not len(toks):
+            return empty
+        g = toks.reset_index().groupby(["doc_id", "text"], as_index=False).size()
+        g.columns = ["doc_id", "token", "c"]
+        c = g["c"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"token": g["token"], "s1": c, "s2": c * c, "df": 1}
+        )
+        return out.groupby("token", as_index=False).sum()
+
+    def sum_tokens(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False, dropna=False)[
+            ["s1", "s2", "df"]
+        ].sum()
+
+    counted = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(
+            lambda g: sum_tokens(g.drop(columns=["_g"])), batch_format="pandas"
+        )
+    )
+
+    def top_k(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "token" not in df.columns:
+            return df
+        return df.sort_values(["s1", "token"], ascending=[False, True]).head(
+            BURST_TOP
+        )
+
+    m = global_prune(counted, top_k)
+    if not len(m) or "token" not in m.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=str if c == "token" else np.int64) for c in cols}
+        )
+    s1 = m["s1"].to_numpy(np.int64)
+    s2 = m["s2"].to_numpy(np.int64)
+    m = m.assign(disp_n2=n_docs * s2 - s1 * s1)
+    return m[cols].reset_index(drop=True).astype(
+        {c: np.int64 for c in cols[1:]}
+    )
+
+
+TOKEN_BURSTINESS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+tc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+per AS (SELECT token, CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM tc GROUP BY 1),
+top AS (SELECT * FROM per ORDER BY s1 DESC, token ASC LIMIT {BURST_TOP}),
+d AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents)
+SELECT token, s1, s2, df,
+       CAST(d.n * s2 - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS disp_n2
+FROM top, d
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -1787,4 +1891,5 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "zipf_slope": (q_zipf_slope, ZIPF_SLOPE_SQL),
     "vocab_growth": (q_vocab_growth, VOCAB_GROWTH_SQL),
     "pmi_collocations": (q_pmi_collocations, PMI_COLLOCATIONS_SQL),
+    "token_burstiness": (q_token_burstiness, TOKEN_BURSTINESS_SQL),
 }

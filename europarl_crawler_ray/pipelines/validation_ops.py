@@ -1746,11 +1746,14 @@ FROM {dt} d"""
 SIL_CELLS = 12
 
 
-def q_silhouette_eval(sf_dir: str):
+def _sil_centroids(sf_dir: str):
+    """The md5('sil:{vec_id}')-smallest SIL_CELLS vectors, quantized —
+    the shared clustering q_silhouette_eval and q_cluster_purity both
+    grade (same cells, two quality views). Returns (cids, cmat) sorted
+    by vec_id, or (None, None) on an empty table."""
     import hashlib
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cols = ["vec_id", "cell", "a2", "b2", "sil_bp"]
 
     def prune_c(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "vec_id" not in df.columns:
@@ -1763,7 +1766,7 @@ def q_silhouette_eval(sf_dir: str):
 
     cdf = global_prune(emb, prune_c)
     if cdf.empty or "vec_id" not in cdf.columns:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return None, None
     md5s = np.array(
         [hashlib.md5(f"sil:{int(v)}".encode()).hexdigest() for v in cdf["vec_id"]]
     )
@@ -1772,6 +1775,15 @@ def q_silhouette_eval(sf_dir: str):
     cmat = np.floor(
         np.stack(cdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
     ).astype(np.int64)
+    return cids, cmat
+
+
+def q_silhouette_eval(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cols = ["vec_id", "cell", "a2", "b2", "sil_bp"]
+    cids, cmat = _sil_centroids(sf_dir)
+    if cids is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     cnorm = (cmat * cmat).sum(axis=1)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -1894,6 +1906,84 @@ SELECT dim, n, s1, s2,
        CAST(CAST(n AS HUGEINT) * s2
             - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS var_n2
 FROM per
+"""
+
+
+# ====================================================== cluster_purity
+#
+# Label purity of the SAME deterministic clustering silhouette_eval
+# grades (md5-picked centroids, min-d² assignment): per cell, member
+# count, distinct labels, and purity_bp = top-label count·10⁴ // n —
+# the external cluster-quality view (geometric cohesion is
+# silhouette's). All counting, no floats.
+#
+# Scale shape: assignment is the broadcast-centroid matvec; per-batch
+# (cell, label) count partials (≤ cells×labels rows per block) → ONE
+# global_prune combine → driver purity over the bounded grid.
+
+def q_cluster_purity(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    cols = ["cell", "n", "n_labels", "top_count", "purity_bp"]
+    cids, cmat = _sil_centroids(sf_dir)
+    if cids is None:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("cell", "label", "cnt")}
+            )
+        mat = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        d2 = (mat * mat).sum(axis=1)[:, None] - 2 * (mat @ cmat.T) + cnorm[None, :]
+        own = np.argmin(d2, axis=1)  # ties → smaller centroid id (cids asc)
+        out = pd.DataFrame(
+            {"cell": cids[own], "label": df["label"].to_numpy(np.int64), "cnt": 1}
+        )
+        return out.groupby(["cell", "label"], as_index=False)["cnt"].sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "cell" not in df.columns:
+            return df
+        return df.groupby(["cell", "label"], as_index=False)["cnt"].sum()
+
+    m = global_prune(emb.map_batches(partial, batch_format="pandas"), combine)
+    if not len(m) or "cell" not in m.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    rows = []
+    for cell, g in m.groupby("cell", sort=True):
+        n = int(g["cnt"].sum())
+        top = int(g["cnt"].max())
+        rows.append((int(cell), n, len(g), top, top * 10000 // n))
+    return pd.DataFrame(rows, columns=cols).astype({c: np.int64 for c in cols})
+
+
+CLUSTER_PURITY_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         ORDER BY md5('sil:' || CAST(vec_id AS VARCHAR)) LIMIT {SIL_CELLS}),
+own AS (
+  SELECT vec_id, label, cid, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_inner_product(q, q)
+                    - 2 * list_inner_product(q, cq)
+                    + list_inner_product(cq, cq), cid) AS rn
+  FROM e CROSS JOIN cent),
+a AS (SELECT vec_id, label, cid AS cell FROM own WHERE rn = 1),
+lc AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM a GROUP BY 1, 2)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_labels,
+       CAST(MAX(cnt) AS BIGINT) AS top_count,
+       CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT) AS purity_bp
+FROM lc GROUP BY 1
 """
 
 
@@ -2097,5 +2187,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "silhouette_eval": (q_silhouette_eval, SILHOUETTE_EVAL_SQL),
     "embedding_moments": (q_embedding_moments, EMBEDDING_MOMENTS_SQL),
     "embedding_outliers": (q_embedding_outliers, EMBEDDING_OUTLIERS_SQL),
+    "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
     "l_diversity": (q_l_diversity, L_DIVERSITY_SQL),
 }

@@ -362,3 +362,64 @@ class TestDegPowerlaw:
         den = k * sxx - sx * sx
         want = float(k * sxy - sx * sy) / float(den) if den else 0.0
         assert out["slope"].iloc[0] == want
+
+
+from europarl_crawler_ray.pipelines.corpus_ops import (  # noqa: E402
+    BURST_TOP,
+    TOKEN_BURSTINESS_SQL,
+    q_token_burstiness,
+)
+from europarl_crawler_ray.pipelines.validation_ops import (  # noqa: E402
+    CLUSTER_PURITY_SQL,
+    q_cluster_purity,
+)
+
+
+class TestOracleParityBatch4:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name, fn, sql in [
+            ("cluster_purity", q_cluster_purity, CLUSTER_PURITY_SQL),
+            ("token_burstiness", q_token_burstiness, TOKEN_BURSTINESS_SQL),
+        ]:
+            ray_df = to_pandas(fn(sf_dir))
+            sql_df = con.execute(sql).fetchdf()
+            assert compare(name, ray_df, sql_df) == [], name
+
+
+class TestClusterPurity:
+    def test_consistent_with_silhouette_cells(self, ray_session, sf_dir):
+        sil = q_silhouette_eval(sf_dir).to_pandas()
+        pur = q_cluster_purity(sf_dir)
+        # same clustering: cell populations must agree
+        want = sil.groupby("cell").size()
+        got = pur.set_index("cell")["n"]
+        assert (want.sort_index() == got.sort_index()).all()
+        assert (pur["top_count"] <= pur["n"]).all()
+        assert (pur["purity_bp"] <= 10000).all()
+        assert (pur["purity_bp"] * pur["n"] <= pur["top_count"] * 10000).all()
+
+
+class TestTokenBurstiness:
+    def test_brute_force(self, ray_session, tmp_path):
+        # "a": bursty (8 in one doc of 4); "b": even (2 in each of 4 docs)
+        rows = [
+            ("a a a a a a a a b b", "en", "s0"),
+            ("b b", "en", "s0"),
+            ("b b", "en", "s0"),
+            ("b b", "en", "s0"),
+        ]
+        _write_docs(tmp_path, rows)
+        out = q_token_burstiness(str(tmp_path)).set_index("token")
+        D = 4
+        # a: s1=8, s2=64, df=1 → disp = 4·64 − 64 = 192
+        assert out.loc["a", "s1"] == 8 and out.loc["a", "df"] == 1
+        assert out.loc["a", "disp_n2"] == D * 64 - 64
+        # b: s1=8, s2=4·4=16, df=4 → disp = 4·16 − 64 = 0 (perfectly even)
+        assert out.loc["b", "s1"] == 8 and out.loc["b", "df"] == 4
+        assert out.loc["b", "disp_n2"] == 0
+        assert len(out) <= BURST_TOP
