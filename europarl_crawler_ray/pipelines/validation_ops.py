@@ -2084,6 +2084,81 @@ FROM d ORDER BY dist DESC, vec_id LIMIT {OUTLIER_TOPK}
 """
 
 
+# ====================================================== bootstrap_means
+#
+# Deterministic multiplier bootstrap of the mean document length: B
+# resample replicas where doc i's multiplicity in replica b is
+# md5('boot:{b}:{doc_id}') % 3 ∈ {0,1,2} (mean 1 — a discrete stand-in
+# for Poisson(1), the standard streaming-bootstrap trick), giving the
+# spread a data buyer quotes as the CI of a corpus statistic without a
+# second pass over the data. mean_ppm = 1e6·Σ(m·x) // Σm is exact
+# integer arithmetic; the md5 device is the multimodal_meta convention
+# so DuckDB recomputes identical multiplicities.
+#
+# Scale shape: each batch contributes one B-row partial (replica,
+# n_eff, sx) — B is fixed, so partials are metadata-sized; ONE
+# global_prune combine → B driver rows. NO shuffle; cost is B md5s per
+# row (the documented price of B replicas in one pass).
+
+BOOT_B = 32
+
+
+def q_bootstrap_means(sf_dir: str):
+    from ..stages.multimodal import _md5_64
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    cols = ["replica", "n_eff", "sx", "mean_ppm"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("replica", "n_eff", "sx")}
+            )
+        ids = df["doc_id"].to_numpy(np.int64)
+        x = df["n_chars"].to_numpy(np.int64)
+        rows = []
+        for b in range(BOOT_B):
+            m = np.fromiter(
+                (_md5_64(f"boot:{b}:{int(i)}") % 3 for i in ids),
+                np.int64,
+                len(ids),
+            )
+            rows.append((b, int(m.sum()), int((m * x).sum())))
+        return pd.DataFrame(rows, columns=["replica", "n_eff", "sx"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "replica" not in df.columns:
+            return df
+        return df.groupby("replica", as_index=False)[["n_eff", "sx"]].sum()
+
+    m = global_prune(d.map_batches(partial, batch_format="pandas"), combine)
+    if not len(m) or "replica" not in m.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    m = m.sort_values("replica").reset_index(drop=True)
+    ne = m["n_eff"].to_numpy(np.int64)
+    sx = m["sx"].to_numpy(np.int64)
+    m["mean_ppm"] = np.where(ne > 0, (1_000_000 * sx) // np.maximum(ne, 1), 0)
+    return m[cols].astype({c: np.int64 for c in cols})
+
+
+BOOTSTRAP_MEANS_SQL = f"""
+WITH reps AS (SELECT unnest(range(0, {BOOT_B})) AS replica),
+m AS (
+  SELECT reps.replica, d.n_chars,
+         CAST(CAST(concat('0x', substr(md5('boot:' || CAST(reps.replica AS VARCHAR)
+              || ':' || CAST(d.doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 3
+              AS BIGINT) AS mult
+  FROM reps CROSS JOIN documents d)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(COALESCE(SUM(mult), 0) AS BIGINT) AS n_eff,
+       CAST(COALESCE(SUM(mult * n_chars), 0) AS BIGINT) AS sx,
+       CAST(CASE WHEN COALESCE(SUM(mult), 0) > 0
+            THEN (1000000 * SUM(mult * n_chars)) // SUM(mult)
+            ELSE 0 END AS BIGINT) AS mean_ppm
+FROM m GROUP BY 1
+"""
+
+
 # ======================================================== l_diversity
 #
 # l-diversity audit, the companion gate to k_anon_audit: for each
@@ -2188,5 +2263,6 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "embedding_moments": (q_embedding_moments, EMBEDDING_MOMENTS_SQL),
     "embedding_outliers": (q_embedding_outliers, EMBEDDING_OUTLIERS_SQL),
     "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
+    "bootstrap_means": (q_bootstrap_means, BOOTSTRAP_MEANS_SQL),
     "l_diversity": (q_l_diversity, L_DIVERSITY_SQL),
 }

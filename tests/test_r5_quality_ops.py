@@ -423,3 +423,40 @@ class TestTokenBurstiness:
         assert out.loc["b", "s1"] == 8 and out.loc["b", "df"] == 4
         assert out.loc["b", "disp_n2"] == 0
         assert len(out) <= BURST_TOP
+
+
+from europarl_crawler_ray.pipelines.validation_ops import (  # noqa: E402
+    BOOT_B,
+    BOOTSTRAP_MEANS_SQL,
+    q_bootstrap_means,
+)
+
+
+class TestBootstrapMeans:
+    def test_parity(self, ray_session, sf_dir):
+        from check_oracles import TABLES, compare, to_pandas
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        ray_df = to_pandas(q_bootstrap_means(sf_dir))
+        sql_df = con.execute(BOOTSTRAP_MEANS_SQL).fetchdf()
+        assert compare("bootstrap_means", ray_df, sql_df) == []
+
+    def test_brute_force(self, ray_session, tmp_path):
+        from europarl_crawler_ray.stages.multimodal import _md5_64
+
+        rows = [("x" * ln, "en", "s0") for ln in (10, 20, 40)]
+        _write_docs(tmp_path, rows)
+        out = q_bootstrap_means(str(tmp_path)).set_index("replica")
+        assert len(out) == BOOT_B
+        for b in (0, 7, BOOT_B - 1):
+            ms = [_md5_64(f"boot:{b}:{i}") % 3 for i in range(3)]
+            ne = sum(ms)
+            sx = sum(m * ln for m, ln in zip(ms, (10, 20, 40)))
+            assert out.loc[b, "n_eff"] == ne
+            assert out.loc[b, "sx"] == sx
+            assert out.loc[b, "mean_ppm"] == ((1_000_000 * sx) // ne if ne else 0)
+        # replicas vary but center near the true mean (n_chars ∈ {10,20,40})
+        nz = out[out["n_eff"] > 0]["mean_ppm"]
+        assert nz.min() >= 10 * 1_000_000 // 4 and nz.max() <= 40 * 1_000_000
