@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions.dedup import md5_hash31, shingle_strings
+from .grouping import global_prune
 from .grouping import with_coarse_group as _with_coarse_group
 
 
@@ -1870,6 +1871,123 @@ FROM top, d
 """
 
 
+# ======================================================= ab_test_stats
+#
+# Deterministic-assignment A/B readout over the event stream: variant =
+# md5('ab:42:'+user_id) % 2 (the hash-bucket assignment every online
+# experimentation stack uses, so assignment is reproducible without a
+# lookup table), conversion = user emitted ≥1 'purchase' event. Emits
+# the 2×2 table plus per-variant rates and the chi-square independence
+# statistic in ppm — chi² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is a ratio
+# of exact integers, so both engines compute it bit-identically (the
+# numerator needs 128-bit intermediates: Python ints on the Ray side,
+# HUGEINT in DuckDB).
+#
+# Scale shape: per-batch (user, variant, conv) combiner → ONE coarse
+# exchange on user_id (each user's rows co-locate; per-task per-user OR
+# then a (variant → users/convs) partial) → global_prune sum → a single
+# driver row. Conversion state never leaves the task as more than two
+# rows per variant.
+
+def q_ab_test_stats(sf_dir: str):
+    from ..stages.multimodal import _md5_64
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [
+        "users_a", "conv_a", "rate_a_bp",
+        "users_b", "conv_b", "rate_b_bp", "chi2_ppm",
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("user_id", "conv")}
+            )
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "conv": (df["event_type"] == "purchase").to_numpy().astype(np.int64),
+            }
+        )
+        return out.groupby("user_id", as_index=False)["conv"].max()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)["conv"].max()
+        ids = u["user_id"].to_numpy(np.int64)
+        var = np.fromiter(
+            (_md5_64(f"ab:42:{int(i)}") % 2 for i in ids), np.int64, len(ids)
+        )
+        u["variant"] = var
+        agg = u.groupby("variant", as_index=False).agg(
+            users=("conv", "size"), convs=("conv", "sum")
+        )
+        return agg.astype(np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "variant" not in df.columns:
+            return df
+        return df.groupby("variant", as_index=False)[["users", "convs"]].sum()
+
+    t = global_prune(
+        _with_coarse_group(ev.map_batches(partial, batch_format="pandas"), "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["_g"])), batch_format="pandas"),
+        combine,
+    )
+    ua = ca = ub = cb = 0
+    if len(t) and "variant" in t.columns:
+        for _, r in t.iterrows():
+            if int(r["variant"]) == 0:
+                ua, ca = int(r["users"]), int(r["convs"])
+            else:
+                ub, cb = int(r["users"]), int(r["convs"])
+    a, b, c, d = ca, ua - ca, cb, ub - cb
+    n = ua + ub
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2_ppm = (1_000_000 * n * (a * d - b * c) ** 2) // den if den else 0
+    return pd.DataFrame(
+        {
+            "users_a": [ua],
+            "conv_a": [ca],
+            "rate_a_bp": [10000 * ca // ua if ua else 0],
+            "users_b": [ub],
+            "conv_b": [cb],
+            "rate_b_bp": [10000 * cb // ub if ub else 0],
+            "chi2_ppm": [chi2_ppm],
+        }
+    ).astype({c: np.int64 for c in cols})
+
+
+AB_TEST_STATS_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(CAST(concat('0x', substr(md5('ab:42:' || CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 2 AS BIGINT) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+t AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0) AS ua,
+    COALESCE(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END), 0) AS ca,
+    COALESCE(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0) AS ub,
+    COALESCE(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END), 0) AS cb
+  FROM u),
+x AS (
+  SELECT ua, ca, ub, cb,
+         CAST(ca AS HUGEINT) AS a, CAST(ua - ca AS HUGEINT) AS b,
+         CAST(cb AS HUGEINT) AS c, CAST(ub - cb AS HUGEINT) AS d
+  FROM t)
+SELECT CAST(ua AS BIGINT) AS users_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(CASE WHEN ua > 0 THEN 10000 * ca // ua ELSE 0 END AS BIGINT) AS rate_a_bp,
+       CAST(ub AS BIGINT) AS users_b, CAST(cb AS BIGINT) AS conv_b,
+       CAST(CASE WHEN ub > 0 THEN 10000 * cb // ub ELSE 0 END AS BIGINT) AS rate_b_bp,
+       CAST(CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+            THEN (1000000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c))
+                 // ((a + b) * (c + d) * (a + c) * (b + d))
+            ELSE 0 END AS BIGINT) AS chi2_ppm
+FROM x
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -1883,6 +2001,7 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "hive_partition_scan": (q_hive_partition_scan, HIVE_PARTITION_SCAN_SQL),
     "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
+    "ab_test_stats": (q_ab_test_stats, AB_TEST_STATS_SQL),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
     "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
     "contamination_check": (q_contamination_check, CONTAMINATION_CHECK_SQL),

@@ -1041,6 +1041,96 @@ FROM assign GROUP BY vec_id
 """
 
 
+# ======================================================= jl_distortion
+#
+# Johnson–Lindenstrauss distortion audit of a sign random projection
+# (Achlioptas 2003): project each embedding to JL_K dims with the
+# deterministic ±1 matrix s(j,i) = 1 − 2·(md5('jl:42:j:i') % 2) and
+# report per-vector how far ‖Pv‖²/JL_K lands from ‖v‖² — the check a
+# team runs before swapping full embeddings for a cheap sketch in a
+# dedup or ANN stage. Coordinates are pre-quantized to thousandths
+# (floor(x·1000) on the float64 widening of the stored float32 — the
+# repo's CAST(embedding AS DOUBLE[]) convention), so projections, norms
+# and the ratio are exact integer arithmetic in both engines.
+#
+# Scale shape: the (JL_K × dim) sign matrix is built once on the driver
+# (512 md5s) and captured by value (tiny); the pass is a single
+# streaming map_batches — one (batch × dim)·(dim × JL_K) integer matmul
+# per batch, NO shuffle, output one row per vector.
+
+JL_K = 8
+
+
+def _jl_signs(dim: int) -> np.ndarray:
+    from ..stages.multimodal import _md5_64
+
+    return np.array(
+        [
+            [1 - 2 * (_md5_64(f"jl:42:{j}:{i}") % 2) for i in range(dim)]
+            for j in range(JL_K)
+        ],
+        dtype=np.int64,
+    )
+
+
+def q_jl_distortion(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cols = ["vec_id", "qnorm", "pnorm", "ratio_ppm"]
+    signs: dict[int, np.ndarray] = {}
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1000.0).astype(np.int64)
+        dim = q.shape[1]
+        if dim not in signs:
+            signs[dim] = _jl_signs(dim)
+        y = q @ signs[dim].T                      # (batch × JL_K)
+        qn = (q * q).sum(axis=1)
+        pn = (y * y).sum(axis=1)
+        ratio = np.where(qn > 0, 1_000_000 * pn // np.maximum(JL_K * qn, 1), 0)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "qnorm": qn,
+                "pnorm": pn,
+                "ratio_ppm": ratio.astype(np.int64),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
+JL_DISTORTION_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS vq
+  FROM embeddings),
+u AS (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+         vq[CAST(t.i AS INTEGER)] AS x
+  FROM q, unnest(range(1, len(vq) + 1)) AS t(i)),
+s AS (
+  SELECT CAST(j.j AS BIGINT) AS j, di.i,
+         1 - 2 * CAST({_md5u("'jl:42:' || CAST(j.j AS VARCHAR) || ':' || CAST(di.i - 1 AS VARCHAR)")} % 2 AS BIGINT) AS sgn
+  FROM (SELECT DISTINCT i FROM u) AS di, range(0, {JL_K}) AS j(j)),
+y AS (
+  SELECT u.vec_id, s.j, SUM(s.sgn * u.x) AS yj
+  FROM u JOIN s ON s.i = u.i GROUP BY 1, 2),
+p AS (SELECT vec_id, SUM(yj * yj) AS pnorm FROM y GROUP BY 1),
+qn AS (SELECT vec_id, SUM(x * x) AS qnorm FROM u GROUP BY 1)
+SELECT CAST(qn.vec_id AS BIGINT) AS vec_id,
+       CAST(qn.qnorm AS BIGINT) AS qnorm,
+       CAST(COALESCE(p.pnorm, 0) AS BIGINT) AS pnorm,
+       CAST(CASE WHEN qn.qnorm > 0
+            THEN 1000000 * COALESCE(p.pnorm, 0) // ({JL_K} * qn.qnorm)
+            ELSE 0 END AS BIGINT) AS ratio_ppm
+FROM qn LEFT JOIN p ON p.vec_id = qn.vec_id
+"""
+
+
 # =================================================== compression ratio
 #
 # The Gopher/FineWeb compression-quality signal: highly repetitive or

@@ -2241,6 +2241,118 @@ FROM c GROUP BY 1, 2
 """
 
 
+# ================================================== conformal_coverage
+#
+# Split-conformal audit of a corpus statistic (Vovk et al. 2005;
+# Angelopoulos & Bates 2023): a deterministic md5 split assigns ~1/5 of
+# docs to a CALIBRATION set; the conformal threshold is the
+# ⌈(n_cal+1)·(1−α)⌉-th smallest calibration score (α = 0.1, score =
+# n_chars — a calibrated 90% upper bound on document length), and
+# coverage is the share of TEST docs at or under it. A data buyer runs
+# this gate to check that a quantile promised on a sample actually
+# holds on the rest of the corpus. All integer-exact: the threshold is
+# an order statistic of an integer multiset, coverage_bp an integer
+# division.
+#
+# Scale shape: ONE streaming pass emits per-batch (split, score, cnt)
+# histogram partials — the score domain is bounded by max doc length,
+# so partials are metadata-sized — then ONE global_prune combine; the
+# driver takes the order statistic from the cumulative histogram
+# (O(|score domain|) rows) and reads coverage off the same histogram.
+# NO shuffle, no second pass.
+
+CONF_ALPHA_BP = 1000  # α = 0.1 in basis points
+CONF_CAL_MOD = 5      # md5 % 5 == 0 → calibration split
+
+
+def q_conformal_coverage(sf_dir: str):
+    from ..stages.multimodal import _md5_64
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    cols = ["n_cal", "n_test", "threshold", "n_covered", "coverage_bp"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("split", "score", "cnt")}
+            )
+        ids = df["doc_id"].to_numpy(np.int64)
+        cal = np.fromiter(
+            (_md5_64(f"conf:42:{int(i)}") % CONF_CAL_MOD == 0 for i in ids),
+            bool,
+            len(ids),
+        )
+        out = pd.DataFrame(
+            {"split": cal.astype(np.int64), "score": df["n_chars"].to_numpy(np.int64)}
+        )
+        return out.groupby(["split", "score"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "split" not in df.columns:
+            return df
+        return df.groupby(["split", "score"], as_index=False)["cnt"].sum()
+
+    h = global_prune(d.map_batches(partial, batch_format="pandas"), combine)
+    if not len(h) or "split" not in h.columns:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+    h = h.sort_values(["split", "score"]).reset_index(drop=True)
+    cal = h[h["split"] == 1]
+    test = h[h["split"] == 0]
+    n_cal = int(cal["cnt"].sum())
+    n_test = int(test["cnt"].sum())
+    # k-th smallest calibration score, k = ⌈(n_cal+1)(1−α)⌉ clamped to n_cal
+    k = min(n_cal, -(-((n_cal + 1) * (10000 - CONF_ALPHA_BP)) // 10000))
+    if n_cal == 0:
+        thr = 0
+    else:
+        cum = cal["cnt"].cumsum().to_numpy(np.int64)
+        thr = int(cal["score"].to_numpy(np.int64)[np.searchsorted(cum, k)])
+    n_cov = int(test.loc[test["score"] <= thr, "cnt"].sum())
+    cov_bp = 10000 * n_cov // n_test if n_test else 0
+    return pd.DataFrame(
+        {
+            "n_cal": [n_cal],
+            "n_test": [n_test],
+            "threshold": [thr],
+            "n_covered": [n_cov],
+            "coverage_bp": [cov_bp],
+        }
+    ).astype({c: np.int64 for c in cols})
+
+
+CONFORMAL_COVERAGE_SQL = f"""
+WITH d AS (
+  SELECT n_chars AS score,
+         CASE WHEN CAST(concat('0x', substr(md5('conf:42:' ||
+              CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+              % {CONF_CAL_MOD} = 0 THEN 1 ELSE 0 END AS split
+  FROM documents),
+nc AS (SELECT COUNT(*) AS n_cal FROM d WHERE split = 1),
+kk AS (
+  SELECT CASE WHEN n_cal < ((n_cal + 1) * {10000 - CONF_ALPHA_BP} + 9999) // 10000
+         THEN n_cal
+         ELSE ((n_cal + 1) * {10000 - CONF_ALPHA_BP} + 9999) // 10000 END AS k,
+         n_cal
+  FROM nc),
+thr AS (
+  SELECT COALESCE(
+    (SELECT score FROM d WHERE split = 1 ORDER BY score
+     LIMIT 1 OFFSET (SELECT k - 1 FROM kk WHERE k > 0)), 0) AS threshold)
+SELECT CAST((SELECT n_cal FROM nc) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST((SELECT threshold FROM thr) AS BIGINT) AS threshold,
+       CAST(COALESCE(SUM(CASE WHEN score <= (SELECT threshold FROM thr)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_covered,
+       CAST(CASE WHEN COUNT(*) > 0
+            THEN 10000 * COALESCE(SUM(CASE WHEN score <=
+                 (SELECT threshold FROM thr) THEN 1 ELSE 0 END), 0) // COUNT(*)
+            ELSE 0 END AS BIGINT) AS coverage_bp
+FROM d WHERE split = 0
+"""
+
+
 VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "constraint_check": (q_constraint_check, CONSTRAINT_CHECK_SQL),
     "temperature_mix": (q_temperature_mix, TEMPERATURE_MIX_SQL),
@@ -2265,4 +2377,5 @@ VALIDATION_SQL_QUERIES: dict[str, tuple] = {
     "cluster_purity": (q_cluster_purity, CLUSTER_PURITY_SQL),
     "bootstrap_means": (q_bootstrap_means, BOOTSTRAP_MEANS_SQL),
     "l_diversity": (q_l_diversity, L_DIVERSITY_SQL),
+    "conformal_coverage": (q_conformal_coverage, CONFORMAL_COVERAGE_SQL),
 }

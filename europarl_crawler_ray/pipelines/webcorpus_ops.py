@@ -60,6 +60,8 @@ from .webgraph_ops import (  # noqa: F401
     q_modularity_score,
     MODULARITY_SCORE_SQL,
     q_deg_powerlaw,
+    q_truss_support,
+    TRUSS_SUPPORT_SQL,
     DEG_POWERLAW_SQL,
     CP_PIVOTS,
     CP_MAX_DEPTH,
@@ -68,6 +70,8 @@ from .webgraph_ops import (  # noqa: F401
 )
 
 from .sketcheval_ops import (  # noqa: F401
+    q_jl_distortion,
+    JL_DISTORTION_SQL,
     POSTINGS_MIN_DF,
     q_postings_roundtrip,
     _postings_roundtrip_sql,
@@ -2134,6 +2138,8 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "butterfly_count": (q_butterfly_count, BUTTERFLY_COUNT_SQL),
     "modularity_score": (q_modularity_score, MODULARITY_SCORE_SQL),
     "deg_powerlaw": (q_deg_powerlaw, DEG_POWERLAW_SQL),
+    "truss_support": (q_truss_support, TRUSS_SUPPORT_SQL),
+    "jl_distortion": (q_jl_distortion, JL_DISTORTION_SQL),
     "token_simpson": (q_token_simpson, TOKEN_SIMPSON_SQL),
     "quantile_map": (q_quantile_map, QUANTILE_MAP_SQL),
     "props_stats": (q_props_stats, PROPS_STATS_SQL),

@@ -1485,3 +1485,190 @@ SELECT CAST(mom.k AS BIGINT) AS n_points,
        END AS slope
 FROM mom
 """
+
+
+# ======================================================= truss_support
+#
+# Per-EDGE triangle support over the undirected deduped link graph:
+# support(u,v) = |N(u) ∩ N(v)| — the edge-strength signal k-truss
+# peeling thresholds on (an edge is in the k-truss iff support ≥ k−2,
+# Cohen 2008). kcore_peel ranks NODES by embeddedness; this ranks
+# EDGES, separating template/navigation links (support 0) from
+# community-embedded links a crawl prioritizer should trust.
+#
+# Scale shape — three coarse exchanges, everything in-task vectorized,
+# no driver state:
+#   1. canonical edges (u<v, self-loops dropped) bucketed by u — all
+#      copies of an edge co-locate, so the in-task dedup is globally
+#      correct; the same task emits each node's higher-neighbor wedges
+#      (b,c) keyed by b (a triangle is DISCOVERED once, at its smallest
+#      corner) and passes edges through keyed by u;
+#   2. wedge↔edge closing join per bucket (the closing edge (b,c) is
+#      canonical with lower endpoint b, so it lives in the wedge's
+#      bucket); each match fans out the triangle's THREE corner edges
+#      keyed by their own canonical lower endpoint;
+#   3. per-edge support count joined back onto the deduped edge list.
+# Hub skew: wedge fan-out is quadratic in a node's higher-degree; this
+# synthetic graph caps out-degree at 4, and the production guard is the
+# same low-degree→high-degree orientation documented at
+# q_triangle_count (queries.py:1425).
+
+_TRUSS_NB = 64
+
+
+def q_truss_support(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    empty = pd.DataFrame(
+        {
+            "u": pd.Series(dtype=np.int64),
+            "v": pd.Series(dtype=np.int64),
+            "support": pd.Series(dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    mask = _TRUSS_NB - 1
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edge_rows(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(len(u), np.int8),
+                "x": u,
+                "y": v,
+                "z": np.full(len(u), -1, np.int64),
+                "b": u & mask,
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["x", "y"])
+        out = [
+            pd.DataFrame(
+                {
+                    "kind": np.zeros(len(e), np.int8),
+                    "x": e["x"].to_numpy(np.int64),
+                    "y": e["y"].to_numpy(np.int64),
+                    "z": np.full(len(e), -1, np.int64),
+                    "b": e["x"].to_numpy(np.int64) & mask,
+                }
+            )
+        ]
+        for a, nb in e.groupby("x")["y"]:
+            hi = np.sort(nb.to_numpy(np.int64))
+            if len(hi) < 2:
+                continue
+            i, j = np.triu_indices(len(hi), k=1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(i), np.int8),
+                        "x": np.full(len(i), a, np.int64),
+                        "y": hi[i],
+                        "z": hi[j],
+                        "b": hi[i] & mask,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def close_join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        w = g[g["kind"] == 1]
+        parts = [
+            pd.DataFrame(
+                {
+                    "kind": np.zeros(len(e), np.int8),
+                    "x": e["x"].to_numpy(np.int64),
+                    "y": e["y"].to_numpy(np.int64),
+                    "b": e["x"].to_numpy(np.int64) & mask,
+                }
+            )
+        ]
+        if len(w) and len(e):
+            tri = w.merge(
+                e[["x", "y"]].rename(columns={"x": "y", "y": "z"}),
+                on=["y", "z"],
+                how="inner",
+            )
+            if len(tri):
+                a = tri["x"].to_numpy(np.int64)
+                bb = tri["y"].to_numpy(np.int64)
+                cc = tri["z"].to_numpy(np.int64)
+                su = np.concatenate([a, a, bb])
+                sv = np.concatenate([bb, cc, cc])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.full(len(su), 2, np.int8),
+                            "x": su,
+                            "y": sv,
+                            "b": su & mask,
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True)
+
+    def support_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["x", "y"]].drop_duplicates()
+        if e.empty:
+            return empty
+        s = (
+            g[g["kind"] == 2]
+            .groupby(["x", "y"], as_index=False)
+            .size()
+            .rename(columns={"size": "support"})
+        )
+        m = e.merge(s, on=["x", "y"], how="left")
+        m["support"] = m["support"].fillna(0).astype(np.int64)
+        return m.rename(columns={"x": "u", "y": "v"}).astype(np.int64)
+
+    stage1 = (
+        d.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(lambda g: wedges(g.drop(columns=["b"])), batch_format="pandas")
+    )
+    stage2 = stage1.groupby("b").map_groups(
+        lambda g: close_join(g.drop(columns=["b"])), batch_format="pandas"
+    )
+    return stage2.groupby("b").map_groups(
+        lambda g: support_count(g.drop(columns=["b"])), batch_format="pandas"
+    )
+
+
+TRUSS_SUPPORT_SQL = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+s AS (
+  SELECT a AS u, b AS v FROM t
+  UNION ALL SELECT a, c FROM t
+  UNION ALL SELECT b, c FROM t)
+SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
+       CAST(COUNT(s.u) AS BIGINT) AS support
+FROM e LEFT JOIN s ON s.u = e.u AND s.v = e.v
+GROUP BY e.u, e.v
+"""
