@@ -1988,6 +1988,109 @@ FROM x
 """
 
 
+# =================================================== markov_stationary
+#
+# Stationary distribution of the user-journey Markov chain: take the
+# event-type transition matrix (same LAG-per-user convention as
+# event_transitions), row-normalize to ppm, and run R = 12 power-
+# iteration rounds from the uniform vector — the steady-state "where do
+# sessions end up spending time" readout product analytics derives from
+# the same matrix PageRank uses. States are the types observed as a
+# transition SOURCE; transitions into never-a-source types are dropped
+# before normalizing (deterministic on both engines). All arithmetic is
+# integer ppm with per-term floor (vᵢ·P_ppm[i][j] // 1e6), so the
+# DuckDB unrolled-CTE iteration is bit-identical.
+#
+# Scale shape: the transition count pass is event_transitions' shape —
+# ONE coarse user exchange, per-task vectorized shift-mask, ≤|types|²
+# partial rows; the matrix is SCHEMA-bounded (|event types|²), so the
+# R-round iteration runs on the driver over ≤25 integer cells — no
+# per-round distributed work, unlike the data-scaled graph Pregel ops.
+
+MARKOV_ROUNDS = 12
+
+
+def q_markov_stationary(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    cols = ["event_type", "stat_ppm"]
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame(
+            {
+                "prev_type": g["event_type"].shift().where(same_user),
+                "next_type": g["event_type"],
+            }
+        ).dropna()
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        out.columns = ["prev_type", "next_type", "n_part"]
+        return out.astype({"n_part": np.int64})
+
+    c = (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: partial(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # |event_types|² rows — schema-bounded
+    )
+    if not len(c):
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "stat_ppm": pd.Series(dtype=np.int64)}
+        )
+    states = sorted(c["prev_type"].unique())
+    idx = {t: i for i, t in enumerate(states)}
+    k = len(states)
+    c = c[c["next_type"].isin(idx)]
+    P = np.zeros((k, k), np.int64)
+    for _, r in c.iterrows():
+        P[idx[r["prev_type"]], idx[r["next_type"]]] = int(r["n"])
+    tot = P.sum(axis=1)
+    P = np.where(tot[:, None] > 0, 1_000_000 * P // np.maximum(tot[:, None], 1), 0)
+    v = np.full(k, 1_000_000 // k, np.int64)
+    for _ in range(MARKOV_ROUNDS):
+        v = ((v[:, None] * P) // 1_000_000).sum(axis=0)
+    return pd.DataFrame({"event_type": states, "stat_ppm": v}).astype(
+        {"stat_ppm": np.int64}
+    )
+
+
+def _markov_sql() -> str:
+    rounds = []
+    prev = "v0"
+    nl = ",\n"
+    for t in range(1, MARKOV_ROUNDS + 1):
+        rounds.append(
+            f"v{t} AS (SELECT p.next_type AS s, "
+            f"CAST(SUM({prev}.val * p.p_ppm // 1000000) AS BIGINT) AS val "
+            f"FROM {prev} JOIN p ON p.prev_type = {prev}.s GROUP BY 1)"
+        )
+        prev = f"v{t}"
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+st AS (SELECT DISTINCT prev_type AS s FROM c),
+cf AS (SELECT c.* FROM c JOIN st ON st.s = c.next_type),
+rs AS (SELECT prev_type, SUM(n) AS tot FROM cf GROUP BY 1),
+p AS (
+  SELECT cf.prev_type, cf.next_type, 1000000 * cf.n // rs.tot AS p_ppm
+  FROM cf JOIN rs USING (prev_type)),
+v0 AS (SELECT s, 1000000 // (SELECT COUNT(*) FROM st) AS val FROM st),
+{nl.join(rounds)}
+SELECT st.s AS event_type,
+       CAST(COALESCE({prev}.val, 0) AS BIGINT) AS stat_ppm
+FROM st LEFT JOIN {prev} ON {prev}.s = st.s
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
@@ -2002,6 +2105,7 @@ CORPUS_SQL_QUERIES: dict[str, tuple] = {
     "running_totals": (q_running_totals, RUNNING_TOTALS_SQL),
     "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
     "ab_test_stats": (q_ab_test_stats, AB_TEST_STATS_SQL),
+    "markov_stationary": (q_markov_stationary, _markov_sql()),
     "inverted_index": (q_inverted_index, INVERTED_INDEX_SQL),
     "dup_ngram_coverage": (q_dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
     "contamination_check": (q_contamination_check, CONTAMINATION_CHECK_SQL),

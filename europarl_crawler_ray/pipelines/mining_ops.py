@@ -1725,7 +1725,133 @@ FROM qs q LEFT JOIN p ON p.qid = q.qid LEFT JOIN n ON n.qid = q.qid
 """
 
 
+# ===================================================== editdist_verify
+#
+# Edit-distance spot audit of the dedup stack: draw a deterministic
+# md5-ranked sample of 2·N docs, pair rank 1↔2, 3↔4, …, and compute the
+# character Levenshtein distance plus the length-normalized similarity
+# sim_bp = 10000 − 10000·lev // max(len) for each pair — the ground-
+# truth metric a curator samples to sanity-check what the
+# MinHash/SimHash thresholds are actually admitting. DuckDB's
+# levenshtein() is the oracle; the Ray side is a vectorized
+# two-row numpy DP (the insertion chain folded with the
+# min-plus-prefix identity cur = i + min.accumulate(cur − i)), so both
+# engines count the same unit-cost edits.
+#
+# Scale shape: sample selection is the md5-smallest-2N global_prune
+# (associative prune — O(N) driver rows regardless of block count, text
+# payload bounded by 2N docs); the quadratic DP runs distributed over a
+# from_items pair list, one task per batch of pairs. Nothing quadratic
+# ever touches the full corpus.
+
+EDV_PAIRS = 20
+
+
+def _lev_np(a: str, b: str) -> int:
+    """Unit-cost Levenshtein, vectorized rows (same result as DuckDB's
+    levenshtein())."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(len(b) + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i, ca in enumerate(a, 1):
+        cost = (bb != ord(ca)).astype(np.int64)
+        cur = np.empty(len(b) + 1, np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        # fold the sequential insertion chain: cur[j] = min_k≤j cur[k]+(j−k)
+        cur = idx + np.minimum.accumulate(cur - idx)
+        prev = cur
+    return int(prev[-1])
+
+
+def q_editdist_verify(sf_dir: str):
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_a", "doc_b", "lev", "sim_bp"]
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype=np.int64),
+            "doc_b": pd.Series(dtype=np.int64),
+            "lev": pd.Series(dtype=np.int64),
+            "sim_bp": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(f"edv:42:{int(i)}".encode()).hexdigest()
+        )
+        out = df.assign(_h=h).sort_values(["_h", "doc_id"], kind="mergesort")
+        return out.head(2 * EDV_PAIRS)
+
+    sample = global_prune(d, prune)
+    if not len(sample) or "doc_id" not in sample.columns:
+        return empty
+    sample = sample.sort_values(["_h", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n_pairs = len(sample) // 2
+    if n_pairs == 0:
+        return empty
+    pairs = [
+        {
+            "doc_a": int(sample["doc_id"].iloc[2 * i]),
+            "doc_b": int(sample["doc_id"].iloc[2 * i + 1]),
+            "ta": sample["text"].iloc[2 * i],
+            "tb": sample["text"].iloc[2 * i + 1],
+        }
+        for i in range(n_pairs)
+    ]
+
+    def dist(df: pd.DataFrame) -> pd.DataFrame:
+        lev = np.fromiter(
+            (_lev_np(a, b) for a, b in zip(df["ta"], df["tb"])),
+            np.int64,
+            len(df),
+        )
+        mx = np.maximum(
+            df["ta"].str.len().to_numpy(np.int64),
+            np.maximum(df["tb"].str.len().to_numpy(np.int64), 1),
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "lev": lev,
+                "sim_bp": 10000 - 10000 * lev // mx,
+            }
+        )
+
+    return ray.data.from_items(pairs).map_batches(dist, batch_format="pandas")
+
+
+EDITDIST_VERIFY_SQL = f"""
+WITH r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('edv:42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents),
+s AS (SELECT * FROM r WHERE rk <= 2 * {EDV_PAIRS}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM s a JOIN s b ON b.rk = a.rk + 1 AND a.rk % 2 = 1)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+       CAST(10000 - 10000 * levenshtein(ta, tb)
+            // GREATEST(length(ta), length(tb), 1) AS BIGINT) AS sim_bp
+FROM p
+"""
+
+
 MINING_SQL_QUERIES: dict[str, tuple] = {
+    "editdist_verify": (q_editdist_verify, EDITDIST_VERIFY_SQL),
     "redirect_resolve": (q_redirect_resolve, REDIRECT_RESOLVE_SQL),
     "dsir_score": (q_dsir_score, DSIR_SCORE_SQL),
     "heavy_hitters": (q_heavy_hitters, HEAVY_HITTERS_SQL),

@@ -1116,7 +1116,82 @@ FROM p GROUP BY 1
 """
 
 
+# ======================================================= proximity_rank
+#
+# Minimal-window phrase proximity (the IR signal BM25 can't see): for
+# every document containing ALL of the PROX_TERMS, the length of the
+# shortest token window covering one occurrence of each — the classic
+# proximity feature a retrieval reranker adds on top of bm25_rank.
+# Tokenization is the repo's whitespace class on lowercased text;
+# min_span = min over occurrence triples of (max pos − min pos + 1),
+# pure integer arithmetic.
+#
+# Scale shape: one streaming map_batches pass — per-doc term position
+# lists are found vectorized (np.where over the token array) and the
+# window minimization is a broadcast over the (tiny) per-doc occurrence
+# grid; docs missing any term emit nothing. NO shuffle; at 100 TB this
+# runs at read bandwidth like the other single-pass text scans.
+
+PROX_TERMS = ("scan", "join", "sort")
+
+
+def q_proximity_rank(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        ids, out = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = np.array(tok_re.findall(str(text).lower()), dtype=object)
+            pos = []
+            ok = True
+            for t in PROX_TERMS:
+                w = np.where(toks == t)[0]
+                if not len(w):
+                    ok = False
+                    break
+                pos.append(w.astype(np.int64))
+            if not ok:
+                continue
+            a, b, c = pos
+            ga, gb, gc = np.meshgrid(a, b, c, indexing="ij", sparse=True)
+            grid_max = np.maximum(np.maximum(ga, gb), gc)
+            grid_min = np.minimum(np.minimum(ga, gb), gc)
+            ids.append(int(doc_id))
+            out.append(int((grid_max - grid_min).min()) + 1)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "min_span": pd.Series(out, dtype=np.int64),
+            }
+        )
+
+    return d.map_batches(spans, batch_format="pandas")
+
+
+PROXIMITY_RANK_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ 	
+]+') AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS pos, ws[CAST(i.i AS INTEGER)] AS tok
+  FROM w, unnest(range(1, len(ws) + 1)) AS i(i)),
+p1 AS (SELECT doc_id, pos FROM t WHERE tok = '{PROX_TERMS[0]}'),
+p2 AS (SELECT doc_id, pos FROM t WHERE tok = '{PROX_TERMS[1]}'),
+p3 AS (SELECT doc_id, pos FROM t WHERE tok = '{PROX_TERMS[2]}')
+SELECT p1.doc_id,
+       CAST(MIN(GREATEST(p1.pos, p2.pos, p3.pos)
+                - LEAST(p1.pos, p2.pos, p3.pos) + 1) AS BIGINT) AS min_span
+FROM p1
+JOIN p2 ON p2.doc_id = p1.doc_id
+JOIN p3 ON p3.doc_id = p1.doc_id
+GROUP BY p1.doc_id
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "proximity_rank": (q_proximity_rank, PROXIMITY_RANK_SQL),
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "refinery": (q_refinery, REFINERY_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
