@@ -1171,8 +1171,7 @@ def q_proximity_rank(sf_dir: str):
 
 PROXIMITY_RANK_SQL = rf"""
 WITH w AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[^ 	
-]+') AS ws
+  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ws
   FROM documents),
 t AS (
   SELECT doc_id, CAST(i.i AS BIGINT) AS pos, ws[CAST(i.i AS INTEGER)] AS tok

@@ -118,3 +118,28 @@ def test_quantized_cosine_thresholds_are_integers():
     sims = np.array([0.4499999, 0.45, 0.450001, 0.9])
     q = np.floor(1000.0 * sims)
     assert list(q >= m._SEMDEDUP_QTAU) == [False, True, True, True]
+
+
+def test_proximity_rank_carriage_return_parity(ray_session, tmp_path):
+    # Same mangling class as ADVICE r4 #1, found in round 5 in
+    # PROXIMITY_RANK_SQL: the literal \r byte in the regex class had
+    # become a second \n, so "scan\rjoin" was ONE oracle token but TWO
+    # Ray tokens, shifting every position and the min window. Plant
+    # CR-separated occurrences of all three PROX_TERMS.
+    from europarl_crawler_ray.pipelines.webtext_ops import (
+        PROXIMITY_RANK_SQL,
+        q_proximity_rank,
+    )
+
+    texts = {
+        1: "scan\rjoin sort",                    # CR inside the window
+        2: "scan x\r\njoin y sort",              # CRLF mix
+        3: "sort\rfiller join\rscan join sort",  # repeats across CRs
+        4: "scan join",                          # missing a term: no row
+    }
+    _write_docs(tmp_path, texts)
+    ray_df = q_proximity_rank(str(tmp_path)).to_pandas()
+    assert set(ray_df["doc_id"]) == {1, 2, 3}
+    assert int(ray_df.set_index("doc_id")["min_span"].loc[1]) == 3
+    sql_df = _oracle(tmp_path, PROXIMITY_RANK_SQL)
+    pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df))
