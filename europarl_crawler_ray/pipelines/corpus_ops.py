@@ -2091,7 +2091,79 @@ FROM st LEFT JOIN {prev} ON {prev}.s = st.s
 """
 
 
+# ========================================================== cusum_drift
+#
+# CUSUM change-point statistic over the daily event-count series: with
+# x_t the count on day t (epoch days, ascending), n the number of
+# active days and T the total, the integer-rescaled deviation is
+# a_t = n*x_t - T (so the reference level is the exact mean without a
+# division), P_t its prefix sum, and the one-sided CUSUM
+# S_t = P_t - min_{{i<=t}} P_i — the classic "has the arrival rate
+# shifted upward, and when" monitor a crawl operator watches; argmax(S)
+# is the change point. Pure integer arithmetic end to end (the
+# max(0, S+x-k) recursion is exactly the prefix-minus-running-min
+# identity), so both engines agree bit for bit.
+#
+# Scale shape: per-batch day-count combiner -> ONE distributed groupby
+# on day -> a driver table bounded by the DATE DOMAIN (schema-bounded,
+# like markov_stationary's |types|^2 matrix), where the two O(n_days)
+# scans run in numpy. The event stream itself never leaves the tasks.
+
+
+def q_cusum_drift(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"day": df["ts"].astype("int64").to_numpy() // 86_400_000_000}
+        ).groupby("day", as_index=False).size()
+        out.columns = ["day", "n_part"]
+        return out.astype(np.int64)
+
+    c = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_part", alias_name="n_events"))
+        .to_pandas()  # <= date-domain rows, schema-bounded
+    )
+    if not len(c):
+        return pd.DataFrame(
+            {"day": pd.Series(dtype=np.int64),
+             "n_events": pd.Series(dtype=np.int64),
+             "cusum": pd.Series(dtype=np.int64)}
+        )
+    c = c.sort_values("day", kind="mergesort").reset_index(drop=True)
+    x = c["n_events"].to_numpy(np.int64)
+    n, t = np.int64(len(x)), x.sum()
+    pf = np.cumsum(n * x - t)
+    cusum = pf - np.minimum.accumulate(pf)
+    return pd.DataFrame(
+        {"day": c["day"].to_numpy(np.int64), "n_events": x, "cusum": cusum}
+    ).astype(np.int64)
+
+
+CUSUM_DRIFT_SQL = """
+WITH dcnt AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS t
+  FROM dcnt),
+p AS (
+  SELECT day, n_events,
+         SUM(n_days * n_events - t) OVER (ORDER BY day) AS pf
+  FROM dcnt, tot)
+SELECT day, n_events,
+       CAST(pf - MIN(pf) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cusum
+FROM p
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "cusum_drift": (q_cusum_drift, CUSUM_DRIFT_SQL),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),

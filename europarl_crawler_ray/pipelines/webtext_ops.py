@@ -1189,7 +1189,325 @@ GROUP BY p1.doc_id
 """
 
 
+# ======================================================= spearman_drift
+#
+# Spearman rank correlation of the top-K token-frequency ranks between
+# the two corpus halves (doc_id parity split) — the distribution-drift
+# diagnostic a curator runs before mixing two crawl snapshots: rho near
+# 1 means the halves agree on what the common vocabulary is; a low rho
+# flags a topical or template shift. No ties by construction (ranks
+# break on token asc), so the classic 1 - 6*sum(d^2)/(n(n^2-1)) closed
+# form applies: exact integer rank diffs, ONE final float expression
+# mirrored verbatim in the oracle.
+#
+# Scale shape: per-batch (token, half) count combiner -> ONE coarse
+# exchange on token (counts become exact in-task) -> per-task top-K
+# prune by (total desc, token asc) (associative: the global top-K is a
+# subset of any union of per-task top-Ks) -> global_prune re-prune ->
+# a <= K-row driver table; ranks and rho are driver math over K rows.
+
+SPEARMAN_TOP_K = 100
+
+
+def _spearman_prune(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    g = df.groupby("token", as_index=False)[["na", "nb"]].sum()
+    g["nt"] = g["na"] + g["nb"]
+    g = g.sort_values(["nt", "token"], ascending=[False, True], kind="mergesort")
+    return g.head(SPEARMAN_TOP_K).drop(columns=["nt"]).astype(
+        {"na": np.int64, "nb": np.int64}
+    )
+
+
+def q_spearman_drift(sf_dir: str):
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=str),
+                 "na": pd.Series(dtype=np.int64),
+                 "nb": pd.Series(dtype=np.int64)}
+            )
+        half = (df["doc_id"].to_numpy(np.int64) % 2)
+        toks = df["text"].astype(str).str.lower().str.findall(tok_re)
+        rec = pd.DataFrame(
+            {"token": toks, "half": half}
+        ).explode("token").dropna(subset=["token"])
+        g = rec.groupby(["token", "half"], as_index=False).size()
+        w = g.pivot_table(index="token", values="size", columns="half",
+                          fill_value=0, aggfunc="sum")
+        out = pd.DataFrame({
+            "token": w.index.astype(str),
+            "na": w[0].to_numpy(np.int64) if 0 in w.columns else 0,
+            "nb": w[1].to_numpy(np.int64) if 1 in w.columns else 0,
+        })
+        return out.astype({"na": np.int64, "nb": np.int64})
+
+    def sum_and_prune(g: pd.DataFrame) -> pd.DataFrame:
+        return _spearman_prune(g.drop(columns=["_g"]))
+
+    pruned = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(sum_and_prune, batch_format="pandas")
+    )
+    top = global_prune(pruned, _spearman_prune)  # <= SPEARMAN_TOP_K rows
+    cols = {"n_tokens": np.int64, "sum_d2": np.int64, "spearman_rho": float}
+    if top.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    top = top.sort_values(["na", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    ra = pd.Series(np.arange(1, len(top) + 1, dtype=np.int64),
+                   index=top["token"])
+    top = top.sort_values(["nb", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    rb = pd.Series(np.arange(1, len(top) + 1, dtype=np.int64),
+                   index=top["token"])
+    d2 = int(((ra - rb.reindex(ra.index)) ** 2).sum())
+    n = len(top)
+    rho = 0.0 if n < 2 else 1.0 - 6.0 * float(d2) / (
+        float(n) * (float(n) * float(n) - 1.0)
+    )
+    return pd.DataFrame(
+        {"n_tokens": [n], "sum_d2": [d2], "spearman_rho": [rho]}
+    ).astype({"n_tokens": np.int64, "sum_d2": np.int64})
+
+
+SPEARMAN_DRIFT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM tok GROUP BY 1),
+t AS (
+  SELECT token, na, nb,
+         ROW_NUMBER() OVER (ORDER BY na + nb DESC, token ASC) AS rk
+  FROM c),
+k AS (SELECT token, na, nb FROM t WHERE rk <= {SPEARMAN_TOP_K}),
+r AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY na DESC, token ASC) AS ra,
+         ROW_NUMBER() OVER (ORDER BY nb DESC, token ASC) AS rb
+  FROM k),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+  FROM r)
+SELECT n_tokens, sum_d2,
+       CASE WHEN n_tokens < 2 THEN 0.0
+            ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE)
+                    * (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                       - 1.0))
+       END AS spearman_rho
+FROM m
+"""
+
+
+# ========================================================== kendall_tau
+#
+# Kendall tau-a between two document orderings — by raw length
+# (n_chars) vs by whitespace token count — over a deterministic per-
+# language panel (the KENDALL_N lowest doc_ids). The ranking-agreement
+# readout an eval harness uses to decide whether two "document size"
+# features are interchangeable. Both orderings are made TOTAL by the
+# doc_id tiebreak, so every pair is concordant or discordant (no tie
+# class) and tau = (C - D) / (n(n-1)/2): exact integer pair counts, one
+# final float expression mirrored in the oracle.
+#
+# Scale shape: a single streaming pass computes (lang, doc_id, n_chars,
+# n_tokens); the per-lang panel selection (KENDALL_N smallest doc_ids)
+# is an associative prune through global_prune -> <= N x n_langs driver
+# rows; the O(N^2) pair comparison is vectorized driver numpy over the
+# fixed-size panel. Nothing data-scaled leaves the tasks.
+
+KENDALL_N = 80
+
+
+def _kendall_prune(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    df = df.sort_values(["lang", "doc_id"], kind="mergesort")
+    return df.groupby("lang", dropna=False).head(KENDALL_N).reset_index(drop=True)
+
+
+def q_kendall_tau(sf_dir: str):
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["lang", "doc_id", "text", "n_chars"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "n_tokens": df["text"].astype(str).str.lower()
+                .str.findall(tok_re).str.len().to_numpy(np.int64),
+            }
+        )
+        return _kendall_prune(out)
+
+    panel = global_prune(
+        d.map_batches(feats, batch_format="pandas"), _kendall_prune
+    )  # <= KENDALL_N x n_langs rows
+    cols = ["lang", "n_docs", "concordant", "discordant", "kendall_tau"]
+    rows = []
+    for lang, g in panel.groupby("lang", sort=True, dropna=False):
+        nc = g["n_chars"].to_numpy(np.int64)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        n = len(g)
+        if n < 2:
+            continue
+        pair = did[:, None] < did[None, :]
+        dir1 = (nc[:, None] > nc[None, :]) | (
+            (nc[:, None] == nc[None, :]) & (did[:, None] < did[None, :])
+        )
+        dir2 = (nt[:, None] > nt[None, :]) | (
+            (nt[:, None] == nt[None, :]) & (did[:, None] < did[None, :])
+        )
+        c = int(((dir1 == dir2) & pair).sum())
+        total = int(pair.sum())
+        dcount = total - c
+        tau = float(c - dcount) / (float(n * (n - 1)) / 2.0)
+        rows.append((str(lang), n, c, dcount, tau))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype(
+        {"n_docs": np.int64, "concordant": np.int64, "discordant": np.int64}
+    )
+
+
+KENDALL_TAU_SQL = rf"""
+WITH t AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(len(regexp_extract_all(lower(text), '[^ \t\n\r\f]+'))
+              AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
+  FROM documents),
+k AS (SELECT lang, doc_id, n_chars, n_tokens FROM t WHERE rk <= {KENDALL_N}),
+p AS (
+  SELECT a.lang,
+         CASE WHEN (a.n_chars > b.n_chars
+                    OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+                   = (a.n_tokens > b.n_tokens
+                      OR (a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id))
+              THEN 1 ELSE 0 END AS conc
+  FROM k a JOIN k b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+m AS (
+  SELECT lang, CAST(SUM(conc) AS BIGINT) AS concordant,
+         CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant
+  FROM p GROUP BY 1),
+cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM k GROUP BY 1)
+SELECT m.lang, cnt.n_docs, m.concordant, m.discordant,
+       CAST(m.concordant - m.discordant AS DOUBLE)
+       / (CAST(cnt.n_docs * (cnt.n_docs - 1) AS DOUBLE) / 2.0) AS kendall_tau
+FROM m JOIN cnt ON cnt.lang = m.lang
+"""
+
+
+# ============================================================ hill_tail
+#
+# Hill tail-index estimator of the per-language document-length
+# distribution: over the k largest n_chars values x_(1) >= ... >=
+# x_(k+1), alpha = k / sum_{{i<=k}} (ln x_(i) - ln x_(k+1)) — the
+# standard heavy-tail exponent a capacity planner reads to size shard
+# limits (alpha <= 2 means unbounded variance: giant documents WILL
+# dominate shards). Parity device: zipf_slope's quantized-ln rule —
+# each ln is floor(1e6*ln(x)) with the same glibc double on both
+# engines, hill_q is an exact integer sum, and alpha is ONE final float
+# division.
+#
+# Scale shape: a column-pruned read (lang, doc_id, n_chars — never
+# text), per-task top-(k+1)-per-lang prune by (n_chars desc, doc_id
+# asc) (associative) -> global_prune -> <= (k+1) x n_langs driver rows.
+
+HILL_K = 50
+
+
+def _hill_prune(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return df
+    df = df.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+        kind="mergesort"
+    )
+    return df.groupby("lang", dropna=False).head(HILL_K + 1).reset_index(drop=True)
+
+
+def q_hill_tail(sf_dir: str):
+    import math
+
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"]).filter(
+        expr="n_chars > 0"
+    )
+    top = global_prune(
+        d.map_batches(_hill_prune, batch_format="pandas"), _hill_prune
+    )  # <= (HILL_K+1) x n_langs rows
+    cols = ["lang", "k_used", "hill_q", "alpha_hill"]
+    rows = []
+    for lang, g in top.groupby("lang", sort=True, dropna=False):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        x = g["n_chars"].to_numpy(np.int64)
+        if len(x) < 2:
+            continue
+        k = min(HILL_K, len(x) - 1)
+        q = [int(math.floor(1e6 * math.log(int(v)))) for v in x[: k + 1]]
+        hill_q = sum(q[:k]) - k * q[k]
+        alpha = (
+            float(k) * 1000000.0 / float(hill_q) if hill_q > 0 else 0.0
+        )
+        rows.append((str(lang), k, hill_q, alpha))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({"k_used": np.int64, "hill_q": np.int64})
+
+
+HILL_TAIL_SQL = rf"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM d),
+b AS (
+  SELECT lang, LEAST({HILL_K}, cnt - 1) AS k
+  FROM r WHERE rk = 1 AND cnt >= 2),
+q AS (
+  SELECT r.lang, b.k,
+         CAST(FLOOR(1e6 * ln(r.n_chars)) AS BIGINT) AS ql, r.rk
+  FROM r JOIN b USING (lang) WHERE r.rk <= b.k + 1),
+m AS (
+  SELECT lang, k,
+         SUM(CASE WHEN rk <= k THEN ql ELSE 0 END)
+           - k * MAX(CASE WHEN rk = k + 1 THEN ql ELSE 0 END) AS hill_q
+  FROM q GROUP BY 1, 2)
+SELECT lang, CAST(k AS BIGINT) AS k_used, CAST(hill_q AS BIGINT) AS hill_q,
+       CASE WHEN hill_q > 0
+            THEN CAST(k AS DOUBLE) * 1000000.0 / CAST(hill_q AS DOUBLE)
+            ELSE 0.0 END AS alpha_hill
+FROM m
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "spearman_drift": (q_spearman_drift, SPEARMAN_DRIFT_SQL),
+    "kendall_tau": (q_kendall_tau, KENDALL_TAU_SQL),
+    "hill_tail": (q_hill_tail, HILL_TAIL_SQL),
     "proximity_rank": (q_proximity_rank, PROXIMITY_RANK_SQL),
     "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "refinery": (q_refinery, REFINERY_SQL),
