@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.validation_ops import VALIDATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.linkrank_ops import LINKRANK_SQL_QUERIES
     from europarl_crawler_ray.pipelines.selection_ops import SELECTION_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.timeseries_ops import TIMESERIES_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in VALIDATION_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in LINKRANK_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SELECTION_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in TIMESERIES_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.validation_ops import VALIDATION_SQL_QUERIES
     from europarl_crawler_ray.pipelines.linkrank_ops import LINKRANK_SQL_QUERIES
     from europarl_crawler_ray.pipelines.selection_ops import SELECTION_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.timeseries_ops import TIMESERIES_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -117,4 +120,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in VALIDATION_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in LINKRANK_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SELECTION_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in TIMESERIES_SQL_QUERIES.items()})
     return out

@@ -1504,7 +1504,193 @@ FROM m
 """
 
 
+# ===================================================== chi2_token_drift
+#
+# Pearson chi-square divergence between the two corpus halves' top-K
+# token counts (the same doc_id-parity split and top-K selection as
+# spearman_drift, which reads rank ORDER agreement; this reads MASS
+# divergence — the pair a curator uses to separate "same vocabulary,
+# different emphasis" from "different vocabulary"). The 2xK contingency
+# chi-square is computed per cell as the cross-multiplied integer
+# 1e6*(O*T - rowtot*coltot)^2 // (T*rowtot*coltot) — Python unbounded
+# ints on the driver, HUGEINT in the oracle (exact to 1e38: safe while
+# count*total < 1e19, i.e. any corpus whose top-K token counts fit
+# ~3e9; past that, re-scale to bp — documented bound, test-pinned).
+#
+# Scale shape: identical to spearman_drift — (token,half) partials ->
+# ONE coarse token exchange -> associative top-K prune -> global_prune
+# -> <= K-row driver table; the chi-square is driver math over 2K cells.
+
+
+def q_chi2_token_drift(sf_dir: str):
+    from .grouping import global_prune
+
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=str),
+                 "na": pd.Series(dtype=np.int64),
+                 "nb": pd.Series(dtype=np.int64)}
+            )
+        half = (df["doc_id"].to_numpy(np.int64) % 2)
+        toks = df["text"].astype(str).str.lower().str.findall(tok_re)
+        rec = pd.DataFrame(
+            {"token": toks, "half": half}
+        ).explode("token").dropna(subset=["token"])
+        g = rec.groupby(["token", "half"], as_index=False).size()
+        w = g.pivot_table(index="token", values="size", columns="half",
+                          fill_value=0, aggfunc="sum")
+        out = pd.DataFrame({
+            "token": w.index.astype(str),
+            "na": w[0].to_numpy(np.int64) if 0 in w.columns else 0,
+            "nb": w[1].to_numpy(np.int64) if 1 in w.columns else 0,
+        })
+        return out.astype({"na": np.int64, "nb": np.int64})
+
+    def sum_and_prune(g: pd.DataFrame) -> pd.DataFrame:
+        return _spearman_prune(g.drop(columns=["_g"]))
+
+    pruned = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(sum_and_prune, batch_format="pandas")
+    )
+    top = global_prune(pruned, _spearman_prune)  # <= SPEARMAN_TOP_K rows
+    cols = {"n_tokens": np.int64, "dof": np.int64, "chi2_ppm": np.int64}
+    if top.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    na = [int(v) for v in top["na"]]
+    nb = [int(v) for v in top["nb"]]
+    ta, tb = sum(na), sum(nb)
+    t = ta + tb
+    chi2 = 0
+    for oa, ob in zip(na, nb):
+        ct = oa + ob
+        if ct == 0:
+            continue
+        if ta > 0:
+            chi2 += 1_000_000 * (oa * t - ta * ct) ** 2 // (t * ta * ct)
+        if tb > 0:
+            chi2 += 1_000_000 * (ob * t - tb * ct) ** 2 // (t * tb * ct)
+    k = len(top)
+    return pd.DataFrame(
+        {"n_tokens": [k], "dof": [k - 1], "chi2_ppm": [chi2]}
+    ).astype(cols)
+
+
+CHI2_TOKEN_DRIFT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+  FROM tok GROUP BY 1),
+t AS (
+  SELECT token, na, nb,
+         ROW_NUMBER() OVER (ORDER BY na + nb DESC, token ASC) AS rk
+  FROM c),
+k AS (SELECT token, na, nb FROM t WHERE rk <= {SPEARMAN_TOP_K}),
+m AS (
+  SELECT CAST(SUM(na) AS HUGEINT) AS ta, CAST(SUM(nb) AS HUGEINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM k),
+cells AS (
+  SELECT m.n_tokens,
+         CASE WHEN m.ta > 0 AND k.na + k.nb > 0
+              THEN 1000000 * (k.na * (m.ta + m.tb) - m.ta * (k.na + k.nb))
+                   * (k.na * (m.ta + m.tb) - m.ta * (k.na + k.nb))
+                   // ((m.ta + m.tb) * m.ta * (k.na + k.nb))
+              ELSE 0 END
+         + CASE WHEN m.tb > 0 AND k.na + k.nb > 0
+              THEN 1000000 * (k.nb * (m.ta + m.tb) - m.tb * (k.na + k.nb))
+                   * (k.nb * (m.ta + m.tb) - m.tb * (k.na + k.nb))
+                   // ((m.ta + m.tb) * m.tb * (k.na + k.nb))
+              ELSE 0 END AS term
+  FROM k, m)
+SELECT n_tokens, CAST(n_tokens - 1 AS BIGINT) AS dof,
+       CAST(SUM(term) AS BIGINT) AS chi2_ppm
+FROM cells GROUP BY 1
+"""
+
+
+# ================================================== composition_entropy
+#
+# Per-source language-mix entropy in integer micro-nats — "is this
+# source monolingual or a mixed bag", the composition readout next to
+# mi_composition's association score. token_entropy's quantized-log
+# device applied to the (source, lang) doc-count distribution:
+# H_q = (n*L(n) - sum c*L(c)) // n with L(x) = floor(1e6*ln(x)).
+#
+# Scale shape: per-batch (source, lang) count combiner -> ONE groupby
+# on the composition cell (bounded by |sources| x |langs|, schema-
+# bounded) -> driver entropy over the cell table. Document text never
+# leaves the scan.
+
+
+def q_composition_entropy(sf_dir: str):
+    import math
+
+    d = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], as_index=False).size()
+        out.columns = ["source", "lang", "n_part"]
+        return out.astype({"n_part": np.int64})
+
+    c = (
+        d.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # <= |sources| x |langs| rows, schema-bounded
+    )
+    cols = {"source": str, "n_docs": np.int64, "n_langs": np.int64,
+            "entropy_unats": np.int64}
+    if not len(c):
+        return pd.DataFrame(
+            {"source": pd.Series(dtype=str),
+             "n_docs": pd.Series(dtype=np.int64),
+             "n_langs": pd.Series(dtype=np.int64),
+             "entropy_unats": pd.Series(dtype=np.int64)}
+        )
+    rows = []
+    for source, g in c.groupby("source", sort=True, dropna=False):
+        cnts = [int(v) for v in g["n"]]
+        n = sum(cnts)
+        ln = math.floor(1e6 * math.log(n)) if n > 0 else 0
+        sc = sum(v * math.floor(1e6 * math.log(v)) for v in cnts if v > 0)
+        h = (n * ln - sc) // n if n > 0 else 0
+        rows.append((str(source), n, len(cnts), h))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_langs", "entropy_unats"]
+    ).astype({"n_docs": np.int64, "n_langs": np.int64,
+              "entropy_unats": np.int64})
+
+
+COMPOSITION_ENTROPY_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(n * CAST(FLOOR(1e6 * ln(n)) AS BIGINT)) AS BIGINT) AS sc
+  FROM c GROUP BY 1)
+SELECT source, n_docs, n_langs,
+       CAST((n_docs * CAST(FLOOR(1e6 * ln(n_docs)) AS BIGINT) - sc)
+            // n_docs AS BIGINT) AS entropy_unats
+FROM s
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "chi2_token_drift": (q_chi2_token_drift, CHI2_TOKEN_DRIFT_SQL),
+    "composition_entropy": (q_composition_entropy, COMPOSITION_ENTROPY_SQL),
     "spearman_drift": (q_spearman_drift, SPEARMAN_DRIFT_SQL),
     "kendall_tau": (q_kendall_tau, KENDALL_TAU_SQL),
     "hill_tail": (q_hill_tail, HILL_TAIL_SQL),
