@@ -2162,7 +2162,90 @@ FROM p
 """
 
 
+# =================================================== transition_entropy
+#
+# Per-state predictability of the user-journey chain: the Shannon
+# entropy (integer micro-nats, token_entropy's quantized-ln device) of
+# each event type's NEXT-type distribution — 0 means the next step is
+# fully determined, ln(|types|) means anything can follow. The local
+# readout beside markov_stationary's global steady state: product
+# analytics uses it to find the funnel stages where behavior forks.
+#
+# Scale shape: event_transitions' count pass — ONE coarse user
+# exchange, per-task vectorized shift-mask — into a schema-bounded
+# <= |types|^2 matrix; the entropy is driver math over those cells.
+
+
+def q_transition_entropy(sf_dir: str):
+    import math
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame(
+            {
+                "prev_type": g["event_type"].shift().where(same_user),
+                "next_type": g["event_type"],
+            }
+        ).dropna()
+        out = pairs.groupby(["prev_type", "next_type"], as_index=False).size()
+        out.columns = ["prev_type", "next_type", "n_part"]
+        return out.astype({"n_part": np.int64})
+
+    c = (
+        _with_coarse_group(ev, "user_id")
+        .groupby("_g")
+        .map_groups(lambda g: partial(g.drop(columns=["_g"])), batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # |event_types|^2 rows — schema-bounded
+    )
+    cols = ["prev_type", "n_transitions", "n_next_types", "entropy_unats"]
+    if not len(c):
+        return pd.DataFrame(
+            {"prev_type": pd.Series(dtype=object),
+             "n_transitions": pd.Series(dtype=np.int64),
+             "n_next_types": pd.Series(dtype=np.int64),
+             "entropy_unats": pd.Series(dtype=np.int64)}
+        )
+    rows = []
+    for prev, g in c.groupby("prev_type", sort=True, dropna=False):
+        cnts = [int(v) for v in g["n"]]
+        n = sum(cnts)
+        ln = math.floor(1e6 * math.log(n))
+        sc = sum(v * math.floor(1e6 * math.log(v)) for v in cnts)
+        rows.append((prev, n, len(cnts), (n * ln - sc) // n))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"n_transitions": np.int64, "n_next_types": np.int64,
+         "entropy_unats": np.int64}
+    )
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+s AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_transitions,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types,
+         CAST(SUM(n * CAST(FLOOR(1e6 * ln(n)) AS BIGINT)) AS BIGINT) AS sc
+  FROM c GROUP BY 1)
+SELECT prev_type, n_transitions, n_next_types,
+       CAST((n_transitions * CAST(FLOOR(1e6 * ln(n_transitions)) AS BIGINT)
+             - sc) // n_transitions AS BIGINT) AS entropy_unats
+FROM s
+"""
+
+
 CORPUS_SQL_QUERIES: dict[str, tuple] = {
+    "transition_entropy": (q_transition_entropy, TRANSITION_ENTROPY_SQL),
     "cusum_drift": (q_cusum_drift, CUSUM_DRIFT_SQL),
     "event_transitions": (q_event_transitions, EVENT_TRANSITIONS_SQL),
     "profile_columns": (q_profile_columns, PROFILE_COLUMNS_SQL),

@@ -452,7 +452,135 @@ GROUP BY 1, 2
 """
 
 
+# ==================================================== coverage_maxcover
+#
+# Greedy maximum-coverage data selection (the classic (1-1/e) greedy,
+# the set-cover cousin of facility-location selection used for
+# vocabulary-coverage curation): from an md5-ranked candidate pool of
+# MC_N documents, pick MC_R documents one at a time, each maximizing
+# the number of NOT-YET-COVERED distinct tokens (ties: lowest doc_id);
+# stop early when the best marginal gain is 0. Emits one row per pick:
+# (rank, doc_id, gain, covered_cum). Deterministic end to end — exact
+# integer set sizes, md5 sampling, doc_id tie-breaks — so the oracle is
+# an MC_R-round unrolled CTE chain (the _markov_sql device).
+#
+# Scale shape: the candidate pool flows through ONE `global_prune`
+# (md5-ranked head, associative; block-count-independent driver
+# collect); the greedy itself is driver set math over MC_N token sets,
+# each bounded by its document's length. The corpus-wide token space is
+# never touched — coverage is measured within the pool, which is the
+# standard bounded-candidate formulation at 100 TB (raise MC_N, not the
+# driver's asymptotics).
+
+MC_N = 24
+MC_R = 8
+
+
+def q_coverage_maxcover(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(f"mc:42:{int(i)}".encode()).hexdigest()
+        )
+        out = df.assign(_h=h).sort_values(["_h", "doc_id"], kind="mergesort")
+        return out.head(MC_N)
+
+    sample = global_prune(d, prune)
+    cols = {"rank": np.int64, "doc_id": np.int64, "gain": np.int64,
+            "covered_cum": np.int64}
+    if not len(sample) or "doc_id" not in sample.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    sets = {
+        int(r.doc_id): set(tok_re.findall(str(r.text).lower()))
+        for r in sample.itertuples()
+    }
+    covered: set = set()
+    rows = []
+    remaining = dict(sets)
+    for rank in range(1, MC_R + 1):
+        if not remaining:
+            break
+        best_doc, best_gain = None, -1
+        for did in sorted(remaining):
+            gain = len(remaining[did] - covered)
+            if gain > best_gain:
+                best_doc, best_gain = did, gain
+        if best_gain <= 0:
+            break
+        covered |= remaining.pop(best_doc)
+        rows.append((rank, best_doc, best_gain, len(covered)))
+    return pd.DataFrame(
+        rows, columns=["rank", "doc_id", "gain", "covered_cum"]
+    ).astype(cols)
+
+
+def _maxcover_sql() -> str:
+    """MC_R unrolled greedy rounds; round r scores every unpicked
+    candidate by COUNT(DISTINCT uncovered tokens), picks by (gain DESC,
+    doc_id ASC), and a zero-gain pick is suppressed by the HAVING."""
+    parts = []
+    picked_union = None
+    covered_union = None
+    selects = []
+    for r in range(1, MC_R + 1):
+        not_picked = (
+            f"AND t.doc_id NOT IN (SELECT doc_id FROM {picked_union})"
+            if picked_union else ""
+        )
+        not_covered = (
+            f"AND t.token NOT IN (SELECT token FROM {covered_union})"
+            if covered_union else ""
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT t.doc_id, CAST(COUNT(DISTINCT t.token) AS BIGINT)"
+            f" AS gain FROM tok t WHERE TRUE {not_picked} {not_covered}"
+            f" GROUP BY 1 HAVING COUNT(DISTINCT t.token) > 0"
+            f" ORDER BY gain DESC, t.doc_id ASC LIMIT 1)"
+        )
+        new_picked = f"pk{r}"
+        parts.append(
+            f"pk{r} AS MATERIALIZED (SELECT doc_id FROM p{r}"
+            + (f" UNION ALL SELECT doc_id FROM {picked_union}"
+               if picked_union else "")
+            + ")"
+        )
+        parts.append(
+            f"cv{r} AS MATERIALIZED (SELECT DISTINCT token FROM tok"
+            f" JOIN pk{r} USING (doc_id))"
+        )
+        selects.append(
+            f"SELECT {r} AS rank, doc_id, gain,"
+            f" (SELECT COUNT(*) FROM cv{r}) AS covered_cum FROM p{r}"
+        )
+        picked_union = new_picked
+        covered_union = f"cv{r}"
+    nl = ",\n"
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('mc:42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents),
+s AS (SELECT doc_id, text FROM r WHERE rk <= {MC_N}),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+'))
+           AS token
+  FROM s),
+{nl.join(parts)}
+SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       gain, CAST(covered_cum AS BIGINT) AS covered_cum
+FROM ({body})
+"""
+
+
 SELECTION_SQL_QUERIES: dict[str, tuple] = {
+    "coverage_maxcover": (q_coverage_maxcover, _maxcover_sql()),
     "coreset_kcenter": (q_coreset_kcenter, _kcenter_sql()),
     "phrase_query": (q_phrase_query, PHRASE_QUERY_SQL),
     "exact_substr_spans": (q_exact_substr_spans, EXACT_SUBSTR_SPANS_SQL),

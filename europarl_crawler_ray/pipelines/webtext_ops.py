@@ -1220,7 +1220,12 @@ def _spearman_prune(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_spearman_drift(sf_dir: str):
+def _half_token_topk(sf_dir: str) -> pd.DataFrame:
+    """Shared first stage of the token-drift family (spearman / chi2 /
+    js): exact (token, half-A count, half-B count) for the global top-K
+    tokens by total count. Per-batch (token,half) combiner -> ONE coarse
+    token exchange -> associative top-K prune -> global_prune -> a
+    <= SPEARMAN_TOP_K-row driver table."""
     from .grouping import global_prune
 
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1256,7 +1261,11 @@ def q_spearman_drift(sf_dir: str):
         .groupby("_g")
         .map_groups(sum_and_prune, batch_format="pandas")
     )
-    top = global_prune(pruned, _spearman_prune)  # <= SPEARMAN_TOP_K rows
+    return global_prune(pruned, _spearman_prune)  # <= SPEARMAN_TOP_K rows
+
+
+def q_spearman_drift(sf_dir: str):
+    top = _half_token_topk(sf_dir)
     cols = {"n_tokens": np.int64, "sum_d2": np.int64, "spearman_rho": float}
     if top.empty:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
@@ -1523,42 +1532,7 @@ FROM m
 
 
 def q_chi2_token_drift(sf_dir: str):
-    from .grouping import global_prune
-
-    d = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    tok_re = re.compile(r"[^ \t\n\r\f]+")
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {"token": pd.Series(dtype=str),
-                 "na": pd.Series(dtype=np.int64),
-                 "nb": pd.Series(dtype=np.int64)}
-            )
-        half = (df["doc_id"].to_numpy(np.int64) % 2)
-        toks = df["text"].astype(str).str.lower().str.findall(tok_re)
-        rec = pd.DataFrame(
-            {"token": toks, "half": half}
-        ).explode("token").dropna(subset=["token"])
-        g = rec.groupby(["token", "half"], as_index=False).size()
-        w = g.pivot_table(index="token", values="size", columns="half",
-                          fill_value=0, aggfunc="sum")
-        out = pd.DataFrame({
-            "token": w.index.astype(str),
-            "na": w[0].to_numpy(np.int64) if 0 in w.columns else 0,
-            "nb": w[1].to_numpy(np.int64) if 1 in w.columns else 0,
-        })
-        return out.astype({"na": np.int64, "nb": np.int64})
-
-    def sum_and_prune(g: pd.DataFrame) -> pd.DataFrame:
-        return _spearman_prune(g.drop(columns=["_g"]))
-
-    pruned = (
-        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
-        .groupby("_g")
-        .map_groups(sum_and_prune, batch_format="pandas")
-    )
-    top = global_prune(pruned, _spearman_prune)  # <= SPEARMAN_TOP_K rows
+    top = _half_token_topk(sf_dir)
     cols = {"n_tokens": np.int64, "dof": np.int64, "chi2_ppm": np.int64}
     if top.empty:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
@@ -1688,7 +1662,108 @@ FROM s
 """
 
 
+# ======================================================= js_token_drift
+#
+# Jensen-Shannon divergence between the halves' top-K token
+# distributions — the bounded, symmetric drift number (0..ln2) that
+# completes the family: spearman reads rank ORDER, chi2 reads MASS
+# significance, JS reads distributional DISTANCE on a fixed scale.
+# Integer device: for each half, the KL-to-mixture numerator is
+# sum_i n_i * (L(2*n_i*T_other) - L(n_i*T_other + m_i*T_self)) with
+# L(x) = floor(1e6*ln(CAST(x AS DOUBLE))) — the mi_composition rule:
+# the product converts to double BEFORE the log on both engines, so
+# >2^53 products stay parity-exact. Each KL is clamped at 0 before its
+# ONE floor division (quantization can push a near-zero KL a hair
+# negative, and DuckDB // truncates toward zero while Python floors —
+# clamping makes the operands nonnegative so the semantics agree).
+
+
+def q_js_token_drift(sf_dir: str):
+    import math
+
+    top = _half_token_topk(sf_dir)
+    cols = {"n_tokens": np.int64, "kl_a_unats": np.int64,
+            "kl_b_unats": np.int64, "js_unats": np.int64}
+    if top.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    na = [int(v) for v in top["na"]]
+    nb = [int(v) for v in top["nb"]]
+    ta, tb = sum(na), sum(nb)
+
+    def L(x: int) -> int:
+        return math.floor(1e6 * math.log(float(x)))
+
+    kla = klb = 0
+    if ta > 0 and tb > 0:
+        num_a = sum(
+            n * (L(2 * n * tb) - L(n * tb + m * ta))
+            for n, m in zip(na, nb) if n > 0
+        )
+        num_b = sum(
+            m * (L(2 * m * ta) - L(m * ta + n * tb))
+            for n, m in zip(na, nb) if m > 0
+        )
+        kla = max(0, num_a) // ta
+        klb = max(0, num_b) // tb
+    js = (kla + klb) // 2
+    return pd.DataFrame(
+        {"n_tokens": [len(top)], "kl_a_unats": [kla],
+         "kl_b_unats": [klb], "js_unats": [js]}
+    ).astype(cols)
+
+
+JS_TOKEN_DRIFT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb
+  FROM tok GROUP BY 1),
+t AS (
+  SELECT token, na, nb,
+         ROW_NUMBER() OVER (ORDER BY na + nb DESC, token ASC) AS rk
+  FROM c),
+k AS (SELECT token, na, nb FROM t WHERE rk <= {SPEARMAN_TOP_K}),
+m AS (
+  SELECT CAST(SUM(na) AS HUGEINT) AS ta, CAST(SUM(nb) AS HUGEINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM k),
+terms AS (
+  SELECT m.n_tokens, m.ta, m.tb,
+         CASE WHEN k.na > 0 AND m.ta > 0 AND m.tb > 0
+              THEN k.na * (CAST(FLOOR(1e6 * ln(CAST(2 * k.na * m.tb
+                                                    AS DOUBLE))) AS HUGEINT)
+                           - CAST(FLOOR(1e6 * ln(CAST(k.na * m.tb
+                                                      + k.nb * m.ta
+                                                      AS DOUBLE))) AS HUGEINT))
+              ELSE 0 END AS term_a,
+         CASE WHEN k.nb > 0 AND m.ta > 0 AND m.tb > 0
+              THEN k.nb * (CAST(FLOOR(1e6 * ln(CAST(2 * k.nb * m.ta
+                                                    AS DOUBLE))) AS HUGEINT)
+                           - CAST(FLOOR(1e6 * ln(CAST(k.nb * m.ta
+                                                      + k.na * m.tb
+                                                      AS DOUBLE))) AS HUGEINT))
+              ELSE 0 END AS term_b
+  FROM k, m),
+kl AS (
+  SELECT n_tokens,
+         CASE WHEN ta > 0 THEN GREATEST(0, SUM(term_a)) // ta
+              ELSE 0 END AS kla,
+         CASE WHEN tb > 0 THEN GREATEST(0, SUM(term_b)) // tb
+              ELSE 0 END AS klb
+  FROM terms GROUP BY n_tokens, ta, tb)
+SELECT n_tokens, CAST(kla AS BIGINT) AS kl_a_unats,
+       CAST(klb AS BIGINT) AS kl_b_unats,
+       CAST((kla + klb) // 2 AS BIGINT) AS js_unats
+FROM kl
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "js_token_drift": (q_js_token_drift, JS_TOKEN_DRIFT_SQL),
     "chi2_token_drift": (q_chi2_token_drift, CHI2_TOKEN_DRIFT_SQL),
     "composition_entropy": (q_composition_entropy, COMPOSITION_ENTROPY_SQL),
     "spearman_drift": (q_spearman_drift, SPEARMAN_DRIFT_SQL),
