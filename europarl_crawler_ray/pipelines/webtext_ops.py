@@ -1762,7 +1762,266 @@ FROM kl
 """
 
 
+# ========================================================== rbo_overlap
+#
+# Rank-biased overlap (Webber et al. 2010) between the two halves'
+# token rankings, restricted to the shared global top-K pool — the
+# top-weighted list-similarity measure that (unlike Kendall/Spearman)
+# cares most about the head of the list. Exact-rational device: with
+# persistence p = 9/10, the weight p^(d-1) is the exact integer pair
+# (9^(d-1), 10^(d-1)), so each term 1e6 * p^(d-1) * A_d / d is the
+# integer floor 1e6*9^(d-1)*A_d // (10^(d-1)*d) (A_d = overlap of the
+# two depth-d prefixes), summed over d <= RBO_DEPTH and multiplied by
+# (1-p) as a final // 10. Depth is capped at 32 so 9^31*1e6*32 < 1e38
+# stays inside the oracle's HUGEINT (documented bound; Python ints are
+# unbounded).
+
+
+RBO_DEPTH = 32
+
+
+def q_rbo_overlap(sf_dir: str):
+    top = _half_token_topk(sf_dir)
+    cols = {"depth": np.int64, "rbo_ppm": np.int64}
+    if top.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    ta = top.sort_values(["na", "token"], ascending=[False, True],
+                         kind="mergesort")["token"].tolist()
+    tb = top.sort_values(["nb", "token"], ascending=[False, True],
+                         kind="mergesort")["token"].tolist()
+    depth = min(RBO_DEPTH, len(top))
+    sa, sb = set(), set()
+    total = 0
+    for d in range(1, depth + 1):
+        sa.add(ta[d - 1])
+        sb.add(tb[d - 1])
+        a_d = len(sa & sb)
+        total += 1_000_000 * 9 ** (d - 1) * a_d // (10 ** (d - 1) * d)
+    return pd.DataFrame(
+        {"depth": [depth], "rbo_ppm": [total // 10]}
+    ).astype(cols)
+
+
+def _rbo_sql() -> str:
+    """Depth-unrolled exact-rational RBO: each depth contributes ONE
+    integer term computed from the two ROW_NUMBER-ranked prefixes."""
+    terms = []
+    for d in range(1, RBO_DEPTH + 1):
+        terms.append(
+            f"SELECT {d} AS d, CAST({10 ** (d - 1)} AS HUGEINT) * {d} AS den,"
+            f" CAST({9 ** (d - 1)} AS HUGEINT) AS num,"
+            f" (SELECT COUNT(*) FROM"
+            f" (SELECT token FROM ra WHERE rk <= {d}"
+            f"  INTERSECT SELECT token FROM rb WHERE rk <= {d})) AS a_d"
+        )
+    nl = "\nUNION ALL\n"
+    return f"""
+WITH tok AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+'))
+           AS token
+  FROM documents),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM tok GROUP BY 1),
+t AS (
+  SELECT token, na, nb,
+         ROW_NUMBER() OVER (ORDER BY na + nb DESC, token ASC) AS rk
+  FROM c),
+k AS MATERIALIZED (SELECT token, na, nb FROM t WHERE rk <= {SPEARMAN_TOP_K}),
+ra AS MATERIALIZED (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY na DESC, token ASC) AS rk FROM k),
+rb AS MATERIALIZED (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY nb DESC, token ASC) AS rk FROM k),
+depth AS (SELECT LEAST({RBO_DEPTH}, (SELECT COUNT(*) FROM k)) AS depth),
+terms AS ({nl.join(terms)})
+SELECT CAST(depth.depth AS BIGINT) AS depth,
+       CAST(SUM(1000000 * terms.num * terms.a_d // terms.den) // 10
+            AS BIGINT) AS rbo_ppm
+FROM terms, depth
+WHERE terms.d <= depth.depth
+GROUP BY depth.depth
+"""
+
+
+# ===================================================== good_turing_mass
+#
+# Good-Turing unseen-probability estimate per language: the classic
+# n_1/N mass (Gale & Sampson 1995) — "what fraction of the NEXT crawl's
+# tokens will be types we have never seen", the coverage planning
+# number beside vocab_growth's Heaps curve. Also emits the r=1
+# Good-Turing discount numerator/denominator (2*n_2, n_1) as exact
+# integers instead of the float r* = 2*n_2/n_1.
+#
+# Scale shape: (lang, token) partials -> ONE coarse token exchange
+# (exact counts in-task) -> per-task count-of-counts histogram CAPPED
+# at r <= 2 plus totals (a <= 3 x n_langs-row partial per task) -> one
+# small groupby -> driver division. The vocabulary never leaves tasks.
+
+
+def q_good_turing_mass(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["lang", "text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"lang": pd.Series(dtype=str),
+                 "token": pd.Series(dtype=str),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        toks = df.set_index("lang")["text"].astype(str).str.lower().str.findall(
+            tok_re
+        ).explode().dropna()
+        g = toks.reset_index().groupby(["lang", "text"], as_index=False).size()
+        g.columns = ["lang", "token", "n"]
+        return g.astype({"n": np.int64})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_g"]).groupby(["lang", "token"], as_index=False)[
+            "n"
+        ].sum()
+        n = g["n"].to_numpy(np.int64)
+        out = []
+        for lang, gl in g.assign(n=n).groupby("lang", dropna=False):
+            nl_ = gl["n"].to_numpy(np.int64)
+            out.append(
+                (lang, int((nl_ == 1).sum()), int((nl_ == 2).sum()),
+                 int(nl_.sum()), len(nl_))
+            )
+        return pd.DataFrame(
+            out, columns=["lang", "n1_part", "n2_part", "total_part",
+                          "types_part"]
+        )
+
+    agg = (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "token")
+        .groupby("_g")
+        .map_groups(hist, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n1_part", alias_name="n1"),
+            Sum("n2_part", alias_name="n2"),
+            Sum("total_part", alias_name="total"),
+            Sum("types_part", alias_name="n_types"),
+        )
+        .to_pandas()  # n_langs rows
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=str), "n_types": pd.Series(dtype=np.int64),
+             "n1": pd.Series(dtype=np.int64), "n2": pd.Series(dtype=np.int64),
+             "total": pd.Series(dtype=np.int64),
+             "unseen_ppm": pd.Series(dtype=np.int64)}
+        )
+    agg = agg[["lang", "n_types", "n1", "n2", "total"]].astype(
+        {"n_types": np.int64, "n1": np.int64, "n2": np.int64,
+         "total": np.int64}
+    )
+    agg["unseen_ppm"] = (
+        agg["n1"].astype(object) * 1_000_000 // agg["total"].astype(object)
+    ).astype(np.int64)
+    return agg
+
+
+GOOD_TURING_MASS_SQL = rf"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(n) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // SUM(n)
+            AS BIGINT) AS unseen_ppm
+FROM c GROUP BY 1
+"""
+
+
+# ==================================================== token_length_hist
+#
+# Corpus-wide token-length histogram (1..TLH_CAP chars, capped) in
+# counts and ppm — the tokenizer-design diagnostic: a heavy tail of
+# 20+-char "tokens" flags unsegmented markup/URLs that a whitespace
+# tokenizer is passing through.
+#
+# Scale shape: pure per-batch histogram partials (length domain is
+# CAPPED, so each task emits <= TLH_CAP rows) -> one tiny groupby ->
+# driver ppm. NO data-scaled exchange at all.
+
+TLH_CAP = 20
+
+
+def q_token_length_hist(sf_dir: str):
+    d = _read(sf_dir, "documents", columns=["text"])
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"tok_len": pd.Series(dtype=np.int64),
+                 "n_part": pd.Series(dtype=np.int64)}
+            )
+        lens = (
+            df["text"].astype(str).str.lower().str.findall(tok_re)
+            .explode().dropna().str.len().to_numpy(np.int64)
+        )
+        if not len(lens):
+            return pd.DataFrame(
+                {"tok_len": pd.Series(dtype=np.int64),
+                 "n_part": pd.Series(dtype=np.int64)}
+            )
+        lens = np.minimum(lens, TLH_CAP)
+        vals, cnts = np.unique(lens, return_counts=True)
+        return pd.DataFrame(
+            {"tok_len": vals.astype(np.int64), "n_part": cnts.astype(np.int64)}
+        )
+
+    c = (
+        d.map_batches(partial, batch_format="pandas")
+        .groupby("tok_len")
+        .aggregate(Sum("n_part", alias_name="n_tokens"))
+        .to_pandas()  # <= TLH_CAP rows
+    )
+    if not len(c):
+        return pd.DataFrame(
+            {"tok_len": pd.Series(dtype=np.int64),
+             "n_tokens": pd.Series(dtype=np.int64),
+             "share_ppm": pd.Series(dtype=np.int64)}
+        )
+    c = c.astype({"tok_len": np.int64, "n_tokens": np.int64})
+    total = int(c["n_tokens"].sum())
+    c["share_ppm"] = (
+        c["n_tokens"].astype(object) * 1_000_000 // total
+    ).astype(np.int64)
+    return c.sort_values("tok_len").reset_index(drop=True)
+
+
+TOKEN_LENGTH_HIST_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS token
+  FROM documents),
+h AS (
+  SELECT LEAST(length(token), {TLH_CAP}) AS tok_len,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM h)
+SELECT CAST(tok_len AS BIGINT) AS tok_len, n_tokens,
+       CAST(n_tokens * 1000000 // total AS BIGINT) AS share_ppm
+FROM h, tot
+"""
+
+
 WEBTEXT_SQL_QUERIES: dict[str, tuple] = {
+    "rbo_overlap": (q_rbo_overlap, _rbo_sql()),
+    "good_turing_mass": (q_good_turing_mass, GOOD_TURING_MASS_SQL),
+    "token_length_hist": (q_token_length_hist, TOKEN_LENGTH_HIST_SQL),
     "js_token_drift": (q_js_token_drift, JS_TOKEN_DRIFT_SQL),
     "chi2_token_drift": (q_chi2_token_drift, CHI2_TOKEN_DRIFT_SQL),
     "composition_entropy": (q_composition_entropy, COMPOSITION_ENTROPY_SQL),
