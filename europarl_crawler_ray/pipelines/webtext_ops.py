@@ -1371,6 +1371,14 @@ def q_kendall_tau(sf_dir: str):
         d.map_batches(feats, batch_format="pandas"), _kendall_prune
     )  # <= KENDALL_N x n_langs rows
     cols = ["lang", "n_docs", "concordant", "discordant", "kendall_tau"]
+    if panel.empty or "lang" not in panel.columns:
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=str),
+             "n_docs": pd.Series(dtype=np.int64),
+             "concordant": pd.Series(dtype=np.int64),
+             "discordant": pd.Series(dtype=np.int64),
+             "kendall_tau": pd.Series(dtype=float)}
+        )
     rows = []
     for lang, g in panel.groupby("lang", sort=True, dropna=False):
         nc = g["n_chars"].to_numpy(np.int64)
@@ -1466,6 +1474,13 @@ def q_hill_tail(sf_dir: str):
         d.map_batches(_hill_prune, batch_format="pandas"), _hill_prune
     )  # <= (HILL_K+1) x n_langs rows
     cols = ["lang", "k_used", "hill_q", "alpha_hill"]
+    if top.empty or "lang" not in top.columns:
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=str),
+             "k_used": pd.Series(dtype=np.int64),
+             "hill_q": pd.Series(dtype=np.int64),
+             "alpha_hill": pd.Series(dtype=float)}
+        )
     rows = []
     for lang, g in top.groupby("lang", sort=True, dropna=False):
         g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
