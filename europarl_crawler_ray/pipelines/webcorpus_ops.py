@@ -59,6 +59,12 @@ from .webgraph_ops import (  # noqa: F401
     BUTTERFLY_COUNT_SQL,
     q_modularity_score,
     MODULARITY_SCORE_SQL,
+    q_neighbor_degree,
+    NEIGHBOR_DEGREE_SQL,
+    q_rich_club,
+    RICH_CLUB_SQL,
+    q_edge_homophily,
+    EDGE_HOMOPHILY_SQL,
     q_deg_powerlaw,
     q_truss_support,
     TRUSS_SUPPORT_SQL,
@@ -2137,6 +2143,9 @@ WEBCORPUS_SQL_QUERIES: dict[str, tuple] = {
     "graph_reciprocity": (q_graph_reciprocity, GRAPH_RECIPROCITY_SQL),
     "butterfly_count": (q_butterfly_count, BUTTERFLY_COUNT_SQL),
     "modularity_score": (q_modularity_score, MODULARITY_SCORE_SQL),
+    "neighbor_degree": (q_neighbor_degree, NEIGHBOR_DEGREE_SQL),
+    "rich_club": (q_rich_club, RICH_CLUB_SQL),
+    "edge_homophily": (q_edge_homophily, EDGE_HOMOPHILY_SQL),
     "deg_powerlaw": (q_deg_powerlaw, DEG_POWERLAW_SQL),
     "truss_support": (q_truss_support, TRUSS_SUPPORT_SQL),
     "jl_distortion": (q_jl_distortion, JL_DISTORTION_SQL),

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from .grouping import global_prune  # noqa: F401 (family modules share the helper set)
 from .grouping import partitioned_anti_join  # noqa: F401
@@ -1672,3 +1673,413 @@ SELECT CAST(e.u AS BIGINT) AS u, CAST(e.v AS BIGINT) AS v,
 FROM e LEFT JOIN s ON s.u = e.u AND s.v = e.v
 GROUP BY e.u, e.v
 """
+
+# ===================================================== neighbor_degree
+#
+# Average-neighbor-degree curve knn(d) of the undirected link graph —
+# the degree-correlation readout finer than the single assortativity
+# coefficient: a falling curve (disassortative) says hubs link to
+# leaves, the signature of hub-and-spoke crawl frontiers. Exact
+# integers: per source degree d, avg_nbr_deg_ppm = 1e6 * sum(deg_dst)
+# // count over all half-edges whose src has degree d.
+#
+# Scale shape: assortativity's two-exchange shape (degrees bucket-local
+# with both edge directions stored; half-edges re-keyed by dst bucket
+# to attach deg_dst), then per-task (deg_src, sum, cnt) partials — a
+# DEGREE-DOMAIN histogram (the length_quantiles class of driver
+# reduce), never an edge-scaled collect.
+
+
+def q_neighbor_degree(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    empty = pd.DataFrame(
+        {"degree": pd.Series(dtype=np.int64),
+         "n_half_edges": pd.Series(dtype=np.int64),
+         "avg_nbr_deg_ppm": pd.Series(dtype=np.int64)}
+    )
+    if n_docs == 0:
+        return empty
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {"src": pd.Series(src, dtype=np.int64),
+             "dst": pd.Series(dst, dtype=np.int64)}
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})],
+            ignore_index=True,
+        ).drop_duplicates()
+        e["b"] = e["src"] % _KCORE_NB
+        return e
+
+    def stage_a(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        deg = g.groupby("src")["dst"].size()
+        he = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": g["dst"].to_numpy(np.int64),
+                "deg": g["src"].map(deg).to_numpy(np.int64),
+                "b2": g["dst"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        dd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": deg.index.to_numpy(np.int64),
+                "deg": deg.to_numpy(np.int64),
+                "b2": deg.index.to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        return pd.concat([he, dd], ignore_index=True)
+
+    def stage_b(g: pd.DataFrame) -> pd.DataFrame:
+        degs = dict(
+            zip(g.loc[g["kind"] == 1, "node"], g.loc[g["kind"] == 1, "deg"])
+        )
+        he = g[g["kind"] == 0]
+        if not len(he):
+            return pd.DataFrame(
+                {"degree": pd.Series(dtype=np.int64),
+                 "s_part": pd.Series(dtype=np.int64),
+                 "c_part": pd.Series(dtype=np.int64)}
+            )
+        dy = he["node"].map(degs).to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"degree": he["deg"].to_numpy(np.int64), "dy": dy})
+            .groupby("degree", as_index=False)
+            .agg(s_part=("dy", "sum"), c_part=("dy", "size"))
+        )
+        return out.astype(np.int64)
+
+    c = (
+        d.map_batches(edges, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stage_a, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(stage_b, batch_format="pandas")
+        .groupby("degree")
+        .aggregate(
+            Sum("s_part", alias_name="s"),
+            Sum("c_part", alias_name="n_half_edges"),
+        )
+        .to_pandas()  # degree-domain rows
+    )
+    if not len(c):
+        return empty
+    c = c.astype({"degree": np.int64, "s": np.int64, "n_half_edges": np.int64})
+    c["avg_nbr_deg_ppm"] = (
+        c["s"].astype(object) * 1_000_000 // c["n_half_edges"].astype(object)
+    ).astype(np.int64)
+    return (
+        c[["degree", "n_half_edges", "avg_nbr_deg_ppm"]]
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+
+
+NEIGHBOR_DEGREE_SQL = """
+WITH n0 AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n0
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1)
+SELECT da.d AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_half_edges,
+       CAST(SUM(db.d) * 1000000 // COUNT(*) AS BIGINT) AS avg_nbr_deg_ppm
+FROM e JOIN deg da ON da.node = e.src JOIN deg db ON db.node = e.dst
+GROUP BY 1
+"""
+
+
+# =========================================================== rich_club
+#
+# Rich-club coefficient at degree threshold RC_K: among nodes of
+# undirected degree > RC_K, the realized fraction of possible edges —
+# phi_ppm = 1e6 * 2*E_rich // (N_rich * (N_rich - 1)). "Do the hubs
+# form their own dense core" (Colizza et al. 2006), the elite-linkage
+# audit after deg_powerlaw says hubs exist.
+#
+# Scale shape: same two exchanges as neighbor_degree; a rich half-edge
+# is counted when BOTH endpoint degrees clear the threshold (each
+# undirected edge contributes exactly two half-edges, so E_rich is the
+# half-edge count // 2); per-task 1-row partials.
+
+RC_K = 3
+
+
+def q_rich_club(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+    empty = pd.DataFrame(
+        {"k": pd.Series([RC_K], dtype=np.int64),
+         "n_rich": pd.Series([0], dtype=np.int64),
+         "n_edges_rich": pd.Series([0], dtype=np.int64),
+         "phi_ppm": pd.Series([0], dtype=np.int64)}
+    )
+    if n_docs == 0:
+        return empty
+
+    def edges(t: pa.Table) -> pd.DataFrame:
+        src, dst = internal_edges_np(
+            t.column("doc_id").to_numpy(), n_docs, drop_self=True
+        )
+        e = pd.DataFrame(
+            {"src": pd.Series(src, dtype=np.int64),
+             "dst": pd.Series(dst, dtype=np.int64)}
+        )
+        e = pd.concat(
+            [e, e.rename(columns={"src": "dst", "dst": "src"})],
+            ignore_index=True,
+        ).drop_duplicates()
+        e["b"] = e["src"] % _KCORE_NB
+        return e
+
+    def stage_a(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"])
+        deg = g.groupby("src")["dst"].size()
+        rich_src = g["src"].map(deg).to_numpy(np.int64) > RC_K
+        he = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": g["dst"].to_numpy(np.int64)[rich_src],
+                "b2": (g["dst"].to_numpy(np.int64)[rich_src]) % _KCORE_NB,
+            }
+        )
+        dd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": deg.index.to_numpy(np.int64),
+                "b2": deg.index.to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        dd["rich"] = (deg.to_numpy(np.int64) > RC_K).astype(np.int64)
+        he["rich"] = np.int64(0)
+        return pd.concat([he, dd], ignore_index=True)
+
+    def stage_b(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g[g["kind"] == 1]
+        rich_nodes = set(nodes.loc[nodes["rich"] == 1, "node"])
+        he = g[g["kind"] == 0]
+        n_he = int(he["node"].isin(rich_nodes).sum())
+        return pd.DataFrame(
+            {"rich_part": pd.Series([len(rich_nodes)], dtype=np.int64),
+             "he_part": pd.Series([n_he], dtype=np.int64)}
+        )
+
+    parts = (
+        d.map_batches(edges, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stage_a, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(stage_b, batch_format="pandas")
+    )
+    tot = parts.sum(["rich_part", "he_part"])
+    n_rich = int(tot["sum(rich_part)"] or 0)
+    n_edges = int(tot["sum(he_part)"] or 0) // 2
+    phi = (
+        1_000_000 * 2 * n_edges // (n_rich * (n_rich - 1))
+        if n_rich > 1 else 0
+    )
+    return pd.DataFrame(
+        {"k": pd.Series([RC_K], dtype=np.int64),
+         "n_rich": pd.Series([n_rich], dtype=np.int64),
+         "n_edges_rich": pd.Series([n_edges], dtype=np.int64),
+         "phi_ppm": pd.Series([phi], dtype=np.int64)}
+    )
+
+
+RICH_CLUB_SQL = f"""
+WITH n0 AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n0
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+rich AS (SELECT node FROM deg WHERE d > {RC_K}),
+re AS (
+  SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_edges_rich
+  FROM e
+  WHERE e.src IN (SELECT node FROM rich) AND e.dst IN (SELECT node FROM rich)),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich)
+SELECT CAST({RC_K} AS BIGINT) AS k, nr.n_rich, re.n_edges_rich,
+       CAST(CASE WHEN nr.n_rich > 1
+            THEN 1000000 * 2 * re.n_edges_rich
+                 // (nr.n_rich * (nr.n_rich - 1))
+            ELSE 0 END AS BIGINT) AS phi_ppm
+FROM nr, re
+"""
+
+
+# ======================================================= edge_homophily
+#
+# Source mixing matrix of the DIRECTED link graph: for every
+# (src_source, dst_source) pair, the distinct-edge count and its share
+# of all edges in basis points — the network-mixing audit (is linking
+# intra-source or cross-source) that complements modularity_score's
+# single within-community number.
+#
+# Scale shape: node (doc_id, source) rows and half-edges co-locate in
+# src-keyed buckets (source attaches in-task), half-edges re-key by dst
+# bucket to attach the dst source; per-task (src_source, dst_source)
+# count partials — a <= |sources|^2 SCHEMA-bounded table.
+
+
+def q_edge_homophily(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    from .queries import internal_edges_np
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    empty = pd.DataFrame(
+        {"src_source": pd.Series(dtype=str),
+         "dst_source": pd.Series(dtype=str),
+         "n_edges": pd.Series(dtype=np.int64),
+         "share_bp": pd.Series(dtype=np.int64)}
+    )
+    if n_docs == 0:
+        return empty
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        srcs = t.column("source").to_pylist()
+        src, dst = internal_edges_np(ids, n_docs, drop_self=True)
+        he = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": pd.Series(src, dtype=np.int64),
+                "other": pd.Series(dst, dtype=np.int64),
+                "label": "",
+            }
+        )
+        nd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": pd.Series(ids, dtype=np.int64),
+                "other": np.int64(-1),
+                "label": pd.Series(srcs, dtype=object),
+            }
+        )
+        out = pd.concat([he, nd], ignore_index=True)
+        out["b"] = out["node"] % _KCORE_NB
+        return out
+
+    def stage_a(g: pd.DataFrame) -> pd.DataFrame:
+        lab = dict(
+            zip(g.loc[g["kind"] == 1, "node"], g.loc[g["kind"] == 1, "label"])
+        )
+        he = g[g["kind"] == 0].drop_duplicates(["node", "other"])
+        out = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "node": he["other"].to_numpy(np.int64),
+                "label": he["node"].map(lab).astype(object),
+                "b2": he["other"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        nd = g[g["kind"] == 1].copy()
+        nd = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "node": nd["node"].to_numpy(np.int64),
+                "label": nd["label"].astype(object),
+                "b2": nd["node"].to_numpy(np.int64) % _KCORE_NB,
+            }
+        )
+        return pd.concat([out, nd], ignore_index=True)
+
+    def stage_b(g: pd.DataFrame) -> pd.DataFrame:
+        lab = dict(
+            zip(g.loc[g["kind"] == 1, "node"], g.loc[g["kind"] == 1, "label"])
+        )
+        he = g[g["kind"] == 0]
+        if not len(he):
+            return pd.DataFrame(
+                {"src_source": pd.Series(dtype=object),
+                 "dst_source": pd.Series(dtype=object),
+                 "n_part": pd.Series(dtype=np.int64)}
+            )
+        out = (
+            pd.DataFrame(
+                {"src_source": he["label"].astype(object),
+                 "dst_source": he["node"].map(lab).astype(object)}
+            )
+            .groupby(["src_source", "dst_source"], as_index=False)
+            .size()
+        )
+        out.columns = ["src_source", "dst_source", "n_part"]
+        return out.astype({"n_part": np.int64})
+
+    c = (
+        d.map_batches(emit, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(stage_a, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(stage_b, batch_format="pandas")
+        .groupby(["src_source", "dst_source"])
+        .aggregate(Sum("n_part", alias_name="n_edges"))
+        .to_pandas()  # <= |sources|^2 rows, schema-bounded
+    )
+    if not len(c):
+        return empty
+    c = c.astype({"n_edges": np.int64})
+    total = int(c["n_edges"].sum())
+    c["share_bp"] = (
+        c["n_edges"].astype(object) * 10000 // total
+    ).astype(np.int64)
+    return c.sort_values(["src_source", "dst_source"]).reset_index(drop=True)
+
+
+EDGE_HOMOPHILY_SQL = """
+WITH n0 AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (
+  SELECT doc_id,
+    CAST(1 + CAST(concat('0x', substr(md5('lnkk:42:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 4 AS BIGINT) AS k
+  FROM documents
+),
+de AS (
+  SELECT DISTINCT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n0
+  WHERE (doc_id * 37 + j * 101) % cnt <> doc_id
+),
+m AS (
+  SELECT ds.source AS src_source, dd.source AS dst_source,
+         CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM de
+  JOIN documents ds ON ds.doc_id = de.src
+  JOIN documents dd ON dd.doc_id = de.dst
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n_edges) AS BIGINT) AS total FROM m)
+SELECT src_source, dst_source, n_edges,
+       CAST(n_edges * 10000 // total AS BIGINT) AS share_bp
+FROM m, tot
+"""
+
