@@ -293,7 +293,99 @@ FROM e GROUP BY 1, 2
 """
 
 
+# ================================================ alias_canonical_share
+#
+# Canonicalization attrition report: if the crawler keeps only the
+# canonical member of every DUST alias family (lowest doc_id — the
+# keep-first rule dedup_keep_first demonstrates), how much of each
+# source survives? The per-source canonical share is the number a
+# curation report quotes when a source's volume is mostly alias
+# shadow (loss concentrated in one source flags a mirror farm, not
+# real coverage).
+#
+# Scale shape: (doc_id, source, fam) per batch → ONE coarse exchange
+# on the family id (a family lands whole in one task) → in-task family
+# min → per-source partials (bounded by the source domain) → tiny
+# groupby → integer-bp driver math.
+
+
+def q_alias_canonical_share(sf_dir: str):
+    n_docs = _n_docs(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype=str),
+            "n_docs": pd.Series(dtype=np.int64),
+            "n_canonical": pd.Series(dtype=np.int64),
+            "canonical_bp": pd.Series(dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    d = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fam(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": df["source"].astype(object),
+                "fam": _dust_family(ids, n_docs),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_g"])
+        fmin = t.groupby("fam")["doc_id"].transform("min")
+        t = t.assign(
+            canon=(t["doc_id"].to_numpy(np.int64) == fmin.to_numpy(np.int64))
+        )
+        out = t.groupby("source", as_index=False).agg(
+            n_part=("canon", "size"), c_part=("canon", "sum")
+        )
+        return out.astype({"n_part": np.int64, "c_part": np.int64})
+
+    c = (
+        _with_coarse_group(d.map_batches(fam, batch_format="pandas"), "fam")
+        .groupby("_g")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("c_part", alias_name="n_canonical"),
+        )
+        .to_pandas()  # bounded by the source domain
+    )
+    if not len(c):
+        return empty
+    c["n_docs"] = c["n_docs"].astype(np.int64)
+    c["n_canonical"] = c["n_canonical"].astype(np.int64)
+    c["canonical_bp"] = (
+        c["n_canonical"].astype(object) * 10000 // c["n_docs"].astype(object)
+    ).astype(np.int64)
+    return c.sort_values("source").reset_index(drop=True)
+
+
+def _alias_share_sql() -> str:
+    md5u = _md5u("'dust:42:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH n AS (SELECT GREATEST(COUNT(*) // 3, 1) AS nf FROM documents),
+f AS (
+  SELECT doc_id, source, CAST({md5u} % n.nf AS BIGINT) AS fam
+  FROM documents, n),
+m AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fam)
+              THEN 1 ELSE 0 END AS canon
+  FROM f)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(canon) AS BIGINT) AS n_canonical,
+       CAST(SUM(canon) * 10000 // COUNT(*) AS BIGINT) AS canonical_bp
+FROM m GROUP BY source
+"""
+
+
 SITEGRAPH_SQL_QUERIES: dict[str, tuple] = {
+    "alias_canonical_share": (q_alias_canonical_share, _alias_share_sql()),
     "dust_detect": (q_dust_detect, _dust_sql()),
     "domain_pagerank": (q_domain_pagerank, _domain_pagerank_sql()),
     "hostgraph_contract": (q_hostgraph_contract, HOSTGRAPH_CONTRACT_SQL),

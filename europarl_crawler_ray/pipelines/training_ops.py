@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..functions.dedup import md5_hash64
 from .grouping import with_coarse_group as _with_coarse_group
@@ -76,6 +77,36 @@ def _exploded_bigrams(df: pd.DataFrame) -> tuple[np.ndarray, pd.Series]:
 BIGRAM_MODEL_K = 1024
 
 
+def _bigram_model_df(d: ray.data.Dataset, k: int) -> pd.DataFrame:
+    """Top-``k`` corpus bigrams (count DESC, bigram ASC tie-break):
+    per-batch value_counts combiner → coarse-hash bigram exchange →
+    top-K of the aggregated vocabulary. The K-row result is the only
+    driver materialization, bounded by construction."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, bigrams = _exploded_bigrams(df)
+        vc = bigrams.value_counts()
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series(vc.index, dtype=object),
+                "part_n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", as_index=False)["part_n"].sum()
+        return out.rename(columns={"part_n": "n"}).astype({"n": np.int64})
+
+    return (
+        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "bigram")
+        .groupby("_g")
+        .map_groups(lambda g: sum_part(g.drop(columns=["_g"])), batch_format="pandas")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # bounded: exactly <=K rows by construction
+    )
+
+
 def q_bigram_lm_score(sf_dir: str, k: int = BIGRAM_MODEL_K):
     """Count-based bigram language model trained ON the corpus and then
     scored OVER the corpus — the canonical two-phase quality-model shape
@@ -96,29 +127,7 @@ def q_bigram_lm_score(sf_dir: str, k: int = BIGRAM_MODEL_K):
     (``Series.isin``) per batch. No data-scaled shuffle in phase 2.
     """
     d = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        _, bigrams = _exploded_bigrams(df)
-        vc = bigrams.value_counts()
-        return pd.DataFrame(
-            {
-                "bigram": pd.Series(vc.index, dtype=object),
-                "part_n": vc.to_numpy().astype(np.int64),
-            }
-        )
-
-    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("bigram", as_index=False)["part_n"].sum()
-        return out.rename(columns={"part_n": "n"}).astype({"n": np.int64})
-
-    model_df = (
-        _with_coarse_group(d.map_batches(partial, batch_format="pandas"), "bigram")
-        .groupby("_g")
-        .map_groups(lambda g: sum_part(g.drop(columns=["_g"])), batch_format="pandas")
-        .sort(["n", "bigram"], descending=[True, False])
-        .limit(k)
-        .to_pandas()  # bounded: exactly <=K rows by construction
-    )
+    model_df = _bigram_model_df(d, k)
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
@@ -1321,7 +1330,168 @@ FROM toks t LEFT JOIN cov c USING (doc_id)
 """
 
 
+# =========================================== perplexity_buckets (CCNet)
+#
+# CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+# rank every scoreable document by its LM coverage score (bigram-LM
+# score_bp = n_hits·10000 // n_bigrams, q_bigram_lm_score's signal)
+# and cut the ranking into NTILE(3) terciles — bucket 1 = head (worst
+# coverage under this orientation), 3 = tail. Reports the per-bucket
+# census (count, score sum, min/max) a curation pipeline reads before
+# choosing which tercile feeds training.
+#
+# Scale shape: the model build is _bigram_model_df's bounded-K plan;
+# scoring emits per-batch (lang, score_bp) HISTOGRAM partials — the
+# score domain is ≤ 10001 values so the collected histogram is
+# domain-bounded (≤ |langs|·10001 rows), never corpus-bounded — and
+# the NTILE census is exact driver math over the histogram: every doc
+# in one boundary cell shares the same score, so count/sum/min/max per
+# bucket are derivable without ever ranking individual docs. No
+# per-doc exchange exists in the whole plan.
+
+PB_NTILES = 3
+
+
+def q_perplexity_buckets(sf_dir: str, k: int = BIGRAM_MODEL_K):
+    d = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out_empty = pd.DataFrame(
+        {
+            "lang": pd.Series(dtype=str),
+            "bucket": pd.Series(dtype=np.int64),
+            "n_docs": pd.Series(dtype=np.int64),
+            "sum_score_bp": pd.Series(dtype=np.int64),
+            "min_score_bp": pd.Series(dtype=np.int64),
+            "max_score_bp": pd.Series(dtype=np.int64),
+        }
+    )
+    model_df = _bigram_model_df(d, k)
+    if model_df.empty:
+        return out_empty
+    model_ref = ray.put(frozenset(model_df["bigram"].tolist()))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc, bigrams = _exploded_bigrams(df)
+        cols = {"lang": str, "score_bp": np.int64, "n_part": np.int64}
+        if not len(doc):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()}
+            )
+        model = ray.get(model_ref)
+        hit = bigrams.isin(model).to_numpy()
+        per_doc = (
+            pd.DataFrame({"doc_id": doc, "hit": hit.astype(np.int64)})
+            .groupby("doc_id", as_index=False)
+            .agg(nb=("hit", "size"), nh=("hit", "sum"))
+        )
+        lang = dict(zip(df["doc_id"].astype(np.int64), df["lang"]))
+        per_doc["lang"] = per_doc["doc_id"].map(lang)
+        per_doc["score_bp"] = (
+            per_doc["nh"].to_numpy(np.int64) * 10000
+            // per_doc["nb"].to_numpy(np.int64)
+        )
+        out = (
+            per_doc.groupby(["lang", "score_bp"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return out.astype({"score_bp": np.int64, "n_part": np.int64})
+
+    hist = (
+        d.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["lang", "score_bp"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # domain-bounded: <= |langs| * 10001 rows
+    )
+    if not len(hist):
+        return out_empty
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score_bp")
+        scores = g["score_bp"].to_numpy(np.int64)
+        counts = g["n"].to_numpy(np.int64)
+        n = int(counts.sum())
+        sizes = [n // PB_NTILES + (1 if i <= n % PB_NTILES else 0)
+                 for i in range(1, PB_NTILES + 1)]
+        cuts = np.cumsum(sizes)  # 1-indexed rank <= cuts[b] -> bucket b+1
+        cum = 0
+        agg = {
+            b: [0, 0, None, None] for b in range(1, PB_NTILES + 1)
+        }  # n, sum, min, max
+        for s, m in zip(scores.tolist(), counts.tolist()):
+            lo, hi = cum + 1, cum + m  # rank span of this score cell
+            for b in range(1, PB_NTILES + 1):
+                b_lo = 1 if b == 1 else int(cuts[b - 2]) + 1
+                b_hi = int(cuts[b - 1])
+                take = max(0, min(hi, b_hi) - max(lo, b_lo) + 1)
+                if take:
+                    a = agg[b]
+                    a[0] += take
+                    a[1] += take * s
+                    a[2] = s if a[2] is None else min(a[2], s)
+                    a[3] = s if a[3] is None else max(a[3], s)
+            cum = hi
+        for b, (nn, ss, mn, mx) in agg.items():
+            if nn:
+                rows.append((lang, b, nn, ss, mn, mx))
+    return (
+        pd.DataFrame(
+            rows,
+            columns=[
+                "lang",
+                "bucket",
+                "n_docs",
+                "sum_score_bp",
+                "min_score_bp",
+                "max_score_bp",
+            ],
+        )
+        .astype(
+            {
+                "bucket": np.int64,
+                "n_docs": np.int64,
+                "sum_score_bp": np.int64,
+                "min_score_bp": np.int64,
+                "max_score_bp": np.int64,
+            }
+        )
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w WHERE len(ws) >= 2),
+model AS (
+  SELECT bigram FROM (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+  ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_MODEL_K}),
+sc AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(SUM(CASE WHEN m.bigram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+              // COUNT(*) AS BIGINT) AS score_bp
+  FROM bg LEFT JOIN model m USING (bigram)
+  GROUP BY bg.doc_id, bg.lang),
+nt AS (
+  SELECT lang, score_bp,
+         NTILE({PB_NTILES}) OVER (
+           PARTITION BY lang ORDER BY score_bp, doc_id) AS bucket
+  FROM sc)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_bp) AS BIGINT) AS sum_score_bp,
+       CAST(MIN(score_bp) AS BIGINT) AS min_score_bp,
+       CAST(MAX(score_bp) AS BIGINT) AS max_score_bp
+FROM nt GROUP BY 1, 2
+"""
+
+
 TRAINING_SQL_QUERIES: dict[str, tuple] = {
+    "perplexity_buckets": (q_perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
     "webdataset_roundtrip": (q_webdataset_roundtrip, WEBDATASET_ROUNDTRIP_SQL),
     "token_budget_sample": (q_token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
     "corpus_to_shards": (q_corpus_to_shards, _corpus_to_shards_sql()),

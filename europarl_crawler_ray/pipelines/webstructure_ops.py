@@ -557,7 +557,106 @@ GROUP BY cls.component
 """
 
 
+# ================================================== degree_joint_census
+#
+# Joint (out-degree, in-degree) census of the link-graph multiset
+# (self-loops kept, pagerank's edge convention): the two-dimensional
+# degree histogram whose diagonal mass distinguishes a reciprocal-link
+# web ring from a hub-and-spoke layout — the marginal power-law fit
+# (deg_powerlaw) can't see the correlation.
+#
+# Scale shape: out-degree is md5-derived per node (no exchange);
+# in-degree needs ONE coarse exchange of per-batch (dst, count)
+# partials; the joint (outdeg ≤ 4 × indeg) domain is degree-bounded so
+# the final groupby and the driver reduce are schema-bounded.
+
+
+def q_degree_joint_census(sf_dir: str):
+    from ..stages.multimodal import _md5_64
+    from .queries import internal_edges_np
+
+    n_docs = _n_docs(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "outdeg": pd.Series(dtype=np.int64),
+            "indeg": pd.Series(dtype=np.int64),
+            "n_nodes": pd.Series(dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    d = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        _, dst = internal_edges_np(ids, n_docs)
+        # kind 0 = in-degree count partial keyed by the target node,
+        # kind 1 = the node's roster row (carries nothing but presence)
+        vals, cnts = np.unique(dst, return_counts=True)
+        inc = pd.DataFrame(
+            {"kind": np.int64(0), "node": vals, "c": cnts.astype(np.int64)}
+        )
+        ros = pd.DataFrame(
+            {"kind": np.int64(1), "node": ids, "c": np.zeros(len(ids), np.int64)}
+        )
+        return pd.concat([inc, ros], ignore_index=True)
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_g"])
+        indeg = (
+            t[t["kind"] == 0].groupby("node")["c"].sum()
+        )
+        nodes = t.loc[t["kind"] == 1, "node"].to_numpy(np.int64)
+        ind = indeg.reindex(nodes).fillna(0).to_numpy(np.int64)
+        outd = np.fromiter(
+            (1 + _md5_64(f"lnkk:42:{int(v)}") % 4 for v in nodes),
+            np.int64,
+            len(nodes),
+        )
+        out = (
+            pd.DataFrame({"outdeg": outd, "indeg": ind})
+            .groupby(["outdeg", "indeg"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_part"})
+        )
+        return out.astype(np.int64)
+
+    c = (
+        _with_coarse_group(
+            d.map_batches(partials, batch_format="pandas"), "node"
+        )
+        .groupby("_g")
+        .map_groups(census, batch_format="pandas")
+        .groupby(["outdeg", "indeg"])
+        .aggregate(Sum("n_part", alias_name="n_nodes"))
+        .to_pandas()  # degree-bounded domain
+    )
+    if not len(c):
+        return empty
+    return (
+        c.astype(np.int64)
+        .sort_values(["outdeg", "indeg"])
+        .reset_index(drop=True)
+    )
+
+
+DEGREE_JOINT_CENSUS_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+kk AS (SELECT doc_id, CAST(1 + {_md5u("'lnkk:42:' || CAST(doc_id AS VARCHAR)")} % 4 AS BIGINT) AS k
+       FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 37 + j * 101) % cnt AS dst
+  FROM (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM kk), n),
+ind AS (SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS indeg FROM e GROUP BY 1)
+SELECT kk.k AS outdeg, COALESCE(ind.indeg, 0) AS indeg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM kk LEFT JOIN ind USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 WEBSTRUCTURE_SQL_QUERIES: dict[str, tuple] = {
+    "degree_joint_census": (q_degree_joint_census, DEGREE_JOINT_CENSUS_SQL),
     "front_coding": (q_front_coding, FRONT_CODING_SQL),
     "graph_compress": (q_graph_compress, GRAPH_COMPRESS_SQL),
     "bowtie_structure": (q_bowtie_structure, BOWTIE_STRUCTURE_SQL),
