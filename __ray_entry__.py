@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.diagnostics_ops import DIAGNOSTICS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.crawlyield_ops import CRAWLYIELD_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sourceaudit_ops import SOURCEAUDIT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.trainaudit_ops import TRAINAUDIT_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in DIAGNOSTICS_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CRAWLYIELD_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SOURCEAUDIT_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in TRAINAUDIT_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -125,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.diagnostics_ops import DIAGNOSTICS_SQL_QUERIES
     from europarl_crawler_ray.pipelines.crawlyield_ops import CRAWLYIELD_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sourceaudit_ops import SOURCEAUDIT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.trainaudit_ops import TRAINAUDIT_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -149,4 +152,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in DIAGNOSTICS_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CRAWLYIELD_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SOURCEAUDIT_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in TRAINAUDIT_SQL_QUERIES.items()})
     return out
