@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.crawlyield_ops import CRAWLYIELD_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sourceaudit_ops import SOURCEAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.trainaudit_ops import TRAINAUDIT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.blocking_ops import BLOCKING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in CRAWLYIELD_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SOURCEAUDIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TRAINAUDIT_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in BLOCKING_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -128,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.crawlyield_ops import CRAWLYIELD_SQL_QUERIES
     from europarl_crawler_ray.pipelines.sourceaudit_ops import SOURCEAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.trainaudit_ops import TRAINAUDIT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.blocking_ops import BLOCKING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -153,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in CRAWLYIELD_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SOURCEAUDIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in TRAINAUDIT_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in BLOCKING_SQL_QUERIES.items()})
     return out
