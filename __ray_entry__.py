@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.schedaudit_ops import SCHEDAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.distfit_ops import DISTFIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.storageir_ops import STORAGEIR_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.streamstat_ops import STREAMSTAT_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SCHEDAUDIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in DISTFIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in STORAGEIR_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in STREAMSTAT_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.schedaudit_ops import SCHEDAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.distfit_ops import DISTFIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.storageir_ops import STORAGEIR_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.streamstat_ops import STREAMSTAT_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -185,4 +188,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SCHEDAUDIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in DISTFIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in STORAGEIR_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in STREAMSTAT_SQL_QUERIES.items()})
     return out
