@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.colcodec_ops import COLCODEC_SQL_QUERIES
     from europarl_crawler_ray.pipelines.graphgeom_ops import GRAPHGEOM_SQL_QUERIES
     from europarl_crawler_ray.pipelines.bpetrain_ops import BPETRAIN_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.serving_ops import SERVING_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in COLCODEC_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in GRAPHGEOM_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in BPETRAIN_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in SERVING_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -164,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.colcodec_ops import COLCODEC_SQL_QUERIES
     from europarl_crawler_ray.pipelines.graphgeom_ops import GRAPHGEOM_SQL_QUERIES
     from europarl_crawler_ray.pipelines.bpetrain_ops import BPETRAIN_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.serving_ops import SERVING_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -201,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in COLCODEC_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in GRAPHGEOM_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in BPETRAIN_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in SERVING_SQL_QUERIES.items()})
     return out
