@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.graphgeom_ops import GRAPHGEOM_SQL_QUERIES
     from europarl_crawler_ray.pipelines.bpetrain_ops import BPETRAIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.serving_ops import SERVING_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.setsim_ops import SETSIM_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in GRAPHGEOM_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in BPETRAIN_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SERVING_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in SETSIM_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.graphgeom_ops import GRAPHGEOM_SQL_QUERIES
     from europarl_crawler_ray.pipelines.bpetrain_ops import BPETRAIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.serving_ops import SERVING_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.setsim_ops import SETSIM_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -205,4 +208,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in GRAPHGEOM_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in BPETRAIN_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SERVING_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in SETSIM_SQL_QUERIES.items()})
     return out
