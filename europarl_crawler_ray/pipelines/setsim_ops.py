@@ -83,10 +83,12 @@ def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
 #
 # Scale shape: 3 coarse exchanges, all data-scaled with bounded
 # per-key volume — (1) shingle-keyed: df filter + pair/size partial
-# emission (≤ 28 pair rows per surviving shingle), (2) pair-keyed:
-# intersection counts, (3+4) doc-keyed ×2: attach |R(a)| then |R(b)|
-# by co-locating pair rows with the size table (the union-then-group
-# join idiom — no broadcast of a data-scaled side).
+# emission (≤ 28 pair rows per surviving shingle, vectorized through
+# per-df triu index tables), (2) a-keyed: per-(a,b) intersection
+# counts AND |R(a)| fold into ONE union-co-location group, (3)
+# b-keyed: |R(b)| + the τ filter likewise (no separate pair- or
+# size-aggregation shuffle; no broadcast of a data-scaled side). The
+# partial table is materialized once — it feeds both attach unions.
 
 SH_N = 3
 DF_MIN = 2
@@ -142,137 +144,142 @@ def q_allpairs_jaccard(sf_dir: str):
         return _PAIR_EMPTY
     dt = _doc_shingles(sf_dir)
 
+    # precomputed upper-triangle index tables, one per df in window
+    _TRIU = {d: np.triu_indices(d, 1) for d in range(DF_MIN, DF_CAP + 1)}
+
     def token_stage(g: pd.DataFrame) -> pd.DataFrame:
         """Per rare token: emit C(df,2) pair partials (kind 0) and one
-        size partial per member doc (kind 1)."""
+        size partial per member doc (kind 1). Vectorized: tokens with
+        the same df are processed as ONE (n_tokens, df) matrix through
+        a precomputed triu index table — no per-token Python loop."""
         t = g.drop(columns=["_g"])
-        sizes = t.groupby("token")["doc_id"].agg(list)
-        ka, kb, kk = [], [], []
-        for docs in sizes:
-            df = len(docs)
-            if df < DF_MIN or df > DF_CAP:
+        t = t.sort_values(["token", "doc_id"], kind="mergesort")
+        df_per_row = t.groupby("token")["doc_id"].transform("size").to_numpy(
+            np.int64
+        )
+        keep = (df_per_row >= DF_MIN) & (df_per_row <= DF_CAP)
+        docs = t["doc_id"].to_numpy(np.int64)[keep]
+        dfs = df_per_row[keep]
+        out_a = [docs]  # size partials: one per kept (doc, token) row
+        out_b = [np.full(len(docs), -1, np.int64)]
+        out_k = [np.ones(len(docs), np.int64)]
+        for d in range(DF_MIN, DF_CAP + 1):
+            sel = dfs == d
+            if not sel.any():
                 continue
-            ds = np.sort(np.asarray(docs, dtype=np.int64))
-            for i in range(df):
-                ka.append(ds[i])
-                kb.append(np.int64(-1))
-                kk.append(1)  # size partial for doc ds[i]
-                for j in range(i + 1, df):
-                    ka.append(ds[i])
-                    kb.append(ds[j])
-                    kk.append(0)  # pair partial
+            m = docs[sel].reshape(-1, d)  # token-sorted doc matrix
+            iu, ju = _TRIU[d]
+            out_a.append(m[:, iu].ravel())
+            out_b.append(m[:, ju].ravel())
+            out_k.append(np.zeros(m.shape[0] * len(iu), np.int64))
         return pd.DataFrame(
             {
-                "a": np.asarray(ka, dtype=np.int64),
-                "b": np.asarray(kb, dtype=np.int64),
-                "kind": np.asarray(kk, dtype=np.int64),
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "kind": np.concatenate(out_k),
             }
         )
 
+    # materialize: `parts` feeds BOTH the size and the pair branches —
+    # without the pin the shingle pass + token exchange re-execute per
+    # consumer (and `sizes` feeds two attach stages downstream). The
+    # pin is df-window-filtered (≤ C(DF_CAP,2)+DF_CAP rows per
+    # surviving shingle), far smaller than the raw shingle stream; the
+    # object store spills it under pressure at scale.
     parts = (
         _with_coarse_group(dt, "token")
         .groupby("_g")
         .map_groups(token_stage, batch_format="pandas")
+        .materialize()
     )
 
-    # sizes: doc -> |R(doc)|   (bounded per key by vocabulary membership)
-    def size_sum(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.drop(columns=["_g"])
-        s = t.groupby("a").size()
-        return pd.DataFrame(
-            {"doc": s.index.to_numpy(np.int64), "size": s.to_numpy(np.int64)}
-        )
 
-    def keep_kind(k: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["kind"] == k]
-
-        return fn
-
-    sizes = (
-        _with_coarse_group(
-            parts.map_batches(keep_kind(1), batch_format="pandas"), "a"
-        )
-        .groupby("_g")
-        .map_groups(size_sum, batch_format="pandas")
-    )
-
-    # pairs: (a, b) -> intersection count
-    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.drop(columns=["_g"])
-        s = t.groupby(["a", "b"]).size().reset_index(name="inter")
-        return s.astype(np.int64)
-
-    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["pk"] = out["a"].astype(str) + "|" + out["b"].astype(str)
-        return out
-
-    pairs = (
-        _with_coarse_group(
-            parts.map_batches(keep_kind(0), batch_format="pandas").map_batches(
-                pair_key, batch_format="pandas"
-            ),
-            "pk",
-        )
-        .groupby("_g")
-        .map_groups(pair_sum, batch_format="pandas")
-    )
-
-    # attach |R(a)| (union + doc-keyed co-location), then |R(b)|.
-    # Uniform 8-column schema so the union is schema-stable:
-    # (key, side, a, b, inter, size_a, size_b, sz); side 1 rows are the
-    # size table (sz = |R(doc)|), side 0 rows are pair rows in flight.
+    # Two union-co-location exchanges finish the job (pair counting and
+    # size counting fold INTO the attach groups — a-keyed rows carry
+    # both the raw pair partials and doc a's raw size partials, so no
+    # separate pair- or size-aggregation shuffle exists):
+    #   exchange A (key = a): inter = per-(a,b) row count,
+    #                         size_a = count of doc a's kind-1 rows;
+    #   exchange B (key = b): size_b likewise, then the τ filter.
+    # Uniform 8-column schema keeps the unions schema-stable:
+    # (key, side, a, b, inter, size_a, size_b, sz).
     COLS = ["key", "side", "a", "b", "inter", "size_a", "size_b", "sz"]
 
     def uniform(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({c: df.get(c, np.int64(0)) for c in COLS})
         return out.astype({c: np.int64 for c in COLS})
 
-    def attach(which: str, next_key: str | None):
-        def fn(g: pd.DataFrame) -> pd.DataFrame:
-            t = g.drop(columns=["_g"])
-            sz = t[t["side"] == 1].set_index("key")["sz"]
-            pr = t[t["side"] == 0].copy()
-            if len(pr):
-                pr[which] = pr["key"].map(sz).to_numpy(np.int64)
-                if next_key is not None:
-                    pr["key"] = pr[next_key].to_numpy(np.int64)
-            return pr[COLS].astype({c: np.int64 for c in COLS})
+    def split_parts(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["kind"] == 0]
+        sz = df[df["kind"] == 1]
+        return pd.concat(
+            [
+                uniform(
+                    pd.DataFrame(
+                        {
+                            "key": pr["a"],
+                            "side": np.int64(0),
+                            "a": pr["a"],
+                            "b": pr["b"],
+                        }
+                    )
+                ),
+                uniform(
+                    pd.DataFrame({"key": sz["a"], "side": np.int64(1)})
+                ),
+            ],
+            ignore_index=True,
+        )
 
-        return fn
-
-    sz_rows = sizes.map_batches(
-        lambda df: uniform(
-            pd.DataFrame(
-                {"key": df["doc"], "side": np.int64(1), "sz": df["size"]}
-            )
-        ),
-        batch_format="pandas",
-    )
-    p_rows = pairs.map_batches(
-        lambda df: uniform(
-            pd.DataFrame(
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_g"])
+        sz = t[t["side"] == 1].groupby("key").size()
+        pr = t[t["side"] == 0]
+        if len(pr):
+            agg = pr.groupby(["a", "b"], as_index=False).size()
+            pr = pd.DataFrame(
                 {
-                    "key": df["a"],
+                    "key": agg["b"],  # re-key for exchange B
                     "side": np.int64(0),
-                    "a": df["a"],
-                    "b": df["b"],
-                    "inter": df["inter"],
+                    "a": agg["a"],
+                    "b": agg["b"],
+                    "inter": agg["size"],
+                    "size_a": agg["a"].map(sz).to_numpy(np.int64),
                 }
             )
-        ),
-        batch_format="pandas",
-    )
+            pr = uniform(pr)
+        else:
+            pr = uniform(pr)
+        return pr
+
+    def size_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df[df["kind"] == 1]
+        return uniform(pd.DataFrame({"key": sz["a"], "side": np.int64(1)}))
+
+    def attach_b(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop(columns=["_g"])
+        sz = t[t["side"] == 1].groupby("key").size()
+        pr = t[t["side"] == 0].copy()
+        if len(pr):
+            pr["size_b"] = pr["key"].map(sz).to_numpy(np.int64)
+        return pr[COLS].astype({c: np.int64 for c in COLS})
+
     step1 = (
-        _with_coarse_group(p_rows.union(sz_rows), "key")
+        _with_coarse_group(
+            parts.map_batches(split_parts, batch_format="pandas"), "key"
+        )
         .groupby("_g")
-        .map_groups(attach("size_a", "b"), batch_format="pandas")
+        .map_groups(attach_a, batch_format="pandas")
     )
     step2 = (
-        _with_coarse_group(step1.union(sz_rows), "key")
+        _with_coarse_group(
+            step1.union(
+                parts.map_batches(size_rows_b, batch_format="pandas")
+            ),
+            "key",
+        )
         .groupby("_g")
-        .map_groups(attach("size_b", None), batch_format="pandas")
+        .map_groups(attach_b, batch_format="pandas")
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
