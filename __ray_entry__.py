@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.indexaudit_ops import INDEXAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.distjoin_ops import DISTJOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.lexstat_ops import LEXSTAT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.postings_ops import POSTINGS_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in INDEXAUDIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in DISTJOIN_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in LEXSTAT_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in POSTINGS_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -179,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.indexaudit_ops import INDEXAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.distjoin_ops import DISTJOIN_SQL_QUERIES
     from europarl_crawler_ray.pipelines.lexstat_ops import LEXSTAT_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.postings_ops import POSTINGS_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -221,4 +224,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in INDEXAUDIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in DISTJOIN_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in LEXSTAT_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in POSTINGS_SQL_QUERIES.items()})
     return out
