@@ -53,9 +53,14 @@ BBIT_BS = (1, 2, 4, 8)
 
 
 def q_bbit_collision_rate(sf_dir: str):
-    from ..functions.dedup import N_PERM, batch_minhash_sigs_p, shingle_strings
+    from ..functions.dedup import N_PERM, minhash_sigs_from_hashes
+    from .ml_queries import _shingle_sets
 
-    d = _read(sf_dir, "documents", columns=["text"])
+    # signatures derive from the SHARED shingle scratch (one corpus
+    # hash pass per sweep, VERDICT r3 #7) instead of re-hashing text —
+    # the 52 s cold pass this op used to pay alone drops to the
+    # scratch-streaming cost every other dedup-family op pays.
+    d = _shingle_sets(sf_dir)
     empty = pd.DataFrame(
         {
             "b": pd.Series(dtype=np.int64),
@@ -66,24 +71,24 @@ def q_bbit_collision_rate(sf_dir: str):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        texts = [
-            str(t) for t in df["text"] if shingle_strings(str(t))
-        ]
         cols = {
             "b": np.int64,
             "j": np.int64,
             "v": np.int64,
             "c_part": np.int64,
         }
-        if not texts:
+        if not len(df):
             return pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in cols.items()}
             )
-        sigs = batch_minhash_sigs_p(texts)  # (n, N_PERM) uint64
+        sigs = minhash_sigs_from_hashes(
+            [np.frombuffer(x, dtype=np.uint64) for x in df["hs"]]
+        )  # (n, N_PERM) uint64
+        n_texts = len(sigs)
         frames = []
         for b in BBIT_BS:
             bv = (sigs % np.uint64(1 << b)).astype(np.int64)
-            j = np.tile(np.arange(N_PERM, dtype=np.int64), len(texts))
+            j = np.tile(np.arange(N_PERM, dtype=np.int64), n_texts)
             flat = bv.reshape(-1)
             t = (
                 pd.DataFrame({"j": j, "v": flat})
