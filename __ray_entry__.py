@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.structgraph_ops import STRUCTGRAPH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.linsketch_ops import LINSKETCH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.significance_ops import SIGNIFICANCE_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.queryproc_ops import QUERYPROC_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in STRUCTGRAPH_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in LINSKETCH_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SIGNIFICANCE_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in QUERYPROC_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.structgraph_ops import STRUCTGRAPH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.linsketch_ops import LINSKETCH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.significance_ops import SIGNIFICANCE_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.queryproc_ops import QUERYPROC_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -241,4 +244,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in STRUCTGRAPH_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in LINSKETCH_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SIGNIFICANCE_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in QUERYPROC_SQL_QUERIES.items()})
     return out
