@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.seqaudit_ops import SEQAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.survival_ops import SURVIVAL_SQL_QUERIES
     from europarl_crawler_ray.pipelines.richness_ops import RICHNESS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.eventmine_ops import EVENTMINE_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in SEQAUDIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in SURVIVAL_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in RICHNESS_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in EVENTMINE_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -221,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.seqaudit_ops import SEQAUDIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.survival_ops import SURVIVAL_SQL_QUERIES
     from europarl_crawler_ray.pipelines.richness_ops import RICHNESS_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.eventmine_ops import EVENTMINE_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -277,4 +280,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in SEQAUDIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in SURVIVAL_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in RICHNESS_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in EVENTMINE_SQL_QUERIES.items()})
     return out
