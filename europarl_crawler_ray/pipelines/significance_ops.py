@@ -119,8 +119,29 @@ def _perm_table(sf_dir: str) -> pd.DataFrame:
     return agg, moments, n_total
 
 
+_EXTREME_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
 def _extreme_counts(sf_dir: str) -> pd.DataFrame:
-    """(source, n_a, n_b, n_extreme) via exact integer comparisons."""
+    """(source, n_a, n_b, n_extreme) via exact integer comparisons.
+
+    Memoized per source-table identity (path + mtime + size):
+    permutation_test and bh_fdr share the 64-trial grid, and a sweep
+    that runs both would otherwise pay the trial pass twice."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    ck = (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size)
+    hit = _EXTREME_CACHE.get(ck)
+    if hit is not None:
+        return hit.copy()
+    out = _extreme_counts_compute(sf_dir)
+    _EXTREME_CACHE.clear()  # hold one table at a time
+    _EXTREME_CACHE[ck] = out
+    return out.copy()
+
+
+def _extreme_counts_compute(sf_dir: str) -> pd.DataFrame:
     trials, moments, n_total = _perm_table(sf_dir)
     s_total = int(moments["s1"].sum())
     out = []
