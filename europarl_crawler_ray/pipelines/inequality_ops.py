@@ -95,14 +95,14 @@ def q_hoover_index(sf_dir: str):
 
     def dev(df: pd.DataFrame) -> pd.DataFrame:
         langs = df["lang"].to_numpy(object)
-        x = df["n_chars"].to_numpy(np.int64).astype(object)
-        n = np.array([nmap[lg] for lg in langs], dtype=object)
-        X = np.array([xmap[lg] for lg in langs], dtype=object)
+        x = df["n_chars"].to_numpy(np.int64)
+        # n·x stays far inside int64 (n ≤ 1e10 docs/lang, x ≤ 1e5
+        # chars → ≤ 1e15): plain vectorized integer math
+        n = np.array([nmap[lg] for lg in langs], dtype=np.int64)
+        X = np.array([xmap[lg] for lg in langs], dtype=np.int64)
         dv = np.abs(n * x - X)
         g = pd.DataFrame({"lang": langs, "d": dv})
-        s = g.groupby("lang", as_index=False)["d"].sum()
-        s["d"] = s["d"].astype(np.int64)  # fits: n·x ≤ 1e12-ish
-        return s
+        return g.groupby("lang", as_index=False)["d"].sum()
 
     agg = (
         d.map_batches(dev, batch_format="pandas")
