@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.inequality_ops import INEQUALITY_SQL_QUERIES
     from europarl_crawler_ray.pipelines.dedupsketch_ops import DEDUPSKETCH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.nullmodel_ops import NULLMODEL_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.focusedcrawl_ops import FOCUSEDCRAWL_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in INEQUALITY_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in DEDUPSKETCH_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in NULLMODEL_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in FOCUSEDCRAWL_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -233,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.inequality_ops import INEQUALITY_SQL_QUERIES
     from europarl_crawler_ray.pipelines.dedupsketch_ops import DEDUPSKETCH_SQL_QUERIES
     from europarl_crawler_ray.pipelines.nullmodel_ops import NULLMODEL_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.focusedcrawl_ops import FOCUSEDCRAWL_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -293,4 +296,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in INEQUALITY_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in DEDUPSKETCH_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in NULLMODEL_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in FOCUSEDCRAWL_SQL_QUERIES.items()})
     return out
