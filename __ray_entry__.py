@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.momentfit_ops import MOMENTFIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.controlchart_ops import CONTROLCHART_SQL_QUERIES
     from europarl_crawler_ray.pipelines.approx_ops import APPROX_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.shopsched_ops import SHOPSCHED_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -170,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in MOMENTFIT_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CONTROLCHART_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in APPROX_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in SHOPSCHED_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -251,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.momentfit_ops import MOMENTFIT_SQL_QUERIES
     from europarl_crawler_ray.pipelines.controlchart_ops import CONTROLCHART_SQL_QUERIES
     from europarl_crawler_ray.pipelines.approx_ops import APPROX_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.shopsched_ops import SHOPSCHED_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -317,4 +320,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in MOMENTFIT_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CONTROLCHART_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in APPROX_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in SHOPSCHED_SQL_QUERIES.items()})
     return out
