@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from europarl_crawler_ray.pipelines.encoding_ops import ENCODING_SQL_QUERIES
     from europarl_crawler_ray.pipelines.codes_ops import CODES_SQL_QUERIES
     from europarl_crawler_ray.pipelines.treeindex_ops import TREEINDEX_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.numtheory_ops import NUMTHEORY_SQL_QUERIES
 
     out = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
     out.update({name: fn for name, (fn, _sql) in ML_SQL_QUERIES.items()})
@@ -184,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update({name: fn for name, (fn, _sql) in ENCODING_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in CODES_SQL_QUERIES.items()})
     out.update({name: fn for name, (fn, _sql) in TREEINDEX_SQL_QUERIES.items()})
+    out.update({name: fn for name, (fn, _sql) in NUMTHEORY_SQL_QUERIES.items()})
     out.update(ML_QUERIES)
 
     from europarl_crawler_ray.pipelines.webcorpus_ops import q_compression_ratio
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
     from europarl_crawler_ray.pipelines.encoding_ops import ENCODING_SQL_QUERIES
     from europarl_crawler_ray.pipelines.codes_ops import CODES_SQL_QUERIES
     from europarl_crawler_ray.pipelines.treeindex_ops import TREEINDEX_SQL_QUERIES
+    from europarl_crawler_ray.pipelines.numtheory_ops import NUMTHEORY_SQL_QUERIES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items() if sql is not None}
     out.update({name: sql for name, (_fn, sql) in ML_SQL_QUERIES.items()})
@@ -345,4 +348,5 @@ def oracle_sql() -> dict[str, str]:
     out.update({name: sql for name, (_fn, sql) in ENCODING_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in CODES_SQL_QUERIES.items()})
     out.update({name: sql for name, (_fn, sql) in TREEINDEX_SQL_QUERIES.items()})
+    out.update({name: sql for name, (_fn, sql) in NUMTHEORY_SQL_QUERIES.items()})
     return out
